@@ -1,0 +1,120 @@
+"""End-to-end spatial join: pages → extract → cell join → PIP, verified
+against a brute-force numpy oracle (every point × every polygon).
+Mirrors the reference's layer-algebra oracle tests
+(autotest/ogr/ogr_layer_algebra.py style — exact row-set equality)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_spark import geometry, testdata, wkb
+from gdal_spark.operators.extract import extract_features, extract_features_pdf
+from gdal_spark.operators.spatial_join import spatial_join, spatial_join_count
+
+N_PAGES = 2000
+N_POLY = 40
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    return testdata.pages_pdf(N_PAGES)
+
+
+@pytest.fixture(scope="module")
+def polygons():
+    return testdata.polygons_pdf(N_POLY)
+
+
+def brute_force_pairs(feats: pd.DataFrame, polygons: pd.DataFrame) -> set:
+    pairs = set()
+    for pid, buf in zip(polygons["poly_id"], polygons["geom_wkb"]):
+        parts = wkb.polygon_rings(bytes(buf))
+        inside = np.zeros(len(feats), dtype=bool)
+        for rings in parts:
+            inside |= geometry.points_in_polygon(
+                feats["lon"].to_numpy(), feats["lat"].to_numpy(), rings
+            )
+        for u, fi in zip(
+            feats["url"].to_numpy()[inside], feats["feat_id"].to_numpy()[inside]
+        ):
+            pairs.add((u, int(fi), int(pid)))
+    return pairs
+
+
+def test_text_byte_identity(pages_pdf):
+    """text is a pure function of url — regenerate and compare bytes."""
+    again = testdata.pages_pdf(N_PAGES)
+    assert (pages_pdf["text"] == again["text"]).all()
+    assert all(
+        a == b for a, b in zip(pages_pdf["html"], again["html"])
+    )
+
+
+def test_extract_deterministic_and_parses_own_format(pages_pdf):
+    feats = extract_features_pdf(pages_pdf)
+    assert len(feats) >= N_PAGES  # 1-3 mentions per page
+    assert feats["lon"].between(-180, 180).all()
+    assert feats["lat"].between(-90, 90).all()
+    # feat_id is the in-text mention ordinal
+    assert (feats.groupby("url")["feat_id"].min() == 0).all()
+
+
+def test_distributed_extract_matches_local(spark, pages_pdf):
+    pages = spark.createDataFrame(pages_pdf)
+    got = (
+        extract_features(pages)
+        .orderBy("url", "feat_id")
+        .toPandas()
+    )
+    want = (
+        extract_features_pdf(pages_pdf)
+        .sort_values(["url", "feat_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_distributed_pages_generator_byte_identical(spark, pages_pdf):
+    got = testdata.pages_df(spark, N_PAGES, partitions=7).toPandas()
+    got = got.sort_values("url").reset_index(drop=True)
+    want = pages_pdf.sort_values("url").reset_index(drop=True)
+    assert (got["text"] == want["text"]).all()
+    assert (got["lang"] == want["lang"]).all()
+
+
+def test_spatial_join_matches_bruteforce(spark, pages_pdf, polygons):
+    pages = spark.createDataFrame(pages_pdf)
+    feats = extract_features(pages)
+    joined = spatial_join(feats, polygons, res_min=3, res_max=8)
+    got = {
+        (r.url, int(r.feat_id), int(r.poly_id))
+        for r in joined.select("url", "feat_id", "poly_id").collect()
+    }
+    want = brute_force_pairs(extract_features_pdf(pages_pdf), polygons)
+    assert got == want
+    assert len(want) > 50  # fixture sanity: the join is non-trivial
+
+
+def test_spatial_join_count(spark, pages_pdf, polygons):
+    pages = spark.createDataFrame(pages_pdf)
+    feats = extract_features(pages)
+    counts = {
+        int(r.poly_id): int(r.n_points)
+        for r in spatial_join_count(feats, polygons, res_min=3, res_max=8).collect()
+    }
+    want_pairs = brute_force_pairs(extract_features_pdf(pages_pdf), polygons)
+    want = {}
+    for _, _, pid in want_pairs:
+        want[pid] = want.get(pid, 0) + 1
+    assert counts == want
+
+
+def test_spatial_join_plan_is_broadcast(spark, pages_pdf, polygons):
+    """The cover join must be a BroadcastHashJoin — no shuffle of the
+    big (points) side."""
+    pages = spark.createDataFrame(pages_pdf)
+    feats = extract_features(pages)
+    joined = spatial_join(feats, polygons, res_min=3, res_max=8)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
