@@ -1,0 +1,90 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the north-rule operators (spatial join / PIP, kNN, tile
+assignment) plus the relational + dedup/similarity workhorses, so the
+number tracks the full engine, not one hot path.
+
+Each query is forced with a count() (no driver-side collect of payloads);
+timings are wall-clock per query, value = total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # north-rule spatial core
+    "sp_pip_engine",
+    "sp_pip_count",
+    "sp_knn",
+    "sp_cell_encode",
+    "sp_cell_rollup",
+    "sp_tile_assign",
+    # relational spine
+    "q1_pricing_summary",
+    "q3_shipping_topk",
+    "q5_local_supplier",
+    "q_window_events",
+    # training-data pipeline ops
+    "dd_exact_prefix",
+    "dd_minhash_lsh",
+    "tx_token_count",
+    "sim_cosine_topk",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    import __spark_entry__ as entry_mod
+    from gdal_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = entry_mod.queries()
+
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once so q1 isn't charged for startup
+    entry_mod._t(spark, sf_dir, "lineitem").count()
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
