@@ -440,7 +440,198 @@ def _q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, queries, dim=64, k=3, n_planes=8)
 
 
+# ---------------------------------------------------------------------------
+# raster / tiling queries (SURVEY §2.9, §2.10)
+# ---------------------------------------------------------------------------
+
+_PYR_ZOOM, _PYR_TS = 3, 64
+_WARP_SRC_GT = (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+_WARP_DST_GT = (440000.0, 75.0, 0.0, 3752000.0, 0.0, -75.0)
+_WARP_SRC_WH = 128
+_WARP_DST_W, _WARP_DST_H = 80, 60
+
+
+def _q_rs_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-burn base tiles at z=3 + average overviews to z=0, with a
+    per-tile checksum (gdal2tiles data flow; overview.cpp AVERAGE)."""
+    from gdal_spark.operators.tiling import (
+        burn_points_tiles, pyramid, tile_checksums,
+    )
+
+    pts = _doc_points(spark, sf_dir)
+    base = burn_points_tiles(pts, _PYR_ZOOM, _PYR_TS)
+    return tile_checksums(pyramid(base, _PYR_ZOOM, 0))
+
+
+def _warp_query(method: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gdal_spark.operators.tiling import formula_tiles, warp_affine
+
+        ts = 64
+        tiles = formula_tiles(spark, _WARP_SRC_WH // ts, _WARP_SRC_WH // ts, ts)
+        return warp_affine(
+            tiles, _WARP_SRC_GT, _WARP_SRC_WH, _WARP_SRC_WH,
+            _WARP_DST_GT, _WARP_DST_W, _WARP_DST_H,
+            method=method, dst_block=32, src_tile_size=ts,
+        )
+
+    return run
+
+
+def _q_rs_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded formula raster → connected regions across tiles."""
+    import pandas as pd_  # noqa: F811 (worker-side import clarity)
+
+    from gdal_spark.operators.tiling import (
+        TILE_SCHEMA, formula_tiles, polygonize,
+    )
+
+    def threshold(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = np.frombuffer(r["data"], dtype=np.uint8).reshape(
+                    int(r["h"]), int(r["w"])
+                )
+                rows.append(
+                    (0, int(r["tx"]), int(r["ty"]), int(r["w"]), int(r["h"]),
+                     (arr < 64).astype(np.uint8).tobytes())
+                )
+            yield pd_.DataFrame(
+                rows, columns=["z", "tx", "ty", "w", "h", "data"]
+            )
+
+    tiles = formula_tiles(spark, 4, 4, 64).mapInPandas(threshold, TILE_SCHEMA)
+    return polygonize(tiles)
+
+
+def _q_rs_fill_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanline-burn the literal polygons on a 1-degree world grid and
+    count filled pixels per polygon."""
+    from gdal_spark.operators.tiling import rasterize_polygons_count
+
+    return rasterize_polygons_count(
+        spark, _polygons_pdf(), 360, 180, -180.0, 90.0, 1.0, -1.0,
+        tile_size=64,
+    )
+
+
+def _pyramid_oracle_sql() -> str:
+    from gdal_spark import mercator
+
+    z, ts = _PYR_ZOOM, _PYR_TS
+    n_px = (1 << z) * ts
+    px, py = mercator.pixel_sql("p.lon", "p.lat", z, ts)
+    gx = f"LEAST(GREATEST(CAST(FLOOR({px}) AS BIGINT), 0), {n_px - 1})"
+    gy = f"{n_px - 1} - LEAST(GREATEST(CAST(FLOOR({py}) AS BIGINT), 0), {n_px - 1})"
+
+    def level_cks(src: str, zz: int) -> str:
+        return f"""
+        SELECT {zz} AS z,
+               CAST(FLOOR(gx / {ts}e0) AS BIGINT) AS tx,
+               CAST(FLOOR(gy / {ts}e0) AS BIGINT) AS ty,
+               SUM(v * (((gy % {ts}) * {ts} + (gx % {ts})) % 11 + 1))
+                 % 2147483648 AS cks
+        FROM {src} GROUP BY 2, 3"""
+
+    reduce_tpl = """
+        SELECT CAST(FLOOR(gx / 2e0) AS BIGINT) AS gx,
+               CAST(FLOOR(gy / 2e0) AS BIGINT) AS gy,
+               CAST(FLOOR((SUM(v) + 2) / 4e0) AS BIGINT) AS v
+        FROM {src} GROUP BY 1, 2"""
+
+    return f"""
+        WITH pts AS ({DOC_PTS_SQL}),
+        base AS (
+          SELECT gx, gy, LEAST(n, 255) AS v FROM (
+            SELECT {gx} AS gx, {gy} AS gy, COUNT(*) AS n
+            FROM pts p GROUP BY 1, 2) c),
+        l2 AS ({reduce_tpl.format(src='base')}),
+        l1 AS ({reduce_tpl.format(src='l2')}),
+        l0 AS ({reduce_tpl.format(src='l1')})
+        {level_cks('base', 3)}
+        UNION ALL {level_cks('l2', 2)}
+        UNION ALL {level_cks('l1', 1)}
+        UNION ALL {level_cks('l0', 0)}"""
+
+
+def _warp_oracle_sql(method: str) -> str:
+    # closed-form warp of the formula raster: src val = (x*7+y*13)%251
+    g0, g1, _, g3, _, g5 = _WARP_SRC_GT
+    d0, d1, _, d3, _, d5 = _WARP_DST_GT
+    w = _WARP_SRC_WH
+    gxe = f"({d0!r} + (di + 0.5e0) * {d1!r})"
+    gye = f"({d3!r} + (dj + 0.5e0) * {d5!r})"
+    fx = f"(({gxe} - {g0!r}) / {g1!r})"
+    fy = f"(({gye} - {g3!r}) / {g5!r})"
+    grid = f"""
+        SELECT CAST(a.di AS BIGINT) AS di, CAST(b.dj AS BIGINT) AS dj
+        FROM generate_series(0, {_WARP_DST_W - 1}) a(di)
+        CROSS JOIN generate_series(0, {_WARP_DST_H - 1}) b(dj)"""
+    if method == "nearest":
+        return f"""
+        WITH g AS ({grid}),
+        s AS (SELECT di, dj,
+                     CAST(FLOOR({fx}) AS BIGINT) AS sx,
+                     CAST(FLOOR({fy}) AS BIGINT) AS sy
+              FROM g)
+        SELECT di, dj,
+               CASE WHEN sx BETWEEN 0 AND {w - 1} AND sy BETWEEN 0 AND {w - 1}
+                    THEN (sx * 7 + sy * 13) % 251 ELSE -1 END AS val
+        FROM s"""
+    # bilinear between pixel centers, scaled by 64 (integer-exact)
+    return f"""
+        WITH g AS ({grid}),
+        s AS (SELECT di, dj,
+                     {fx} - 0.5e0 AS fx, {fy} - 0.5e0 AS fy FROM g),
+        t AS (SELECT di, dj, fx, fy,
+                     CAST(FLOOR(fx) AS BIGINT) AS x0,
+                     CAST(FLOOR(fy) AS BIGINT) AS y0
+              FROM s)
+        SELECT di, dj,
+          CASE WHEN x0 >= 0 AND x0 + 1 <= {w - 1}
+                AND y0 >= 0 AND y0 + 1 <= {w - 1}
+          THEN CAST(ROUND(64e0 * (
+                 ((x0 * 7 + y0 * 13) % 251) * (1e0 - (fx - x0)) * (1e0 - (fy - y0))
+               + (((x0 + 1) * 7 + y0 * 13) % 251) * (fx - x0) * (1e0 - (fy - y0))
+               + ((x0 * 7 + (y0 + 1) * 13) % 251) * (1e0 - (fx - x0)) * (fy - y0)
+               + (((x0 + 1) * 7 + (y0 + 1) * 13) % 251) * (fx - x0) * (fy - y0)
+               )) AS BIGINT)
+          ELSE -1 END AS val
+        FROM t"""
+
+
+def _fill_oracle_sql() -> str:
+    # pixel centers of the 1-degree grid → ray-cast crossings per
+    # polygon edge (same even-odd arithmetic as PIP_ORACLE_SQL)
+    return f"""
+        WITH px AS (
+          SELECT -180e0 + (CAST(a.i AS BIGINT) + 0.5e0) AS cx,
+                 90e0 - (CAST(b.j AS BIGINT) + 0.5e0) AS cy
+          FROM generate_series(0, 359) a(i)
+          CROSS JOIN generate_series(0, 179) b(j)),
+        edges(poly_id, x1, y1, x2, y2) AS (VALUES {_edges_values_sql()}),
+        crossings AS (
+          SELECT p.cx, p.cy, e.poly_id,
+            CASE WHEN (((e.y1 - p.cy) > 0 AND (e.y2 - p.cy) <= 0)
+                    OR ((e.y2 - p.cy) > 0 AND (e.y1 - p.cy) <= 0))
+                  AND ((e.x1 - p.cx) * (e.y2 - p.cy)
+                     - (e.x2 - p.cx) * (e.y1 - p.cy))
+                      / ((e.y2 - p.cy) - (e.y1 - p.cy)) > 0
+            THEN 1 ELSE 0 END AS c
+          FROM px p CROSS JOIN edges e),
+        inside AS (
+          SELECT cx, cy, poly_id FROM crossings
+          GROUP BY cx, cy, poly_id HAVING SUM(c) % 2 = 1)
+        SELECT poly_id, COUNT(*) AS n_filled FROM inside GROUP BY poly_id"""
+
+
 ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rs_pyramid_checksum": _q_rs_pyramid,
+    "rs_warp_nearest": _warp_query("nearest"),
+    "rs_warp_bilinear": _warp_query("bilinear"),
+    "rs_polygonize": _q_rs_polygonize,
+    "rs_fill_polygons": _q_rs_fill_polygons,
     "q_first_match_join": _q_first_match_join,
     "sp_pip_engine": _q_pip_engine,
     "sp_pip_count": _q_pip_count_engine,
@@ -456,6 +647,10 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ENGINE_ORACLES: dict[str, str] = {
+    "rs_pyramid_checksum": _pyramid_oracle_sql(),
+    "rs_warp_nearest": _warp_oracle_sql("nearest"),
+    "rs_warp_bilinear": _warp_oracle_sql("bilinear"),
+    "rs_fill_polygons": _fill_oracle_sql(),
     "q_first_match_join": """
         SELECT n_nationkey, n_name, c_custkey AS first_custkey,
                c_name AS first_cname
@@ -545,7 +740,9 @@ ENGINE_ORACLES: dict[str, str] = {
 }
 
 # queries with no SQL-expressible oracle → driver rows-only check
-NO_ORACLE = {"dd_simhash", "sim_ann_lsh"}
+# (rs_polygonize: connected-component labeling needs iteration; its
+# exact oracle is the flood-fill pytest in tests/test_tiling.py)
+NO_ORACLE = {"dd_simhash", "sim_ann_lsh", "rs_polygonize"}
 
 
 # ---------------------------------------------------------------------------

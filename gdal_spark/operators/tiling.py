@@ -1,0 +1,660 @@
+"""Distributed raster/tiling operators over tile DataFrames.
+
+The reference's raster engine (gdal2tiles.py / apps/gdalalg_raster_tile.cpp
+/ alg/gdalwarpkernel.cpp / gcore/overview.cpp / alg/polygonize.cpp)
+re-expressed for Spark's execution model: a raster IS a DataFrame of
+tiles ``(z int, tx long, ty long, w int, h int, data binary)`` —
+row 0 of ``data`` is the tile's top row, uint8 C-order unless noted.
+
+Design notes (100 TB posture):
+
+* **Point burn** pre-aggregates per-pixel counts JVM-side
+  (groupBy(tile, pixel).count() gets map-side partial aggregation), so
+  the shuffle carries at most one row per *lit pixel*, never per point.
+  Only the tiny post-shuffle assembly runs in Python.
+* **Overviews** are a single self-shuffle per level on the parent tile
+  key — exactly gdal2tiles's create_overview_tile data flow
+  (gdal2tiles.py:1471) with the 4-children group as a Spark groupBy.
+* **Warp** enumerates destination blocks on the driver (metadata only),
+  computes each block's source-tile cover analytically from the affine
+  transforms, and ships (dst block × src tile) pairs through an
+  equi-join so each task gathers exactly the source window it needs —
+  the moral equivalent of GDALWarpOperation::CollectChunkList
+  (alg/gdalwarpoperation.cpp:930) with Spark partitioning as the
+  memory-bounded chunking.
+* **Polygonize** labels per tile in parallel, then merges across tiles
+  through a border-pixel equi-join whose edge list (bounded by total
+  tile perimeter, not area) is union-found on the driver — the
+  scanline merge of alg/polygonize.cpp:73 turned into a two-level
+  connected-components algorithm.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import mercator, raster
+
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.IntegerType()),
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+CHECKSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.IntegerType()),
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("cks", T.LongType()),
+    ]
+)
+
+PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("gx", T.LongType()),
+        T.StructField("gy", T.LongType()),
+        T.StructField("val", T.LongType()),
+    ]
+)
+
+
+def _tile_array(row_w: int, row_h: int, data: bytes) -> np.ndarray:
+    return np.frombuffer(data, dtype=np.uint8).reshape(row_h, row_w)
+
+
+# ---------------------------------------------------------------------------
+# rasterize: point burn → XYZ tile pyramid base
+# ---------------------------------------------------------------------------
+
+
+def point_pixel_cols(
+    points: DataFrame,
+    zoom: int,
+    tile_size: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """JVM-side (codegen) mercator pixel assignment: each point →
+    (tx, ty, ip, jp) in the XYZ (top-down) convention. A point's pixel
+    is the containing integer pixel clamp(floor(px), 0, N-1); its tile
+    is that pixel's tile (gx // tile_size) — boundary pixels therefore
+    belong to the tile that renders them, which is the burn-side
+    counterpart of the ceil-minus-1 point→tile rule."""
+    n_px = (1 << zoom) * tile_size
+    px, py = mercator.pixel_expr(F.col(lon_col), F.col(lat_col), zoom, tile_size)
+    gx = F.least(
+        F.greatest(F.floor(px), F.lit(0)), F.lit(n_px - 1)
+    ).cast("long")
+    gy_up = F.least(
+        F.greatest(F.floor(py), F.lit(0)), F.lit(n_px - 1)
+    ).cast("long")
+    gy = F.lit(n_px - 1).cast("long") - gy_up  # top-down (XYZ / image order)
+    return points.select(
+        (gx / tile_size).cast("long").alias("tx"),
+        (gy / tile_size).cast("long").alias("ty"),
+        (gx % tile_size).alias("ip"),
+        (gy % tile_size).alias("jp"),
+    )
+
+
+def burn_points_tiles(
+    points: DataFrame,
+    zoom: int,
+    tile_size: int = 256,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Rasterize points into count tiles (uint8, saturating at 255).
+
+    Plan: JVM pixel assignment → groupBy(tile, pixel).count() with
+    map-side combine → one applyInPandas per tile assembling the dense
+    array. Shuffle volume is O(lit pixels), not O(points)."""
+    px_counts = (
+        point_pixel_cols(points, zoom, tile_size, lon_col, lat_col)
+        .groupBy("tx", "ty", "ip", "jp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros((tile_size, tile_size), dtype=np.int64)
+        arr[pdf["jp"].to_numpy(), pdf["ip"].to_numpy()] = pdf["n"].to_numpy()
+        arr = np.minimum(arr, 255).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                "z": [zoom],
+                "tx": [int(pdf["tx"].iloc[0])],
+                "ty": [int(pdf["ty"].iloc[0])],
+                "w": [tile_size],
+                "h": [tile_size],
+                "data": [arr.tobytes()],
+            }
+        )
+
+    return px_counts.groupBy("tx", "ty").applyInPandas(assemble, TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# overview pyramid
+# ---------------------------------------------------------------------------
+
+
+def overview_level(tiles: DataFrame, method: str = "average") -> DataFrame:
+    """One pyramid level up: groupBy(parent tile) over ≤4 children,
+    2x2 block-reduce each child, place in its parent quadrant
+    (gdal2tiles create_overview_tile semantics, gdal2tiles.py:1471;
+    reduce semantics gcore/overview.cpp). Missing children → 0."""
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = int(pdf["w"].iloc[0])
+        half = ts // 2
+        out = np.zeros((ts, ts), dtype=np.uint8)
+        for _, row in pdf.iterrows():
+            arr = _tile_array(int(row["w"]), int(row["h"]), row["data"])
+            red = raster.block_reduce_2x2(arr, method)
+            qx = int(row["tx"]) % 2
+            qy = int(row["ty"]) % 2
+            out[qy * half : (qy + 1) * half, qx * half : (qx + 1) * half] = red
+        return pd.DataFrame(
+            {
+                "z": [int(pdf["z"].iloc[0]) - 1],
+                "tx": [int(pdf["tx"].iloc[0]) // 2],
+                "ty": [int(pdf["ty"].iloc[0]) // 2],
+                "w": [ts],
+                "h": [ts],
+                "data": [out.tobytes()],
+            }
+        )
+
+    parent = tiles.withColumn("ptx", (F.col("tx") / 2).cast("long")).withColumn(
+        "pty", (F.col("ty") / 2).cast("long")
+    )
+    return parent.groupBy("ptx", "pty").applyInPandas(reduce_group, TILE_SCHEMA)
+
+
+def pyramid(
+    base: DataFrame, base_zoom: int, min_zoom: int = 0, method: str = "average"
+) -> DataFrame:
+    """Full overview pyramid base_zoom → min_zoom (inclusive), unioned.
+    Each level is one narrow groupBy shuffle; levels are sequential
+    stages exactly as in the reference tiler."""
+    out = base
+    level = base
+    for _ in range(base_zoom - min_zoom):
+        level = overview_level(level, method)
+        out = out.unionByName(level)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# checksums / pixel explode (raster → vector egress)
+# ---------------------------------------------------------------------------
+
+
+def tile_checksums(tiles: DataFrame) -> DataFrame:
+    """Per-tile digest (raster.tile_checksum semantics)."""
+
+    def run(batches):
+        for pdf in batches:
+            cks = [
+                raster.tile_checksum(_tile_array(int(w), int(h), d))
+                for w, h, d in zip(pdf["w"], pdf["h"], pdf["data"])
+            ]
+            yield pd.DataFrame(
+                {"z": pdf["z"], "tx": pdf["tx"], "ty": pdf["ty"], "cks": cks}
+            )
+
+    return tiles.mapInPandas(run, CHECKSUM_SCHEMA)
+
+
+def pixels_df(tiles: DataFrame, nonzero_only: bool = True) -> DataFrame:
+    """Explode tiles to (gx, gy, val) global-pixel rows (1→N mapInPandas
+    — the raster→vector egress used by polygonize oracles)."""
+
+    def run(batches):
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                arr = _tile_array(int(row["w"]), int(row["h"]), row["data"])
+                if nonzero_only:
+                    jj, ii = np.nonzero(arr)
+                else:
+                    jj, ii = np.meshgrid(
+                        np.arange(arr.shape[0]),
+                        np.arange(arr.shape[1]),
+                        indexing="ij",
+                    )
+                    jj, ii = jj.ravel(), ii.ravel()
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "gx": int(row["tx"]) * int(row["w"]) + ii,
+                            "gy": int(row["ty"]) * int(row["h"]) + jj,
+                            "val": arr[jj, ii].astype(np.int64),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return tiles.mapInPandas(run, PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# synthetic source raster (distributed formula tiles)
+# ---------------------------------------------------------------------------
+
+
+def formula_tiles(
+    spark: SparkSession, nx: int, ny: int, tile_size: int = 64
+) -> DataFrame:
+    """Distributed generator of the (x*7 + y*13) % 251 fixture raster
+    as an nx x ny tile grid (z=0 plain grid, not mercator)."""
+    ts = tile_size
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for tid in pdf["id"]:
+                tx, ty = int(tid) % nx, int(tid) // nx
+                arr = raster.formula_block(tx * ts, ty * ts, ts, ts)
+                rows.append((0, tx, ty, ts, ts, arr.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["z", "tx", "ty", "w", "h", "data"]
+            )
+
+    rng = spark.range(0, nx * ny, 1, min(nx * ny, 32))
+    return rng.mapInPandas(gen, TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# affine warp (distributed gather)
+# ---------------------------------------------------------------------------
+
+WARP_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("di", T.LongType()),
+        T.StructField("dj", T.LongType()),
+        T.StructField("val", T.LongType()),
+    ]
+)
+
+
+def warp_affine(
+    src_tiles: DataFrame,
+    src_gt: tuple,
+    src_w: int,
+    src_h: int,
+    dst_gt: tuple,
+    dst_w: int,
+    dst_h: int,
+    method: str = "nearest",
+    dst_block: int = 32,
+    src_tile_size: int = 64,
+    bilinear_scale: int = 64,
+) -> DataFrame:
+    """Affine warp src → dst grid, emitting (di, dj, val) dst pixels
+    (val = nodata -1 outside src; bilinear values are
+    round(bilinear_scale * v) for integer exactness).
+
+    Distribution: dst blocks enumerated on the driver (metadata only),
+    each block's src-tile cover computed from the affine corners, then
+    an equi-join ships exactly the needed src tiles to each block's
+    gather task (CollectChunkList analog, alg/gdalwarpoperation.cpp:930).
+    """
+    spark = src_tiles.sparkSession
+    pairs = []
+    for j0 in range(0, dst_h, dst_block):
+        for i0 in range(0, dst_w, dst_block):
+            bw = min(dst_block, dst_w - i0)
+            bh = min(dst_block, dst_h - j0)
+            # src bbox of this dst block (affine → corners suffice)
+            ci = np.array([i0, i0 + bw, i0, i0 + bw], dtype=np.float64)
+            cj = np.array([j0, j0, j0 + bh, j0 + bh], dtype=np.float64)
+            gx, gy = raster.apply_gt(dst_gt, ci, cj)
+            igt = raster.inv_gt(src_gt)
+            sx = igt[0] + gx * igt[1] + gy * igt[2]
+            sy = igt[3] + gx * igt[4] + gy * igt[5]
+            pad = 2.0  # bilinear support + safety
+            sx0 = max(0, int(np.floor(sx.min() - pad)))
+            sx1 = min(src_w - 1, int(np.ceil(sx.max() + pad)))
+            sy0 = max(0, int(np.floor(sy.min() - pad)))
+            sy1 = min(src_h - 1, int(np.ceil(sy.max() + pad)))
+            if sx1 < 0 or sy1 < 0 or sx0 > src_w - 1 or sy0 > src_h - 1:
+                continue
+            for sty in range(sy0 // src_tile_size, sy1 // src_tile_size + 1):
+                for stx in range(sx0 // src_tile_size, sx1 // src_tile_size + 1):
+                    pairs.append((i0, j0, bw, bh, stx, sty))
+    if not pairs:
+        return spark.createDataFrame([], WARP_PIXEL_SCHEMA)
+    pairs_df = spark.createDataFrame(
+        pd.DataFrame(
+            pairs, columns=["i0", "j0", "bw", "bh", "stx", "sty"]
+        )
+    )
+    joined = pairs_df.join(
+        src_tiles.withColumnRenamed("tx", "stx").withColumnRenamed("ty", "sty"),
+        ["stx", "sty"],
+        "inner",
+    )
+
+    ts = src_tile_size
+
+    def gather(pdf: pd.DataFrame) -> pd.DataFrame:
+        i0 = int(pdf["i0"].iloc[0])
+        j0 = int(pdf["j0"].iloc[0])
+        bw = int(pdf["bw"].iloc[0])
+        bh = int(pdf["bh"].iloc[0])
+        # mosaic the delivered src tiles into a minimal window
+        stxs = pdf["stx"].to_numpy()
+        stys = pdf["sty"].to_numpy()
+        wx0, wy0 = int(stxs.min()) * ts, int(stys.min()) * ts
+        ww = (int(stxs.max()) + 1) * ts - wx0
+        wh = (int(stys.max()) + 1) * ts - wy0
+        win = np.zeros((wh, ww), dtype=np.uint8)
+        valid = np.zeros((wh, ww), dtype=bool)
+        for _, row in pdf.iterrows():
+            ox = int(row["stx"]) * ts - wx0
+            oy = int(row["sty"]) * ts - wy0
+            arr = _tile_array(int(row["w"]), int(row["h"]), row["data"])
+            win[oy : oy + ts, ox : ox + ts] = arr
+            valid[oy : oy + ts, ox : ox + ts] = True
+        sx, sy = raster.dst_to_src_coords(dst_gt, src_gt, bw, bh, i0, j0)
+        # shift to window coords; clip handled by kernels via window size
+        sxw, syw = sx - wx0, sy - wy0
+        if method == "nearest":
+            out = raster.warp_nearest(win, sxw, syw)
+            # mask pixels whose src lies outside the full raster
+            ixg = np.floor(sx).astype(np.int64)
+            iyg = np.floor(sy).astype(np.int64)
+            bad = (ixg < 0) | (ixg >= src_w) | (iyg < 0) | (iyg >= src_h)
+            out[bad] = raster.NODATA
+        elif method == "bilinear":
+            out = raster.warp_bilinear_q(win, sxw, syw, scale=bilinear_scale)
+            fx = sx - 0.5
+            fy = sy - 0.5
+            x0 = np.floor(fx).astype(np.int64)
+            y0 = np.floor(fy).astype(np.int64)
+            bad = (x0 < 0) | (x0 + 1 >= src_w) | (y0 < 0) | (y0 + 1 >= src_h)
+            out[bad] = raster.NODATA
+        else:
+            raise ValueError(f"unknown warp method {method!r}")
+        jj, ii = np.meshgrid(
+            np.arange(bh, dtype=np.int64),
+            np.arange(bw, dtype=np.int64),
+            indexing="ij",
+        )
+        return pd.DataFrame(
+            {
+                "di": i0 + ii.ravel(),
+                "dj": j0 + jj.ravel(),
+                "val": out.ravel().astype(np.int64),
+            }
+        )
+
+    return joined.groupBy("i0", "j0").applyInPandas(gather, WARP_PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# rasterize polygons (scanline-fill semantics, distributed by tile)
+# ---------------------------------------------------------------------------
+
+
+def rasterize_polygons_count(
+    spark: SparkSession,
+    polygons_pdf: pd.DataFrame,
+    grid_w: int,
+    grid_h: int,
+    x0: float,
+    y0: float,
+    xres: float,
+    yres: float,
+    tile_size: int = 64,
+) -> DataFrame:
+    """Burn every polygon onto a (grid_w x grid_h) pixel grid and count
+    filled pixels per polygon (GDALdllImageFilledPolygon center-inside
+    semantics, alg/llrasterize.cpp:58; chunked like
+    GDALRasterizeGeometries, alg/gdalrasterize.cpp:888).
+
+    Distribution: the tile grid fans out via spark.range; polygon
+    rings ship once per executor as a broadcast; per-tile partial
+    counts reduce through a tiny groupBy(poly_id)."""
+    from .. import wkb
+
+    rings = {
+        int(pid): wkb.polygon_rings(bytes(buf))
+        for pid, buf in zip(polygons_pdf["poly_id"], polygons_pdf["geom_wkb"])
+    }
+    bboxes = {
+        int(pid): (
+            float(bx0), float(by0), float(bx1), float(by1)
+        )
+        for pid, bx0, by0, bx1, by1 in zip(
+            polygons_pdf["poly_id"], polygons_pdf["bbox_minx"],
+            polygons_pdf["bbox_miny"], polygons_pdf["bbox_maxx"],
+            polygons_pdf["bbox_maxy"],
+        )
+    }
+    rings_bc = spark.sparkContext.broadcast((rings, bboxes))
+    nx = (grid_w + tile_size - 1) // tile_size
+    ny = (grid_h + tile_size - 1) // tile_size
+
+    def burn(batches):
+        rings_by_pid, bbox_by_pid = rings_bc.value
+        for pdf in batches:
+            counts: dict[int, int] = {}
+            for tid in pdf["id"]:
+                txi, tyi = int(tid) % nx, int(tid) // nx
+                tw = min(tile_size, grid_w - txi * tile_size)
+                th = min(tile_size, grid_h - tyi * tile_size)
+                tx0 = x0 + txi * tile_size * xres
+                ty0 = y0 + tyi * tile_size * yres
+                # tile bbox in geo coords (yres < 0 → y decreasing)
+                gx_lo, gx_hi = sorted((tx0, tx0 + tw * xres))
+                gy_lo, gy_hi = sorted((ty0, ty0 + th * yres))
+                for pid, parts in rings_by_pid.items():
+                    bx0, by0, bx1, by1 = bbox_by_pid[pid]
+                    if bx1 < gx_lo or bx0 > gx_hi or by1 < gy_lo or by0 > gy_hi:
+                        continue  # envelope prefilter (ogrlayer.cpp:2253)
+                    mask = np.zeros((th, tw), dtype=bool)
+                    for part in parts:
+                        mask |= raster.fill_polygon_mask(
+                            part, tw, th, tx0, ty0, xres, yres
+                        )
+                    n = int(mask.sum())
+                    if n:
+                        counts[pid] = counts.get(pid, 0) + n
+            yield pd.DataFrame(
+                {
+                    "poly_id": list(counts.keys()),
+                    "n_filled": list(counts.values()),
+                }
+            )
+
+    parts = spark.range(0, nx * ny, 1, min(nx * ny, 32)).mapInPandas(
+        burn, "poly_id long, n_filled long"
+    )
+    return parts.groupBy("poly_id").agg(F.sum("n_filled").alias("n_filled"))
+
+
+# ---------------------------------------------------------------------------
+# polygonize (per-tile label + cross-tile merge)
+# ---------------------------------------------------------------------------
+
+REGION_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("min_gx", T.LongType()),
+        T.StructField("min_gy", T.LongType()),
+        T.StructField("max_gx", T.LongType()),
+        T.StructField("max_gy", T.LongType()),
+    ]
+)
+
+_PART_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),  # 'region' | 'border'
+        T.StructField("tkey", T.LongType()),
+        T.StructField("lab", T.LongType()),
+        T.StructField("value", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("min_gx", T.LongType()),
+        T.StructField("min_gy", T.LongType()),
+        T.StructField("max_gx", T.LongType()),
+        T.StructField("max_gy", T.LongType()),
+        T.StructField("gx", T.LongType()),
+        T.StructField("gy", T.LongType()),
+        T.StructField("side", T.StringType()),  # 'R' | 'D' (right/down)
+    ]
+)
+
+
+def polygonize(tiles: DataFrame, nx: int | None = None) -> DataFrame:
+    """Connected regions of equal-valued pixels (4-connect) across the
+    whole tile grid → one row per region with pixel count and bbox.
+
+    Per-tile labeling runs fully parallel; the cross-tile merge works
+    on border pixels only: every tile emits its edge pixels, adjacent
+    pixels of equal value across a tile boundary become union edges,
+    and the resulting component graph (size O(total perimeter), orders
+    of magnitude smaller than the raster) is union-found on the driver
+    and broadcast back for the final aggregation. Semantics match
+    alg/polygonize.cpp:73's scanline merge (4-connectedness).
+    """
+    spark = tiles.sparkSession
+
+    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for _, row in pdf.iterrows():
+            ts_w, ts_h = int(row["w"]), int(row["h"])
+            tx, ty = int(row["tx"]), int(row["ty"])
+            tkey = tx * 1_000_003 + ty
+            arr = _tile_array(ts_w, ts_h, row["data"]).astype(np.int64)
+            labels, n = raster.label_components(arr)
+            gx0, gy0 = tx * ts_w, ty * ts_h
+            flat_lab = labels.ravel()
+            flat_val = arr.ravel()
+            jj, ii = np.meshgrid(
+                np.arange(ts_h, dtype=np.int64),
+                np.arange(ts_w, dtype=np.int64),
+                indexing="ij",
+            )
+            fi, fj = ii.ravel(), jj.ravel()
+            for lab in range(n):
+                m = flat_lab == lab
+                out_rows.append(
+                    (
+                        "region", tkey, lab, int(flat_val[m][0]),
+                        int(m.sum()),
+                        gx0 + int(fi[m].min()), gy0 + int(fj[m].min()),
+                        gx0 + int(fi[m].max()), gy0 + int(fj[m].max()),
+                        -1, -1, "",
+                    )
+                )
+            # border pixels: right edge (owner of R-adjacency) and
+            # bottom edge (owner of D-adjacency), plus left/top as
+            # receivers — emit ALL edge pixels; the join pairs them.
+            edges = [
+                (np.full(ts_h, ts_w - 1), np.arange(ts_h), "R"),
+                (np.arange(ts_w), np.full(ts_w, ts_h - 1), "D"),
+                (np.full(ts_h, 0), np.arange(ts_h), "L"),
+                (np.arange(ts_w), np.full(ts_w, 0), "U"),
+            ]
+            for ex, ey, side in edges:
+                ex = ex.astype(np.int64)
+                ey = ey.astype(np.int64)
+                for x, y in zip(ex, ey):
+                    out_rows.append(
+                        (
+                            "border", tkey, int(labels[y, x]),
+                            int(arr[y, x]), 0, 0, 0, 0, 0,
+                            gx0 + int(x), gy0 + int(y), side,
+                        )
+                    )
+        return pd.DataFrame(out_rows, columns=[f.name for f in _PART_SCHEMA])
+
+    parts = tiles.groupBy("tx", "ty").applyInPandas(per_tile, _PART_SCHEMA)
+    parts = parts.persist()
+
+    borders = parts.filter(F.col("kind") == "border").select(
+        "tkey", "lab", "value", "gx", "gy", "side"
+    )
+    right = borders.filter(F.col("side") == "R").alias("a")
+    left = borders.filter(F.col("side") == "L").alias("b")
+    down = borders.filter(F.col("side") == "D").alias("a")
+    up = borders.filter(F.col("side") == "U").alias("b")
+    edge_sel = [
+        F.col("a.tkey").alias("ta"), F.col("a.lab").alias("la"),
+        F.col("b.tkey").alias("tb"), F.col("b.lab").alias("lb"),
+    ]
+    h_edges = right.join(
+        left,
+        (F.col("a.gx") + 1 == F.col("b.gx"))
+        & (F.col("a.gy") == F.col("b.gy"))
+        & (F.col("a.value") == F.col("b.value")),
+    ).select(edge_sel)
+    v_edges = down.join(
+        up,
+        (F.col("a.gx") == F.col("b.gx"))
+        & (F.col("a.gy") + 1 == F.col("b.gy"))
+        & (F.col("a.value") == F.col("b.value")),
+    ).select(edge_sel)
+    edge_rows = h_edges.unionByName(v_edges).distinct().collect()
+
+    # driver-side union-find over (tkey, lab) nodes touched by edges
+    parent: dict[tuple, tuple] = {}
+
+    def find(a):
+        parent.setdefault(a, a)
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for r in edge_rows:
+        ra, rb = find((r.ta, r.la)), find((r.tb, r.lb))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    root_map = {k: find(k) for k in list(parent)}
+    map_items = [
+        (int(k[0]), int(k[1]), int(v[0]), int(v[1]))
+        for k, v in root_map.items()
+        if k != v
+    ]
+    if map_items:
+        map_df = spark.createDataFrame(
+            map_items, "tkey long, lab long, rtkey long, rlab long"
+        )
+    else:
+        map_df = spark.createDataFrame(
+            [], "tkey long, lab long, rtkey long, rlab long"
+        )
+
+    regions = parts.filter(F.col("kind") == "region")
+    merged = (
+        regions.join(F.broadcast(map_df), ["tkey", "lab"], "left")
+        .withColumn("rtkey", F.coalesce("rtkey", "tkey"))
+        .withColumn("rlab", F.coalesce("rlab", "lab"))
+        .groupBy("rtkey", "rlab")
+        .agg(
+            F.first("value").alias("value"),
+            F.sum("n_pixels").alias("n_pixels"),
+            F.min("min_gx").alias("min_gx"),
+            F.min("min_gy").alias("min_gy"),
+            F.max("max_gx").alias("max_gx"),
+            F.max("max_gy").alias("max_gy"),
+        )
+        .drop("rtkey", "rlab")
+    )
+    return merged.select([f.name for f in REGION_SCHEMA])

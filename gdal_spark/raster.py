@@ -1,0 +1,277 @@
+"""Raster kernels: pure numpy over tile arrays.
+
+The reference's raster core re-expressed as vectorized array math to
+run inside Arrow-batched pandas UDFs:
+
+* point burn        — GDALdllImagePoint / MERGE_ALG=ADD semantics
+                      (alg/llrasterize.cpp:233+, alg/gdalrasterize.cpp:800-817)
+* polygon fill      — pixel-center even-odd scanline fill
+                      (GDALdllImageFilledPolygon, alg/llrasterize.cpp:58)
+* affine warp       — nearest / bilinear kernels of the warper
+                      (alg/gdalwarpkernel.cpp:171-196; geotransform math
+                      alg/gdaltransformer.cpp:4477)
+* 2x2 block reduce  — overview decimation NEAREST / AVERAGE
+                      (gcore/overview.cpp:158, :892 — integer average
+                      rounds half-up like GDAL's (total + n/2) / n)
+* connected labels  — polygonize per-tile pass (alg/polygonize.cpp:73;
+                      cross-tile merge lives in operators/tiling.py)
+* checksum          — GDAL-checksum-style per-tile digest
+                      (cf. GDALChecksumImage, alg/gdalchecksum.cpp:48;
+                      formula here is this engine's own, documented below)
+
+Tiles are 2-D numpy arrays, row 0 = top (image convention).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import geometry
+
+NODATA = -1
+
+
+# ---------------------------------------------------------------------------
+# fixtures / synthesis
+# ---------------------------------------------------------------------------
+
+
+def formula_block(x0: int, y0: int, w: int, h: int) -> np.ndarray:
+    """The deterministic test raster: value(x, y) = (x*7 + y*13) % 251
+    over global integer pixel coords (FIXTURES.md F4) — reproducible in
+    ANSI SQL for oracle parity."""
+    x = x0 + np.arange(w, dtype=np.int64)[None, :]
+    y = y0 + np.arange(h, dtype=np.int64)[:, None]
+    return ((x * 7 + y * 13) % 251).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# rasterize
+# ---------------------------------------------------------------------------
+
+
+def burn_points(
+    ix: np.ndarray, iy: np.ndarray, w: int, h: int, clamp: int = 255
+) -> np.ndarray:
+    """Count of points per pixel, clamped (uint8 tile). MERGE_ALG=ADD
+    with saturation — in-bounds indices only."""
+    flat = np.bincount(
+        np.asarray(iy, dtype=np.int64) * w + np.asarray(ix, dtype=np.int64),
+        minlength=w * h,
+    )
+    return np.minimum(flat, clamp).astype(np.uint8).reshape(h, w)
+
+
+def fill_polygon_mask(
+    rings: list[np.ndarray],
+    w: int,
+    h: int,
+    x0: float,
+    y0: float,
+    xres: float,
+    yres: float,
+) -> np.ndarray:
+    """Boolean mask of pixels whose CENTER is inside the polygon
+    (even-odd incl. holes) — the ALL_TOUCHED=FALSE default of
+    GDALdllImageFilledPolygon (alg/llrasterize.cpp:58), evaluated as a
+    vectorized center-point PIP instead of a per-scanline loop.
+
+    (x0, y0) is the geo position of the top-left corner of pixel
+    (0, 0); yres is negative for north-up rasters.
+    """
+    cx = x0 + (np.arange(w, dtype=np.float64) + 0.5) * xres
+    cy = y0 + (np.arange(h, dtype=np.float64) + 0.5) * yres
+    gx, gy = np.meshgrid(cx, cy)
+    inside = geometry.points_in_polygon(gx.ravel(), gy.ravel(), rings)
+    return inside.reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# affine warp (nearest / bilinear)
+# ---------------------------------------------------------------------------
+
+
+def apply_gt(gt: tuple, px, py):
+    """Pixel → geo (GDALApplyGeoTransform, alg/gdaltransformer.cpp:4477)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    return gt[0] + px * gt[1] + py * gt[2], gt[3] + px * gt[4] + py * gt[5]
+
+
+def inv_gt(gt: tuple) -> tuple:
+    """Inverse 6-coeff affine (GDALInvGeoTransform, gcore/gdal_misc.cpp:3370)."""
+    det = gt[1] * gt[5] - gt[2] * gt[4]
+    if det == 0.0:
+        raise ValueError("non-invertible geotransform")
+    inv_det = 1.0 / det
+    a = gt[5] * inv_det
+    b = -gt[2] * inv_det
+    d = -gt[4] * inv_det
+    e = gt[1] * inv_det
+    return (
+        -(gt[0] * a + gt[3] * b),
+        a,
+        b,
+        -(gt[0] * d + gt[3] * e),
+        d,
+        e,
+    )
+
+
+def dst_to_src_coords(
+    dst_gt: tuple, src_gt: tuple, w: int, h: int, i0: int = 0, j0: int = 0
+):
+    """Continuous src pixel coords of every dst pixel CENTER in the
+    (w x h) dst window starting at dst pixel (i0, j0)."""
+    di = i0 + np.arange(w, dtype=np.float64)[None, :] + 0.5
+    dj = j0 + np.arange(h, dtype=np.float64)[:, None] + 0.5
+    gx, gy = apply_gt(dst_gt, di, dj)
+    igt = inv_gt(src_gt)
+    sx = igt[0] + gx * igt[1] + gy * igt[2]
+    sy = igt[3] + gx * igt[4] + gy * igt[5]
+    return sx, sy
+
+
+def warp_nearest(
+    src: np.ndarray, sx: np.ndarray, sy: np.ndarray, nodata: int = NODATA
+) -> np.ndarray:
+    """Nearest kernel: the containing src pixel of each dst-center
+    inverse map — floor of the continuous coord (GWKNearestNoMasks...,
+    alg/gdalwarpkernel.cpp:171). Out-of-src → nodata."""
+    ix = np.floor(sx).astype(np.int64)
+    iy = np.floor(sy).astype(np.int64)
+    h, w = src.shape
+    ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    out = np.full(sx.shape, nodata, dtype=np.int64)
+    out[ok] = src[iy[ok], ix[ok]].astype(np.int64)
+    return out
+
+
+def warp_bilinear_q(
+    src: np.ndarray,
+    sx: np.ndarray,
+    sy: np.ndarray,
+    scale: int = 64,
+    nodata: int = NODATA,
+) -> np.ndarray:
+    """Bilinear kernel between the 4 surrounding pixel CENTERS
+    (GWKBilinear semantics, alg/gdalwarpkernel.cpp:177), returned as
+    round(scale * value) so dyadic-rational weights stay integer-exact
+    across engines. Dst pixels whose 2x2 support is not fully inside
+    the src → nodata."""
+    fx = np.asarray(sx, dtype=np.float64) - 0.5
+    fy = np.asarray(sy, dtype=np.float64) - 0.5
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    wx = fx - x0
+    wy = fy - y0
+    h, w = src.shape
+    ok = (x0 >= 0) & (x0 + 1 < w) & (y0 >= 0) & (y0 + 1 < h)
+    out = np.full(fx.shape, nodata, dtype=np.int64)
+    xo, yo = x0[ok], y0[ok]
+    v00 = src[yo, xo].astype(np.float64)
+    v10 = src[yo, xo + 1].astype(np.float64)
+    v01 = src[yo + 1, xo].astype(np.float64)
+    v11 = src[yo + 1, xo + 1].astype(np.float64)
+    wxo, wyo = wx[ok], wy[ok]
+    val = (
+        v00 * (1.0 - wxo) * (1.0 - wyo)
+        + v10 * wxo * (1.0 - wyo)
+        + v01 * (1.0 - wxo) * wyo
+        + v11 * wxo * wyo
+    )
+    out[ok] = np.round(val * scale).astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# overview decimation
+# ---------------------------------------------------------------------------
+
+
+def block_reduce_2x2(arr: np.ndarray, method: str = "average") -> np.ndarray:
+    """One overview level (factor 2). ``average`` on integers rounds
+    half-up exactly like GDAL's (total + n/2) / n (gcore/overview.cpp
+    average path); ``nearest`` picks the top-left source pixel of each
+    block (overview.cpp:158 nSrcXOff = 2*iDstPixel)."""
+    h, w = arr.shape
+    if h % 2 or w % 2:
+        raise ValueError("block_reduce_2x2 needs even dims")
+    if method == "nearest":
+        return arr[::2, ::2].copy()
+    if method == "average":
+        a = arr.astype(np.int64)
+        s = a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]
+        return ((s + 2) // 4).astype(arr.dtype)
+    raise ValueError(f"unknown method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# polygonize: per-tile connected-component labeling
+# ---------------------------------------------------------------------------
+
+
+def label_components(arr: np.ndarray) -> tuple[np.ndarray, int]:
+    """4-connected labeling of equal-valued pixels (the per-tile half
+    of alg/polygonize.cpp's scanline merge). Returns (labels, count);
+    labels are 0-based row-major-first-pixel order."""
+    h, w = arr.shape
+    labels = -np.ones((h, w), dtype=np.int64)
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    for y in range(h):
+        row = arr[y]
+        left_same = np.zeros(w, dtype=bool)
+        left_same[1:] = row[1:] == row[:-1]
+        up_same = (arr[y - 1] == row) if y > 0 else np.zeros(w, dtype=bool)
+        for x in range(w):
+            lab = -1
+            if left_same[x]:
+                lab = labels[y, x - 1]
+            if up_same[x]:
+                if lab == -1:
+                    lab = labels[y - 1, x]
+                else:
+                    union(int(lab), int(labels[y - 1, x]))
+            if lab == -1:
+                lab = len(parent)
+                parent.append(lab)
+            labels[y, x] = lab
+
+    # flatten to canonical 0..k-1 in first-occurrence order
+    roots = np.array([find(int(v)) for v in range(len(parent))], dtype=np.int64)
+    flat = labels.ravel()
+    flat_roots = roots[flat]
+    uniq, canon = np.unique(flat_roots, return_inverse=True)
+    labels = canon.reshape(h, w)
+    return labels, len(uniq)
+
+
+# ---------------------------------------------------------------------------
+# checksum
+# ---------------------------------------------------------------------------
+
+CHECKSUM_MOD = 1 << 31
+
+
+def tile_checksum(arr: np.ndarray) -> int:
+    """Deterministic tile digest in the spirit of GDALChecksumImage
+    (alg/gdalchecksum.cpp:48): sum over row-major pixels of
+    val * (idx % 11 + 1), mod 2^31. SQL-expressible."""
+    a = arr.astype(np.int64).ravel()
+    idx = np.arange(a.size, dtype=np.int64)
+    return int(np.sum(a * (idx % 11 + 1)) % CHECKSUM_MOD)

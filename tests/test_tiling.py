@@ -1,0 +1,197 @@
+"""End-to-end tests for distributed tiling operators vs driver-side
+numpy ground truth (the GDAL-oracle pattern of SURVEY.md §5: same
+answer computed two ways)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_spark import mercator, raster
+from gdal_spark.operators import tiling
+
+
+def _assemble(tiles_pdf: pd.DataFrame, ts: int) -> dict:
+    """tile rows → {(tx, ty): 2-D array}."""
+    return {
+        (int(r["tx"]), int(r["ty"])): np.frombuffer(
+            r["data"], dtype=np.uint8
+        ).reshape(int(r["h"]), int(r["w"]))
+        for _, r in tiles_pdf.iterrows()
+    }
+
+
+@pytest.fixture(scope="module")
+def points_pdf():
+    rng = np.random.default_rng(7)
+    n = 4000
+    return pd.DataFrame(
+        {
+            "lon": rng.uniform(-179, 179, n),
+            "lat": rng.uniform(-80, 80, n),
+        }
+    )
+
+
+def test_burn_points_tiles_matches_numpy(spark, points_pdf):
+    zoom, ts = 2, 32
+    df = spark.createDataFrame(points_pdf)
+    tiles = tiling.burn_points_tiles(df, zoom, ts).toPandas()
+    got = _assemble(tiles, ts)
+
+    # ground truth on the driver with the same pixel math
+    n_px = (1 << zoom) * ts
+    mx, my = mercator.lat_lon_to_meters(
+        points_pdf["lon"].to_numpy(), points_pdf["lat"].to_numpy()
+    )
+    px, py = mercator.meters_to_pixels(mx, my, zoom, ts)
+    gx = np.clip(np.floor(px).astype(np.int64), 0, n_px - 1)
+    gy = n_px - 1 - np.clip(np.floor(py).astype(np.int64), 0, n_px - 1)
+    full = raster.burn_points(gx, gy, n_px, n_px, clamp=255)
+
+    for (tx, ty), arr in got.items():
+        np.testing.assert_array_equal(
+            arr, full[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+        )
+    # every nonzero region of the full raster is covered by some tile
+    lit = {(int(x) // ts, int(y) // ts) for x, y in zip(gx, gy)}
+    assert lit == set(got.keys())
+
+
+def test_pyramid_matches_numpy(spark, points_pdf):
+    zoom, ts = 2, 32
+    df = spark.createDataFrame(points_pdf)
+    base = tiling.burn_points_tiles(df, zoom, ts)
+    pyr = tiling.pyramid(base, base_zoom=zoom, min_zoom=0).toPandas()
+
+    n_px = (1 << zoom) * ts
+    mx, my = mercator.lat_lon_to_meters(
+        points_pdf["lon"].to_numpy(), points_pdf["lat"].to_numpy()
+    )
+    px, py = mercator.meters_to_pixels(mx, my, zoom, ts)
+    gx = np.clip(np.floor(px).astype(np.int64), 0, n_px - 1)
+    gy = n_px - 1 - np.clip(np.floor(py).astype(np.int64), 0, n_px - 1)
+    levels = {zoom: raster.burn_points(gx, gy, n_px, n_px, clamp=255)}
+    for z in range(zoom - 1, -1, -1):
+        levels[z] = raster.block_reduce_2x2(levels[z + 1], "average")
+
+    for _, row in pyr.iterrows():
+        z, tx, ty = int(row["z"]), int(row["tx"]), int(row["ty"])
+        arr = np.frombuffer(row["data"], dtype=np.uint8).reshape(ts, ts)
+        np.testing.assert_array_equal(
+            arr, levels[z][ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts],
+            err_msg=f"tile z={z} {tx},{ty}",
+        )
+
+
+def test_tile_checksums_roundtrip(spark):
+    tiles = tiling.formula_tiles(spark, 2, 2, 16)
+    got = {
+        (r["tx"], r["ty"]): r["cks"]
+        for r in tiling.tile_checksums(tiles).collect()
+    }
+    for (tx, ty), cks in got.items():
+        arr = raster.formula_block(tx * 16, ty * 16, 16, 16)
+        assert cks == raster.tile_checksum(arr)
+
+
+def test_pixels_df_global_coords(spark):
+    tiles = tiling.formula_tiles(spark, 2, 1, 8)
+    pix = tiling.pixels_df(tiles, nonzero_only=False).toPandas()
+    assert len(pix) == 2 * 8 * 8
+    full = raster.formula_block(0, 0, 16, 8)
+    for _, r in pix.sample(40, random_state=0).iterrows():
+        assert full[int(r["gy"]), int(r["gx"])] == r["val"]
+
+
+SRC_GT = (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+DST_GT = (440000.0, 75.0, 0.0, 3752000.0, 0.0, -75.0)
+
+
+@pytest.mark.parametrize("method", ["nearest", "bilinear"])
+def test_warp_affine_matches_numpy(spark, method):
+    src_w = src_h = 128
+    ts = 64
+    tiles = tiling.formula_tiles(spark, src_w // ts, src_h // ts, ts)
+    out = tiling.warp_affine(
+        tiles, SRC_GT, src_w, src_h, DST_GT, 80, 60,
+        method=method, dst_block=32, src_tile_size=ts,
+    ).toPandas()
+    assert len(out) == 80 * 60
+
+    src = raster.formula_block(0, 0, src_w, src_h)
+    sx, sy = raster.dst_to_src_coords(DST_GT, SRC_GT, 80, 60)
+    if method == "nearest":
+        expect = raster.warp_nearest(src, sx, sy)
+    else:
+        expect = raster.warp_bilinear_q(src, sx, sy, scale=64)
+    got = np.full((60, 80), -999, dtype=np.int64)
+    got[out["dj"].to_numpy(), out["di"].to_numpy()] = out["val"].to_numpy()
+    np.testing.assert_array_equal(got, expect)
+    # sanity: the dst grid must actually hit the src (not all nodata)
+    assert (expect != raster.NODATA).any()
+
+
+def _flood_fill_regions(arr: np.ndarray):
+    """Driver-side oracle: 4-connected regions via BFS."""
+    h, w = arr.shape
+    seen = np.zeros((h, w), dtype=bool)
+    regions = []
+    for y in range(h):
+        for x in range(w):
+            if seen[y, x]:
+                continue
+            val = arr[y, x]
+            stack = [(y, x)]
+            seen[y, x] = True
+            px_cnt = 0
+            minx = maxx = x
+            miny = maxy = y
+            while stack:
+                cy, cx = stack.pop()
+                px_cnt += 1
+                minx, maxx = min(minx, cx), max(maxx, cx)
+                miny, maxy = min(miny, cy), max(maxy, cy)
+                for ny, nx in (
+                    (cy - 1, cx), (cy + 1, cx), (cy, cx - 1), (cy, cx + 1)
+                ):
+                    if 0 <= ny < h and 0 <= nx < w and not seen[ny, nx] \
+                            and arr[ny, nx] == val:
+                        seen[ny, nx] = True
+                        stack.append((ny, nx))
+            regions.append((int(val), px_cnt, minx, miny, maxx, maxy))
+    return sorted(regions)
+
+
+def test_polygonize_matches_flood_fill(spark):
+    # threshold the formula raster into a striped binary image spanning
+    # multiple tiles — regions cross tile borders in both directions
+    nx = ny = 2
+    ts = 32
+
+    def threshold(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = np.frombuffer(r["data"], dtype=np.uint8).reshape(
+                    int(r["h"]), int(r["w"])
+                )
+                rows.append(
+                    (0, int(r["tx"]), int(r["ty"]), int(r["w"]), int(r["h"]),
+                     (arr < 64).astype(np.uint8).tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=["z", "tx", "ty", "w", "h", "data"]
+            )
+
+    tiles = tiling.formula_tiles(spark, nx, ny, ts).mapInPandas(
+        threshold, tiling.TILE_SCHEMA
+    )
+    got = sorted(
+        (int(r["value"]), int(r["n_pixels"]), int(r["min_gx"]),
+         int(r["min_gy"]), int(r["max_gx"]), int(r["max_gy"]))
+        for r in tiling.polygonize(tiles).collect()
+    )
+    full = (raster.formula_block(0, 0, nx * ts, ny * ts) < 64).astype(np.uint8)
+    expect = _flood_fill_regions(full)
+    assert got == expect
+    assert len(expect) > 4  # the fixture really produces multiple regions
