@@ -34,29 +34,48 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def extract_features_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized extraction over one pandas batch (url, text)."""
-    hits = pdf["text"].str.extractall(MENTION_RE)
-    if hits.empty:
-        return pd.DataFrame(
-            {
-                "url": pd.Series([], dtype=str),
-                "feat_id": pd.Series([], dtype=np.int32),
-                "kind": pd.Series([], dtype=str),
-                "lon": pd.Series([], dtype=np.float64),
-                "lat": pd.Series([], dtype=np.float64),
-            }
-        )
-    hits = hits.reset_index()
-    row_idx = hits["level_0"].to_numpy()
+    """Extraction over one pandas batch (url, text).
+
+    One regex pass over the NUL-joined batch text (a single C-level
+    scan) instead of pandas ``str.extractall`` (which builds a
+    MultiIndex frame per row and costs ~10x more CPU at this shape);
+    match→row attribution is a searchsorted over row offsets."""
+    texts = pdf["text"].tolist()
+    if not texts:
+        return _EMPTY.copy()
+    joined = "\x00".join(texts)
+    matches = list(MENTION_RE.finditer(joined))
+    if not matches:
+        return _EMPTY.copy()
+    starts = np.fromiter((m.start() for m in matches), dtype=np.int64)
+    # offsets[i] = start index of row i+1 in `joined`
+    lens = np.fromiter((len(t) + 1 for t in texts), dtype=np.int64)
+    offsets = np.cumsum(lens)
+    row_idx = np.searchsorted(offsets, starts, side="right")
+    idx = np.arange(len(starts), dtype=np.int64)
+    feat_id = idx - np.searchsorted(row_idx, row_idx, side="left")
+    lon = np.array([m.group(1) for m in matches], dtype=np.float64)
+    lat = np.array([m.group(2) for m in matches], dtype=np.float64)
     return pd.DataFrame(
         {
             "url": pdf["url"].to_numpy()[row_idx],
-            "feat_id": hits["match"].to_numpy().astype(np.int32),
+            "feat_id": feat_id.astype(np.int32),
             "kind": "point",
-            "lon": hits[0].to_numpy().astype(np.float64),
-            "lat": hits[1].to_numpy().astype(np.float64),
+            "lon": lon,
+            "lat": lat,
         }
     )
+
+
+_EMPTY = pd.DataFrame(
+    {
+        "url": pd.Series([], dtype=str),
+        "feat_id": pd.Series([], dtype=np.int32),
+        "kind": pd.Series([], dtype=str),
+        "lon": pd.Series([], dtype=np.float64),
+        "lat": pd.Series([], dtype=np.float64),
+    }
+)
 
 
 def extract_features(pages: DataFrame) -> DataFrame:

@@ -119,15 +119,21 @@ def spatial_join(
 
     cand = pts.join(F.broadcast(cover_df), "cell_id", "inner")
 
-    full_hits = cand.filter(F.col("full")).drop("cell_id", "res", "full")
+    # single pass: full-cover pairs accept outright; boundary-cell
+    # pairs go through the exact PIP UDF. One plan, no union — the
+    # upstream (scan/extract) executes exactly once. (An earlier
+    # two-branch union recomputed the whole upstream per branch.)
     pip = _pip_udf(rings_bc, boundary_is_inside)
-    exact_hits = (
-        cand.filter(~F.col("full"))
-        .withColumn("__in", pip(F.col(lon_col), F.col(lat_col), F.col("poly_id")))
+    return (
+        cand.withColumn(
+            "__in",
+            F.when(F.col("full"), F.lit(True)).otherwise(
+                pip(F.col(lon_col), F.col(lat_col), F.col("poly_id"))
+            ),
+        )
         .filter(F.col("__in"))
         .drop("cell_id", "res", "full", "__in")
     )
-    return full_hits.unionByName(exact_hits)
 
 
 def spatial_join_count(

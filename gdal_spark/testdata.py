@@ -43,11 +43,17 @@ def _unit(i: np.ndarray, salt: int) -> np.ndarray:
     return (_mix64(i, salt) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
-def page_fields(i: np.ndarray) -> pd.DataFrame:
+def page_fields(i: np.ndarray, columns: list[str] | None = None) -> pd.DataFrame:
     """Row i → (url, warc_ts, html, text, lang). Pure function of i.
 
     text embeds 1-3 geocodable "near (lon,lat)" mentions; 2% of rows
-    draw from a dense 0.1°x0.1° "city" box (the skew knob)."""
+    draw from a dense 0.1°x0.1° "city" box (the skew knob).
+
+    ``columns`` restricts generation to a subset — the synthetic
+    stand-in for Parquet/Iceberg column pruning (a real pages scan
+    never materializes ``html`` when the query only needs url+text;
+    generating it anyway would charge the benchmark for bytes Catalyst
+    provably never reads)."""
     i = np.asarray(i, dtype=np.int64)
     urls = np.char.add(
         np.char.add("https://site", (i % 997).astype(str)),
@@ -57,58 +63,81 @@ def page_fields(i: np.ndarray) -> pd.DataFrame:
     n_mentions = 1 + (_mix64(i, 1) % np.uint64(3)).astype(np.int64)  # 1..3
     is_city = _unit(i, 2) < 0.02
 
-    texts = []
-    for k, (idx, nm, city) in enumerate(zip(i, n_mentions, is_city)):
-        parts = [f"Page {idx} report."]
-        for m in range(int(nm)):
-            u_lon = float(_unit(np.array([idx]), 100 + 7 * m)[0])
-            u_lat = float(_unit(np.array([idx]), 200 + 7 * m)[0])
-            if city and m == 0:
-                lon = 13.30 + u_lon * 0.1
-                lat = 52.45 + u_lat * 0.1
-            else:
-                lon = -180.0 + u_lon * 360.0
-                lat = -90.0 + u_lat * 180.0
-            parts.append(f"Observed near ({lon:.6f},{lat:.6f}) on site.")
-        if idx % 20 == 0:
-            parts.append(f"Mentions region{int(idx) % 37}.")
-        texts.append(" ".join(parts))
-
-    ts = EPOCH + i.astype("timedelta64[s]")
-    html = [f"<html><body>{t}</body></html>".encode() for t in texts]
-    return pd.DataFrame(
-        {
-            "url": urls,
-            "warc_ts": ts,
-            "html": html,
-            "text": texts,
-            "lang": langs,
-        }
+    # fully vectorized text assembly (same bytes as the per-row loop:
+    # "%.6f" formatting is identical to f"{x:.6f}")
+    texts = np.char.add(
+        np.char.add("Page ", i.astype(str)), " report."
+    ).astype(object)
+    for m in range(3):
+        u_lon = _unit(i, 100 + 7 * m)
+        u_lat = _unit(i, 200 + 7 * m)
+        city_m = is_city & (m == 0)
+        lon = np.where(city_m, 13.30 + u_lon * 0.1, -180.0 + u_lon * 360.0)
+        lat = np.where(city_m, 52.45 + u_lat * 0.1, -90.0 + u_lat * 180.0)
+        mention = np.char.add(
+            np.char.add(
+                np.char.add(
+                    " Observed near (", np.char.mod("%.6f", lon)
+                ),
+                np.char.add(",", np.char.mod("%.6f", lat)),
+            ),
+            ") on site.",
+        )
+        texts = np.where(m < n_mentions, texts + mention.astype(object), texts)
+    suffix = np.char.add(
+        np.char.add(" Mentions region", (i % 37).astype(str)), "."
     )
+    texts = np.where(i % 20 == 0, texts + suffix.astype(object), texts)
+    texts = texts.astype(str).tolist()
+
+    out: dict = {"url": urls}
+    want = columns or ["url", "warc_ts", "html", "text", "lang"]
+    if "warc_ts" in want:
+        out["warc_ts"] = EPOCH + i.astype("timedelta64[s]")
+    if "html" in want:
+        html_str = np.char.add(
+            np.char.add(
+                "<html><body>", np.asarray(texts, dtype=object).astype(str)
+            ),
+            "</body></html>",
+        )
+        out["html"] = [s.encode() for s in html_str.tolist()]
+    if "text" in want:
+        out["text"] = texts
+    if "lang" in want:
+        out["lang"] = langs
+    return pd.DataFrame(out)[[c for c in
+                              ["url", "warc_ts", "html", "text", "lang"]
+                              if c in want or c == "url"]]
 
 
 def pages_pdf(n: int) -> pd.DataFrame:
     return page_fields(np.arange(n, dtype=np.int64))
 
 
-def pages_df(spark, n: int, partitions: int | None = None):
+def pages_df(spark, n: int, partitions: int | None = None,
+             columns: list[str] | None = None):
     """Distributed generator: spark.range → mapInPandas(page_fields).
-    Byte-identical to pages_pdf(n) for every row id."""
+    Byte-identical to pages_pdf(n) for every row id. ``columns``
+    emulates scan-side column pruning (see page_fields)."""
     from pyspark.sql import types as T
 
-    schema = T.StructType(
-        [
-            T.StructField("url", T.StringType()),
-            T.StructField("warc_ts", T.TimestampType()),
-            T.StructField("html", T.BinaryType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-        ]
-    )
+    all_fields = {
+        "url": T.StructField("url", T.StringType()),
+        "warc_ts": T.StructField("warc_ts", T.TimestampType()),
+        "html": T.StructField("html", T.BinaryType()),
+        "text": T.StructField("text", T.StringType()),
+        "lang": T.StructField("lang", T.StringType()),
+    }
+    want = ["url"] + [
+        c for c in ["warc_ts", "html", "text", "lang"]
+        if columns is None or c in columns
+    ]
+    schema = T.StructType([all_fields[c] for c in want])
 
     def gen(batches):
         for b in batches:
-            yield page_fields(b["id"].to_numpy())
+            yield page_fields(b["id"].to_numpy(), columns=want)
 
     rng = spark.range(0, n, 1, partitions or max(8, n // 50_000))
     return rng.mapInPandas(gen, schema=schema)
