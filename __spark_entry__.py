@@ -291,6 +291,58 @@ SHARED_SQL: dict[str, str] = {
             SELECT doc_id, lon,
                    LEAST(GREATEST(lat, -85.05112878e0), 85.05112878e0) AS latc
             FROM ({DOC_PTS_SQL}) pts) c) t""",
+    # --- sessionization (gap > 30 min; batch analog of session windows) ---
+    "q_sessionize": """
+        WITH e AS (SELECT user_id, event_id, ts FROM events
+                   WHERE user_id % 53 = 0),
+        l AS (SELECT user_id, event_id, ts,
+                     LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM e),
+        f AS (SELECT user_id, event_id, ts,
+                     CASE WHEN prev IS NULL
+                            OR ts > prev + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM l),
+        s AS (SELECT user_id, event_id,
+                     CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_id
+              FROM f)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(event_id) AS first_event
+        FROM s GROUP BY user_id, session_id""",
+    # --- exact grouped median via window (no approx percentile) ---
+    "q_median_window": """
+        SELECT l_suppkey, q AS median_qty FROM (
+          SELECT l_suppkey, CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                 ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                    ORDER BY l_quantity, l_orderkey,
+                                             l_linenumber) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_suppkey) AS cnt
+          FROM lineitem) t
+        WHERE rn = CAST(FLOOR((cnt + 1) / 2e0) AS BIGINT)""",
+    # --- grid data metrics per cell (alg/gdalgrid.cpp:1033+:
+    #     minimum/maximum/count of scattered points per output cell) ---
+    "sp_grid_metrics": f"""
+        WITH pts AS ({DOC_PTS_SQL}),
+        g AS (SELECT doc_id, lon, lat,
+                LEAST(GREATEST(CAST(FLOOR((lon + 180e0) / 360e0 * 32)
+                                    AS BIGINT), 0), 31) AS ix,
+                LEAST(GREATEST(CAST(FLOOR((lat + 90e0) / 180e0 * 32)
+                                    AS BIGINT), 0), 31) AS iy
+              FROM pts),
+        c AS (SELECT ix, iy,
+                     lon - ((ix + 0.5e0) / 32e0 * 360e0 - 180e0) AS dx,
+                     lat - ((iy + 0.5e0) / 32e0 * 180e0 - 90e0) AS dy
+              FROM g)
+        SELECT ix, iy, COUNT(*) AS n,
+               MIN(CAST(ROUND(SQRT(dx * dx + dy * dy) * 1e6) AS BIGINT))
+                 AS min_d6,
+               MAX(CAST(ROUND(SQRT(dx * dx + dy * dy) * 1e6) AS BIGINT))
+                 AS max_d6
+        FROM c GROUP BY ix, iy""",
     # --- text analysis (shared arithmetic) ---
     "tx_quality": """
         SELECT doc_id,
@@ -428,6 +480,19 @@ def _q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return cosine_topk(emb, queries, k=3)
+
+
+def _q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.similarity import ann_ivf_topk, build_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = build_centroids(
+        emb.filter(F.col("vec_id") < 64).toPandas(), n_cells=8
+    )
+    return ann_ivf_topk(emb, queries, cents, k=3, n_probe=3)
 
 
 def _q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,7 +691,121 @@ def _fill_oracle_sql() -> str:
         SELECT poly_id, COUNT(*) AS n_filled FROM inside GROUP BY poly_id"""
 
 
+def _q_tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs).select("doc_id", "lang_guess")
+
+
+def _q_hstore_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HSTORE_GET_VALUE compat (OGRHStoreGetValue,
+    ogr/swq_op_general.cpp:215-303) over constructed hstore strings."""
+    from gdal_spark.operators.compat import hstore_get_value
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 40 == 0)
+    hs = F.concat(
+        F.lit("seg=>"), F.col("c_mktsegment"),
+        F.lit(",key=>"), F.col("c_custkey").cast("string"),
+    )
+    return cust.select(
+        "c_custkey",
+        hstore_get_value(hs, "seg").alias("seg"),
+        hstore_get_value(hs, "missing").alias("absent"),
+    )
+
+
+def _q_geo_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon area + centroid from WKB via the numpy geometry kernels
+    (ST_Area / ST_Centroid analogs, ogr/ogrgeometry.cpp:6106)."""
+    from gdal_spark import geometry, wkb
+
+    pdf = _polygons_pdf()
+
+    def run(batches):
+        import math
+
+        def r6(v: float) -> int:  # SQL ROUND: half away from zero
+            s = v * 1e6
+            return int(math.floor(s + 0.5)) if s >= 0 else int(math.ceil(s - 0.5))
+
+        for b in batches:
+            rows = []
+            for pid, buf in zip(b["poly_id"], b["geom_wkb"]):
+                parts = wkb.polygon_rings(bytes(buf))
+                ring = parts[0][0]
+                area = geometry.ring_area(ring)
+                cx, cy = geometry.ring_centroid(ring)
+                rows.append((int(pid), r6(abs(area)), r6(cx), r6(cy)))
+            yield pd.DataFrame(
+                rows, columns=["poly_id", "area_q6", "cx_q6", "cy_q6"]
+            )
+
+    return spark.createDataFrame(pdf[["poly_id", "geom_wkb"]]).mapInPandas(
+        run, "poly_id long, area_q6 long, cx_q6 long, cy_q6 long"
+    )
+
+
+_HAV_LON, _HAV_LAT = 13.4, 52.5
+_HAV_SQL_TPL = """
+    WITH pts AS ({pts}),
+    d AS (SELECT doc_id,
+                 CAST(ROUND(2e0 * 6371000e0 * ASIN(SQRT(
+                   SIN(RADIANS(lat - {lat!r}) / 2e0)
+                     * SIN(RADIANS(lat - {lat!r}) / 2e0)
+                   + COS(RADIANS({lat!r})) * COS(RADIANS(lat))
+                     * SIN(RADIANS(lon - {lon!r}) / 2e0)
+                     * SIN(RADIANS(lon - {lon!r}) / 2e0)
+                 ))) AS BIGINT) AS d_m
+          FROM pts)
+    SELECT rnk, doc_id, d_m FROM (
+      SELECT doc_id, d_m,
+             ROW_NUMBER() OVER (ORDER BY d_m, doc_id) AS rnk
+      FROM d) t
+    WHERE rnk <= 5"""
+
+
+def _q_geo_haversine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nearest docs by haversine distance — JVM trig only
+    (geodesic ST_Distance analog; ranking robust to last-ulp libm
+    differences via metre rounding + doc_id tie-break)."""
+    _reg(spark, sf_dir)
+    return spark.sql(
+        _HAV_SQL_TPL.format(pts=DOC_PTS_SQL, lat=_HAV_LAT, lon=_HAV_LON)
+    )
+
+
+def _lang_id_oracle_sql() -> str:
+    from gdal_spark.operators.text import LANG_MARKERS
+
+    score_cols = []
+    for lang, words in LANG_MARKERS.items():
+        terms = " + ".join(
+            f"CAST((LENGTH(text) - LENGTH(REPLACE(text, ' {w} ', '')))"
+            f" / {len(w) + 2} AS BIGINT)"
+            for w in words
+        )
+        score_cols.append(f"({terms}) AS s_{lang}")
+    langs = sorted(LANG_MARKERS)  # tie-break: first in sorted order wins
+    case = "CASE"
+    for i, lang in enumerate(langs):
+        others = [f"s_{lang} >= s_{o}" for o in langs[i + 1:]]
+        cond = " AND ".join([*others, f"s_{lang} > 0"]) or f"s_{lang} > 0"
+        prior = [f"s_{o} < s_{lang}" for o in langs[:i]]
+        if prior:
+            cond = " AND ".join([*prior, cond])
+        case += f" WHEN {cond} THEN '{lang}'"
+    case += " ELSE 'unk' END"
+    return f"""
+        WITH s AS (SELECT doc_id, {', '.join(score_cols)} FROM documents)
+        SELECT doc_id, {case} AS lang_guess FROM s"""
+
+
 ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tx_lang_id": _q_tx_lang_id,
+    "q_hstore_get": _q_hstore_get,
+    "geo_area_centroid": _q_geo_area_centroid,
+    "geo_haversine_knn": _q_geo_haversine_knn,
     "rs_pyramid_checksum": _q_rs_pyramid,
     "rs_warp_nearest": _warp_query("nearest"),
     "rs_warp_bilinear": _warp_query("bilinear"),
@@ -644,9 +823,30 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_fingerprint": _q_tx_fingerprint,
     "sim_cosine_topk": _q_sim_cosine,
     "sim_ann_lsh": _q_sim_ann,
+    "sim_ann_ivf": _q_sim_ivf,
 }
 
 ENGINE_ORACLES: dict[str, str] = {
+    "tx_lang_id": _lang_id_oracle_sql(),
+    "q_hstore_get": """
+        SELECT c_custkey, c_mktsegment AS seg, CAST(NULL AS VARCHAR) AS absent
+        FROM customer WHERE c_custkey % 40 = 0""",
+    "geo_area_centroid": f"""
+        WITH edges(poly_id, x1, y1, x2, y2) AS (VALUES {_edges_values_sql()}),
+        m AS (
+          SELECT poly_id,
+                 SUM(x2 * y1 - x1 * y2) / 2e0 AS a,
+                 SUM((x2 + x1) * (x2 * y1 - x1 * y2)) AS sx,
+                 SUM((y2 + y1) * (x2 * y1 - x1 * y2)) AS sy
+          FROM edges GROUP BY poly_id)
+        SELECT poly_id,
+               CAST(ROUND(ABS(a) * 1e6) AS BIGINT) AS area_q6,
+               CAST(ROUND(sx / (6e0 * a) * 1e6) AS BIGINT) AS cx_q6,
+               CAST(ROUND(sy / (6e0 * a) * 1e6) AS BIGINT) AS cy_q6
+        FROM m""",
+    "geo_haversine_knn": _HAV_SQL_TPL.format(
+        pts=DOC_PTS_SQL, lat=_HAV_LAT, lon=_HAV_LON
+    ),
     "rs_pyramid_checksum": _pyramid_oracle_sql(),
     "rs_warp_nearest": _warp_oracle_sql("nearest"),
     "rs_warp_bilinear": _warp_oracle_sql("bilinear"),
@@ -742,7 +942,7 @@ ENGINE_ORACLES: dict[str, str] = {
 # queries with no SQL-expressible oracle → driver rows-only check
 # (rs_polygonize: connected-component labeling needs iteration; its
 # exact oracle is the flood-fill pytest in tests/test_tiling.py)
-NO_ORACLE = {"dd_simhash", "sim_ann_lsh", "rs_polygonize"}
+NO_ORACLE = {"dd_simhash", "sim_ann_lsh", "sim_ann_ivf", "rs_polygonize"}
 
 
 # ---------------------------------------------------------------------------
