@@ -31,6 +31,12 @@ HEADLINE = [
     "sp_cell_encode",
     "sp_cell_rollup",
     "sp_tile_assign",
+    "sp_grid_metrics",
+    # raster / tiling
+    "rs_pyramid_checksum",
+    "rs_warp_nearest",
+    "rs_warp_bilinear",
+    "rs_polygonize",
     # relational spine
     "q1_pricing_summary",
     "q3_shipping_topk",

@@ -1,0 +1,78 @@
+"""Streaming ingest equals its batch twin (availableNow triggers over
+a file-arrival directory, results into a memory sink)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark import streaming, testdata
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages_stream"))
+    # two "arrival batches" of pages, overlapping urls across batches
+    testdata.pages_df(spark, 2000, partitions=2).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "b0"))
+    # second batch repeats rows 1000-1999 (same urls, later files)
+    pdf = testdata.pages_pdf(3000).iloc[1000:3000]
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "b1")
+    )
+    return d
+
+
+def _schema(spark):
+    return testdata.pages_df(spark, 1).schema
+
+
+def _run_stream(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if "dedup" in name else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_match_batch(spark, pages_dir):
+    schema = _schema(spark)
+    stream = streaming.read_pages_stream(
+        spark, pages_dir + "/*", schema
+    )
+    counts = streaming.windowed_event_counts(
+        stream, window="10 minutes", watermark="30 minutes"
+    )
+    _run_stream(counts, "win_counts")
+    got = {
+        (str(r["win_start"]), r["lang"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+
+    batch = spark.read.schema(schema).parquet(pages_dir + "/*")
+    want = {
+        (str(r["w"]["start"]), r["lang"]): r["n"]
+        for r in batch.groupBy(
+            F.window("warc_ts", "10 minutes").alias("w"), "lang"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_dedup_keeps_one_per_url(spark, pages_dir):
+    schema = _schema(spark)
+    stream = streaming.read_pages_stream(spark, pages_dir + "/*", schema)
+    dedup = streaming.stream_dedup_by_url(stream).select("url")
+    _run_stream(dedup, "dedup_urls")
+    got = spark.sql("SELECT url FROM dedup_urls").collect()
+    urls = [r["url"] for r in got]
+    assert len(urls) == len(set(urls))  # unique
+    batch = spark.read.schema(schema).parquet(pages_dir + "/*")
+    assert len(urls) == batch.select("url").distinct().count()
