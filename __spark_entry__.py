@@ -691,6 +691,42 @@ def _fill_oracle_sql() -> str:
         SELECT poly_id, COUNT(*) AS n_filled FROM inside GROUP BY poly_id"""
 
 
+_N_FULL_POLYS = 40
+
+
+def _testdata_edges_values() -> str:
+    """All ring edges (incl. holes — even-odd handles them) of the
+    seeded fixture polygon set, as SQL VALUES rows."""
+    from gdal_spark import testdata, wkb
+
+    pdf = testdata.polygons_pdf(_N_FULL_POLYS)
+    vals = []
+    for pid, buf in zip(pdf["poly_id"], pdf["geom_wkb"]):
+        for part in wkb.polygon_rings(bytes(buf)):
+            for ring in part:
+                for k in range(len(ring) - 1):
+                    x1, y1 = ring[k + 1]
+                    x2, y2 = ring[k]
+                    vals.append(
+                        f"({int(pid)}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+                    )
+    return ", ".join(vals)
+
+
+def _q_pip_full_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join against the full fixture polygon set — holed,
+    sliver, shared-edge and giant polygons, mixed-res covers — the
+    engine path the 3-literal-polygon queries don't stress."""
+    from gdal_spark import testdata
+    from gdal_spark.operators.spatial_join import spatial_join
+
+    pts = _doc_points(spark, sf_dir)
+    joined = spatial_join(
+        pts, testdata.polygons_pdf(_N_FULL_POLYS), res_min=2, res_max=9
+    )
+    return joined.select("doc_id", "poly_id")
+
+
 def _q_tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.operators.text import lang_id
 
@@ -802,6 +838,7 @@ def _lang_id_oracle_sql() -> str:
 
 
 ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sp_pip_full_fixture": _q_pip_full_fixture,
     "tx_lang_id": _q_tx_lang_id,
     "q_hstore_get": _q_hstore_get,
     "geo_area_centroid": _q_geo_area_centroid,
@@ -827,6 +864,9 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ENGINE_ORACLES: dict[str, str] = {
+    "sp_pip_full_fixture": PIP_ORACLE_SQL.format(
+        values=_testdata_edges_values()
+    ),
     "tx_lang_id": _lang_id_oracle_sql(),
     "q_hstore_get": """
         SELECT c_custkey, c_mktsegment AS seg, CAST(NULL AS VARCHAR) AS absent

@@ -16,6 +16,7 @@ provides the behaviors that differ from ANSI/Spark SQL:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -71,6 +72,26 @@ def summary_select(df: DataFrame, specs: list[tuple[str, str, str]]) -> DataFram
             }[op]
             aggs.append(fn(col).alias(alias))
     return df.agg(*aggs)
+
+
+def geom_area(geom_wkb: Column) -> Column:
+    """OGR_GEOM_AREA special field (ogr/ogrfeaturequery.cpp:37,
+    ogr/ogr_p.h:168-172): planar area of the WKB geometry — outer ring
+    minus holes, summed over multipolygon parts. Vectorized pandas UDF
+    over the WKB bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def area(buf: pd.Series) -> pd.Series:
+        from .. import geometry, wkb as wkb_mod
+
+        out = []
+        for b in buf:
+            parts = wkb_mod.polygon_rings(bytes(b))
+            out.append(sum(geometry.polygon_area(p) for p in parts))
+        return pd.Series(out)
+
+    return area(geom_wkb)
 
 
 def hstore_get_value(col: Column, key: str) -> Column:
