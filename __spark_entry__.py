@@ -543,6 +543,79 @@ def _warp_query(method: str):
     return run
 
 
+_CONTOUR_N, _CONTOUR_TS, _CONTOUR_THR = 4, 64, 100
+# 0.5 deg/pixel: every inverse-geotransform coefficient is an exactly
+# representable double (2.0, 360.0, ...) — DuckDB's decimal-literal
+# parser is 1 ulp off for some 17-digit doubles, so oracle parity
+# requires literals that parse exactly in both engines.
+_PROBE_NX, _PROBE_NY, _PROBE_TS = 12, 6, 60
+_PROBE_GW, _PROBE_GH = _PROBE_NX * _PROBE_TS, _PROBE_NY * _PROBE_TS
+_PROBE_GT = (-180.0, 0.5, 0.0, 90.0, 0.0, -0.5)
+
+
+def _q_rs_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares case census over the formula raster (halo
+    exchange + per-tile numpy; alg/contour.cpp semantics)."""
+    from gdal_spark.operators.tiling import contour_case_census, formula_tiles
+
+    n, ts = _CONTOUR_N, _CONTOUR_TS
+    tiles = formula_tiles(spark, n, n, ts)
+    return contour_case_census(tiles, n * ts, n * ts, _CONTOUR_THR)
+
+
+def _q_rs_point_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster value enrichment of the doc point table, nearest-pixel
+    (GDALInterpolateAtPoint analog)."""
+    from gdal_spark.operators.tiling import formula_tiles, point_probe_nearest
+
+    tiles = formula_tiles(spark, _PROBE_NX, _PROBE_NY, _PROBE_TS)
+    pts = _doc_points(spark, sf_dir)
+    return point_probe_nearest(
+        pts, tiles, _PROBE_GT, _PROBE_TS, _PROBE_GW, _PROBE_GH
+    )
+
+
+def _contour_oracle_sql() -> str:
+    n = _CONTOUR_N * _CONTOUR_TS
+    thr = _CONTOUR_THR
+
+    def b(xe: str, ye: str) -> str:
+        return (
+            f"CASE WHEN (({xe}) * 7 + ({ye}) * 13) % 251 >= {thr} "
+            f"THEN 1 ELSE 0 END"
+        )
+
+    return f"""
+        WITH g AS (
+          SELECT CAST(a.x AS BIGINT) AS x, CAST(b.y AS BIGINT) AS y
+          FROM generate_series(0, {n - 2}) a(x)
+          CROSS JOIN generate_series(0, {n - 2}) b(y)),
+        c AS (SELECT {b('x', 'y')} + 2 * {b('x + 1', 'y')}
+                   + 4 * {b('x + 1', 'y + 1')} + 8 * {b('x', 'y + 1')}
+                   AS case_code
+              FROM g)
+        SELECT CAST(case_code AS BIGINT) AS case_code, COUNT(*) AS n
+        FROM c GROUP BY case_code"""
+
+
+def _probe_oracle_sql() -> str:
+    import gdal_spark.raster as _raster
+
+    igt = _raster.inv_gt(_PROBE_GT)
+    # mirror the engine's JVM expression order exactly:
+    # lon * igt1 + lat * igt2 + igt0
+    px = f"CAST(FLOOR(lon * {igt[1]!r} + lat * {igt[2]!r} + {igt[0]!r}) AS BIGINT)"
+    py = f"CAST(FLOOR(lon * {igt[4]!r} + lat * {igt[5]!r} + {igt[3]!r}) AS BIGINT)"
+    return f"""
+        WITH pts AS ({DOC_PTS_SQL}),
+        p AS (SELECT doc_id AS id, {px} AS px, {py} AS py FROM pts)
+        SELECT id,
+               CASE WHEN px BETWEEN 0 AND {_PROBE_GW - 1}
+                     AND py BETWEEN 0 AND {_PROBE_GH - 1}
+                    THEN (px * 7 + py * 13) % 251 ELSE -1 END AS val
+        FROM p"""
+
+
 def _q_rs_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thresholded formula raster → connected regions across tiles."""
     import pandas as pd_  # noqa: F811 (worker-side import clarity)
@@ -846,6 +919,8 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_pyramid_checksum": _q_rs_pyramid,
     "rs_warp_nearest": _warp_query("nearest"),
     "rs_warp_bilinear": _warp_query("bilinear"),
+    "rs_contour_census": _q_rs_contour,
+    "rs_point_probe": _q_rs_point_probe,
     "rs_polygonize": _q_rs_polygonize,
     "rs_fill_polygons": _q_rs_fill_polygons,
     "q_first_match_join": _q_first_match_join,
@@ -890,6 +965,8 @@ ENGINE_ORACLES: dict[str, str] = {
     "rs_pyramid_checksum": _pyramid_oracle_sql(),
     "rs_warp_nearest": _warp_oracle_sql("nearest"),
     "rs_warp_bilinear": _warp_oracle_sql("bilinear"),
+    "rs_contour_census": _contour_oracle_sql(),
+    "rs_point_probe": _probe_oracle_sql(),
     "rs_fill_polygons": _fill_oracle_sql(),
     "q_first_match_join": """
         SELECT n_nationkey, n_name, c_custkey AS first_custkey,

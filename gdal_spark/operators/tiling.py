@@ -405,8 +405,257 @@ def warp_affine(
 
 
 # ---------------------------------------------------------------------------
-# rasterize polygons (scanline-fill semantics, distributed by tile)
+# halo exchange (focal / neighborhood operators)
 # ---------------------------------------------------------------------------
+
+HALO_TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.IntegerType()),
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("w", T.IntegerType()),   # core width (pad excluded)
+        T.StructField("h", T.IntegerType()),
+        T.StructField("pad", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),  # (h+2p) x (w+2p)
+    ]
+)
+
+_STRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("dtx", T.LongType()),
+        T.StructField("dty", T.LongType()),
+        T.StructField("dx", T.IntegerType()),  # where I sit vs receiver
+        T.StructField("dy", T.IntegerType()),
+        T.StructField("z", T.IntegerType()),
+        T.StructField("sw", T.IntegerType()),
+        T.StructField("sh", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def add_halo(tiles: DataFrame, pad: int = 1, fill: int = 0) -> DataFrame:
+    """Exchange ``pad``-pixel halos between adjacent tiles so focal
+    (neighborhood) kernels can run per tile without cross-tile reads —
+    the Spark rendering of the reference's focal ops (sieve
+    alg/gdalsievefilter.cpp:178, proximity alg/gdalproximity.cpp:94,
+    marching squares alg/marching_squares/; SURVEY.md §2.5).
+
+    Plan: every tile emits its core plus the 8 border strips its
+    neighbors need (shuffle volume = tile perimeter x pad, never tile
+    area x 9), one groupBy(tile) assembles the padded array. Missing
+    neighbors (grid edge) fill with ``fill``.
+
+    Output rows carry core (w, h) + ``pad``; ``data`` is the padded
+    (h+2p) x (w+2p) array."""
+
+    def emit(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                ts_w, ts_h = int(r["w"]), int(r["h"])
+                tx, ty, z = int(r["tx"]), int(r["ty"]), int(r["z"])
+                arr = _tile_array(ts_w, ts_h, r["data"])
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            strip = arr
+                        else:
+                            # slice of ME inside the padded window of
+                            # neighbor (tx+dx, ty+dy): a receiver to my
+                            # right (dx=+1) needs my RIGHTMOST columns
+                            xs = slice(ts_w - pad, ts_w) if dx == 1 else (
+                                slice(0, pad) if dx == -1
+                                else slice(0, ts_w)
+                            )
+                            ys = slice(ts_h - pad, ts_h) if dy == 1 else (
+                                slice(0, pad) if dy == -1
+                                else slice(0, ts_h)
+                            )
+                            strip = arr[ys, xs]
+                        rows.append(
+                            (
+                                tx + dx, ty + dy, -dx, -dy, z,
+                                strip.shape[1], strip.shape[0],
+                                strip.tobytes(),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _STRIP_SCHEMA]
+            )
+
+    strips = tiles.mapInPandas(emit, _STRIP_SCHEMA)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        center = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+        if center.empty:
+            return pd.DataFrame(
+                [], columns=[f.name for f in HALO_TILE_SCHEMA]
+            )
+        c = center.iloc[0]
+        ts_w, ts_h = int(c["sw"]), int(c["sh"])
+        out = np.full((ts_h + 2 * pad, ts_w + 2 * pad), fill, dtype=np.uint8)
+        for _, r in pdf.iterrows():
+            sw, sh = int(r["sw"]), int(r["sh"])
+            strip = np.frombuffer(r["data"], dtype=np.uint8).reshape(sh, sw)
+            dx, dy = int(r["dx"]), int(r["dy"])
+            x0 = {-1: 0, 0: pad, 1: pad + ts_w}[dx]
+            y0 = {-1: 0, 0: pad, 1: pad + ts_h}[dy]
+            out[y0 : y0 + sh, x0 : x0 + sw] = strip
+        return pd.DataFrame(
+            {
+                "z": [int(c["z"])],
+                "tx": [int(c["dtx"])],
+                "ty": [int(c["dty"])],
+                "w": [ts_w],
+                "h": [ts_h],
+                "pad": [pad],
+                "data": [out.tobytes()],
+            }
+        )
+
+    return strips.groupBy("dtx", "dty").applyInPandas(
+        assemble, HALO_TILE_SCHEMA
+    )
+
+
+def focal_mean(tiles: DataFrame) -> DataFrame:
+    """3x3 focal mean (half-up integer rounding), one halo exchange +
+    per-tile numpy — the neighborhood-kernel exemplar."""
+    padded = add_halo(tiles, pad=1)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                ts_w, ts_h, p = int(r["w"]), int(r["h"]), int(r["pad"])
+                a = np.frombuffer(r["data"], dtype=np.uint8).reshape(
+                    ts_h + 2 * p, ts_w + 2 * p
+                ).astype(np.int64)
+                s = sum(
+                    a[1 + dy : 1 + dy + ts_h, 1 + dx : 1 + dx + ts_w]
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                )
+                out = ((s + 4) // 9).astype(np.uint8)
+                rows.append(
+                    (int(r["z"]), int(r["tx"]), int(r["ty"]),
+                     ts_w, ts_h, out.tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=["z", "tx", "ty", "w", "h", "data"]
+            )
+
+    return padded.mapInPandas(run, TILE_SCHEMA)
+
+
+def contour_case_census(
+    tiles: DataFrame, grid_w: int, grid_h: int, threshold: int
+) -> DataFrame:
+    """Marching-squares case census (alg/contour.cpp:383 /
+    alg/marching_squares/): for every interior 2x2 pixel square,
+    case = b(x,y) + 2*b(x+1,y) + 4*b(x+1,y+1) + 8*b(x,y+1) with
+    b = (val >= threshold); returns counts per case 0..15. Squares
+    whose (x+1, y+1) corner falls outside the global grid are excluded
+    (mirrors the per-tile halo mask). One halo exchange, per-tile
+    numpy, tiny groupBy(case)."""
+    padded = add_halo(tiles, pad=1)
+
+    def run(batches):
+        for pdf in batches:
+            counts = np.zeros(16, dtype=np.int64)
+            for _, r in pdf.iterrows():
+                ts_w, ts_h, p = int(r["w"]), int(r["h"]), int(r["pad"])
+                tx, ty = int(r["tx"]), int(r["ty"])
+                a = np.frombuffer(r["data"], dtype=np.uint8).reshape(
+                    ts_h + 2 * p, ts_w + 2 * p
+                )
+                b = (a >= threshold).astype(np.int64)
+                # squares anchored at my core pixels (x, y)
+                case = (
+                    b[1 : 1 + ts_h, 1 : 1 + ts_w]
+                    + 2 * b[1 : 1 + ts_h, 2 : 2 + ts_w]
+                    + 4 * b[2 : 2 + ts_h, 2 : 2 + ts_w]
+                    + 8 * b[2 : 2 + ts_h, 1 : 1 + ts_w]
+                )
+                # mask: (x+1, y+1) must exist globally
+                gx = tx * ts_w + np.arange(ts_w)
+                gy = ty * ts_h + np.arange(ts_h)
+                valid = (gx[None, :] + 1 <= grid_w - 1) & (
+                    gy[:, None] + 1 <= grid_h - 1
+                )
+                counts += np.bincount(case[valid].ravel(), minlength=16)
+            yield pd.DataFrame(
+                {"case_code": np.arange(16, dtype=np.int64), "n": counts}
+            )
+
+    partials = padded.mapInPandas(run, "case_code long, n long")
+    return (
+        partials.groupBy("case_code")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# point probe: raster value enrichment of a point table
+# ---------------------------------------------------------------------------
+
+
+def point_probe_nearest(
+    points: DataFrame,
+    tiles: DataFrame,
+    gt: tuple,
+    tile_size: int,
+    grid_w: int,
+    grid_h: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "doc_id",
+    broadcast_tiles: bool = True,
+) -> DataFrame:
+    """Sample a tiled raster at point locations, nearest-pixel
+    (GDALInterpolateAtPoint near path, alg/gdal_interpolateatpoint.cpp
+    :415): inverse geotransform JVM-side → equi-join points to their
+    tile → per-tile vectorized gather. Points outside the raster get
+    val = -1.
+
+    Output: (id, val)."""
+    igt = raster.inv_gt(gt)
+    gx = F.col(lon_col) * igt[1] + F.col(lat_col) * igt[2] + igt[0]
+    gy = F.col(lon_col) * igt[4] + F.col(lat_col) * igt[5] + igt[3]
+    px = F.floor(gx).cast("long")
+    py = F.floor(gy).cast("long")
+    pts = points.select(
+        F.col(id_col).alias("id"), px.alias("px"), py.alias("py")
+    ).withColumn(
+        "__in",
+        (F.col("px") >= 0) & (F.col("px") < grid_w)
+        & (F.col("py") >= 0) & (F.col("py") < grid_h),
+    )
+    inside = pts.filter("__in").withColumn(
+        "tx", (F.col("px") / tile_size).cast("long")
+    ).withColumn("ty", (F.col("py") / tile_size).cast("long"))
+    # broadcast when the raster fits (fixture-sized); at scale leave
+    # it to a shuffle join co-partitioned on (tx, ty)
+    tside = F.broadcast(tiles) if broadcast_tiles else tiles
+    joined = inside.join(tside, ["tx", "ty"], "inner")
+
+    def gather(batches):
+        for pdf in batches:
+            vals = np.empty(len(pdf), dtype=np.int64)
+            for i, (_, r) in enumerate(pdf.iterrows()):
+                arr = _tile_array(int(r["w"]), int(r["h"]), r["data"])
+                vals[i] = arr[
+                    int(r["py"]) % int(r["h"]), int(r["px"]) % int(r["w"])
+                ]
+            yield pd.DataFrame({"id": pdf["id"], "val": vals})
+
+    hit = joined.mapInPandas(gather, "id long, val long")
+    miss = pts.filter(~F.col("__in")).select(
+        "id", F.lit(-1).cast("long").alias("val")
+    )
+    return hit.unionByName(miss)
 
 
 def rasterize_polygons_count(

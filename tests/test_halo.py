@@ -1,0 +1,109 @@
+"""Halo exchange, focal mean, contour census, point probe vs numpy."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_spark import raster
+from gdal_spark.operators import tiling
+
+NX = NY = 3
+TS = 16
+GW, GH = NX * TS, NY * TS
+
+
+@pytest.fixture(scope="module")
+def tiles(spark):
+    return tiling.formula_tiles(spark, NX, NY, TS)
+
+
+def _full():
+    return raster.formula_block(0, 0, GW, GH)
+
+
+def test_add_halo_assembles_neighbors(spark, tiles):
+    rows = tiling.add_halo(tiles, pad=2, fill=0).collect()
+    assert len(rows) == NX * NY  # every tile got a padded version
+    full = _full()
+    for r in rows:
+        tx, ty, p = int(r["tx"]), int(r["ty"]), int(r["pad"])
+        arr = np.frombuffer(r["data"], dtype=np.uint8).reshape(
+            TS + 2 * p, TS + 2 * p
+        )
+        # compare against a zero-padded crop of the global raster
+        padded_full = np.zeros((GH + 2 * p, GW + 2 * p), dtype=np.uint8)
+        padded_full[p : p + GH, p : p + GW] = full
+        want = padded_full[
+            ty * TS : ty * TS + TS + 2 * p, tx * TS : tx * TS + TS + 2 * p
+        ]
+        np.testing.assert_array_equal(arr, want, err_msg=f"tile {tx},{ty}")
+
+
+def test_focal_mean_matches_numpy(spark, tiles):
+    got = {
+        (int(r["tx"]), int(r["ty"])): np.frombuffer(
+            r["data"], dtype=np.uint8
+        ).reshape(TS, TS)
+        for r in tiling.focal_mean(tiles).collect()
+    }
+    full = _full().astype(np.int64)
+    padded = np.zeros((GH + 2, GW + 2), dtype=np.int64)
+    padded[1 : 1 + GH, 1 : 1 + GW] = full
+    s = sum(
+        padded[1 + dy : 1 + dy + GH, 1 + dx : 1 + dx + GW]
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    want_full = ((s + 4) // 9).astype(np.uint8)
+    for (tx, ty), arr in got.items():
+        np.testing.assert_array_equal(
+            arr, want_full[ty * TS : (ty + 1) * TS, tx * TS : (tx + 1) * TS]
+        )
+
+
+def test_contour_census_matches_numpy(spark, tiles):
+    thr = 100
+    got = {
+        int(r["case_code"]): int(r["n"])
+        for r in tiling.contour_case_census(tiles, GW, GH, thr).collect()
+    }
+    b = (_full() >= thr).astype(np.int64)
+    case = (
+        b[:-1, :-1] + 2 * b[:-1, 1:] + 4 * b[1:, 1:] + 8 * b[1:, :-1]
+    )
+    want = {
+        int(c): int(n)
+        for c, n in zip(*np.unique(case, return_counts=True))
+    }
+    assert got == want
+    assert sum(got.values()) == (GW - 1) * (GH - 1)
+    assert len(got) > 4  # the fixture produces a real variety of cases
+
+
+GT = (-180.0, 360.0 / GW, 0.0, 90.0, 0.0, -180.0 / GH)
+
+
+def test_point_probe_matches_direct_lookup(spark, tiles):
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(300, dtype=np.int64),
+            "lon": rng.uniform(-200, 200, 300),  # some outside
+            "lat": rng.uniform(-100, 100, 300),
+        }
+    )
+    pts = spark.createDataFrame(pdf)
+    got = {
+        int(r["id"]): int(r["val"])
+        for r in tiling.point_probe_nearest(
+            pts, tiles, GT, TS, GW, GH
+        ).collect()
+    }
+    assert len(got) == 300
+    igt = raster.inv_gt(GT)
+    full = _full()
+    for i in range(300):
+        px = int(np.floor(igt[0] + pdf["lon"][i] * igt[1] + pdf["lat"][i] * igt[2]))
+        py = int(np.floor(igt[3] + pdf["lon"][i] * igt[4] + pdf["lat"][i] * igt[5]))
+        want = full[py, px] if 0 <= px < GW and 0 <= py < GH else -1
+        assert got[i] == want, f"point {i}"
