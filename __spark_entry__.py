@@ -422,6 +422,49 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", F.col("rank").alias("rnk"), "pid")
 
 
+def _q_knn_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed kNN: query side stays a DataFrame (scale path)."""
+    from gdal_spark.operators.knn import knn_join_df
+
+    pts = _doc_points(spark, sf_dir)
+    queries = pts.filter(F.col("doc_id") % 67 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.col("lon").alias("qlon"),
+        F.col("lat").alias("qlat"),
+    )
+    out = knn_join_df(
+        pts.withColumnRenamed("doc_id", "pid"), queries, k=3, res=5
+    )
+    return out.select("qid", F.col("rank").alias("rnk"), "pid")
+
+
+def _q_dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.44; the
+    synthetic embeddings are near-orthogonal so the 'near-dup' band
+    sits low), exact pair
+    scan (the LSH/IVF-prefiltered variants are the approximate scale
+    paths, gated rows-only). Exactness across engines holds because
+    both reduce the arrays in the same element order."""
+    from gdal_spark.operators.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        pairs.withColumn("__cos", cos)
+        .filter(F.col("__cos") >= 0.44)
+        .select("id_a", "id_b")
+    )
+
+
 def _q_dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.operators.dedup import exact_dup_groups
 
@@ -927,6 +970,8 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp_pip_engine": _q_pip_engine,
     "sp_pip_count": _q_pip_count_engine,
     "sp_knn": _q_knn,
+    "sp_knn_df": _q_knn_df,
+    "dd_embed_cosine": _q_dd_embed_cosine,
     "dd_exact_prefix": _q_dd_exact,
     "dd_ngram_jaccard": _q_dd_jaccard,
     "dd_minhash_lsh": _q_dd_minhash,
@@ -981,6 +1026,25 @@ ENGINE_ORACLES: dict[str, str] = {
     "sp_pip_count": f"""
         WITH hits AS ({PIP_ORACLE_SQL.format(values=_edges_values_sql())})
         SELECT poly_id, COUNT(*) AS n_points FROM hits GROUP BY poly_id""",
+    "sp_knn_df": f"""
+        WITH pts AS ({DOC_PTS_SQL}),
+        q AS (SELECT doc_id AS qid, lon AS qlon, lat AS qlat
+              FROM pts WHERE doc_id % 67 = 0)
+        SELECT qid, rnk, pid FROM (
+          SELECT q.qid, p.doc_id AS pid,
+                 ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                   (p.lon - q.qlon) * (p.lon - q.qlon)
+                 + (p.lat - q.qlat) * (p.lat - q.qlat) ASC, p.doc_id ASC) AS rnk
+          FROM q CROSS JOIN pts p) t
+        WHERE rnk <= 3""",
+    "dd_embed_cosine": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 400 AND b.vec_id < 400
+          AND list_dot_product(a.embedding, b.embedding)
+              / (sqrt(list_dot_product(a.embedding, a.embedding))
+                 * sqrt(list_dot_product(b.embedding, b.embedding)))
+              >= 0.44""",
     "sp_knn": f"""
         WITH pts AS ({DOC_PTS_SQL}),
         q AS (SELECT doc_id AS qid, lon AS qlon, lat AS qlat

@@ -32,6 +32,132 @@ from pyspark.sql.window import Window
 from .. import cells
 
 
+def knn_join_df(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    res: int = 6,
+    id_col: str = "pid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    qid_col: str = "qid",
+    qlon_col: str = "qlon",
+    qlat_col: str = "qlat",
+    max_rings: int | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Fully distributed exact kNN: BOTH sides are DataFrames — the
+    scale path when the query set itself is large (the pandas-input
+    ``knn_join`` broadcasts a small probe set instead).
+
+    Each iteration expands every pending query's Chebyshev ring as a
+    JVM offset explode ((2r+1)^2 literal offsets — no Python), joins on
+    cell_id against the persisted bucketed points, ranks by exact
+    squared distance, and retires queries whose Kth neighbor lies
+    within the ring guarantee. Ring radius doubles per iteration, so
+    the driver loop runs O(log grid) Spark jobs; per-iteration state
+    (pending queries, finished results) stays distributed.
+    """
+    spark = points.sparkSession
+    n_grid = 1 << res
+    min_dim = min(360.0 / n_grid, 180.0 / n_grid)
+    if max_rings is None:
+        max_rings = max(n_grid, 2)
+
+    pts = points.withColumn(
+        "cell_id", cells.cell_expr(F.col(lon_col), F.col(lat_col), res)
+    ).persist()
+
+    n = 1 << res
+    ix = F.least(
+        F.greatest(F.floor((F.col(qlon_col) + 180.0) / 360.0 * n), F.lit(0)),
+        F.lit(n - 1),
+    ).cast("long")
+    iy = F.least(
+        F.greatest(F.floor((F.col(qlat_col) + 90.0) / 180.0 * n), F.lit(0)),
+        F.lit(n - 1),
+    ).cast("long")
+    pending = queries.select(
+        qid_col, qlon_col, qlat_col, ix.alias("__ix"), iy.alias("__iy")
+    ).persist()
+
+    done_parts: list[DataFrame] = []
+    last_best: DataFrame | None = None
+    ring = 1
+    while ring <= max_rings:
+        offs = F.expr(
+            f"flatten(transform(sequence({-ring}, {ring}), dx -> "
+            f"transform(sequence({-ring}, {ring}), dy -> struct(dx, dy))))"
+        )
+        cand_cells = (
+            pending.withColumn("__o", F.explode(offs))
+            .withColumn("__cx", F.col("__ix") + F.col("__o.dx"))
+            .withColumn("__cy", F.col("__iy") + F.col("__o.dy"))
+            .filter(
+                (F.col("__cx") >= 0) & (F.col("__cx") < n)
+                & (F.col("__cy") >= 0) & (F.col("__cy") < n)
+            )
+            .withColumn(
+                "cell_id",
+                F.lit(res).cast("long")
+                * F.lit(1 << cells._RES_SHIFT).cast("long")
+                + F.col("__cx") * F.lit(1 << cells._IX_SHIFT).cast("long")
+                + F.col("__cy"),
+            )
+            .select(qid_col, qlon_col, qlat_col, "cell_id")
+        )
+        probe = F.broadcast(cand_cells) if broadcast_queries else cand_cells
+        d2 = (F.col(lon_col) - F.col(qlon_col)) ** 2 + (
+            F.col(lat_col) - F.col(qlat_col)
+        ) ** 2
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col("__d2").asc(), F.col(id_col).asc()
+        )
+        best = (
+            pts.join(probe, "cell_id")
+            .withColumn("__d2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, "rank", id_col, "__d2")
+            .persist()
+        )
+        last_best = best
+        guarantee = (ring * min_dim) ** 2
+        stats = best.groupBy(qid_col).agg(
+            F.count(F.lit(1)).alias("__n"), F.max("__d2").alias("__worst")
+        )
+        if ring >= max_rings:
+            done_q = stats.select(qid_col)
+        else:
+            done_q = stats.filter(
+                (F.col("__n") >= k) & (F.col("__worst") <= guarantee)
+            ).select(qid_col)
+        done_parts.append(
+            best.join(F.broadcast(done_q), qid_col, "left_semi")
+        )
+        pending = pending.join(
+            F.broadcast(done_q), qid_col, "left_anti"
+        ).persist()
+        if pending.limit(1).count() == 0:
+            break
+        ring *= 2
+
+    if last_best is not None:
+        # max_rings exhausted with queries still pending: keep their
+        # best-so-far (covers the whole grid by construction)
+        done_parts.append(
+            last_best.join(
+                F.broadcast(pending.select(qid_col)), qid_col, "left_semi"
+            )
+        )
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out.select(qid_col, "rank", id_col).dropDuplicates(
+        [qid_col, "rank"]
+    )
+
+
 def knn_join(
     points: DataFrame,
     queries_pdf: pd.DataFrame,

@@ -125,6 +125,38 @@ def test_relational_joins_use_stats_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Pre-bucketed tables co-locate the join: no Exchange on either
+    side (SURVEY.md §4 / the 'bucketing for co-located joins' scale
+    lever). Written via bucketBy + sortBy, read back from the catalog."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS bj_left")
+    spark.sql("DROP TABLE IF EXISTS bj_right")
+    spark.range(0, 10000).selectExpr("id AS k", "id * 2 AS v").write \
+        .bucketBy(8, "k").sortBy("k").mode("overwrite") \
+        .saveAsTable("bj_left")
+    spark.range(0, 10000).selectExpr("id AS k", "id * 3 AS w").write \
+        .bucketBy(8, "k").sortBy("k").mode("overwrite") \
+        .saveAsTable("bj_right")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable BHJ so the planner exercises the bucketed SMJ path
+        # (at real scale neither side broadcasts — that's the point)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bj_left").join(spark.table("bj_right"), "k")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bj_left")
+        spark.sql("DROP TABLE IF EXISTS bj_right")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
 def test_lineage_write_prunes_buckets(spark, tmp_path):
     """Resume filter must prune at the parquet scan when the source is
     partitioned by the bucket column (no full rescan on resume)."""
