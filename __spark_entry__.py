@@ -422,6 +422,46 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", F.col("rank").alias("rnk"), "pid")
 
 
+def _q_reproject_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS transform EPSG:4326 → EPSG:3857, JVM-side (the vectorized
+    coordinate-transform analog of OGRCoordinateTransformation::
+    Transform, ogr/ogrct.cpp:2254), millimetre-quantized."""
+    import math
+
+    from gdal_spark import mercator
+
+    pts = _doc_points(spark, sf_dir)
+    k = mercator.ORIGIN / 180.0
+    latc = F.least(
+        F.greatest(F.col("lat"), F.lit(-mercator.MAX_LAT)),
+        F.lit(mercator.MAX_LAT),
+    )
+    mx = F.col("lon") * k
+    my = (
+        F.log(F.tan((latc + 90.0) * (math.pi / 360.0)))
+        / (math.pi / 180.0) * k
+    )
+    return pts.select(
+        "doc_id",
+        F.round(mx * 1000.0).cast("long").alias("mx_mm"),
+        F.round(my * 1000.0).cast("long").alias("my_mm"),
+    )
+
+
+_REPROJECT_ORACLE = f"""
+    WITH pts AS ({DOC_PTS_SQL}),
+    c AS (SELECT doc_id, lon,
+                 LEAST(GREATEST(lat, -85.05112877980659e0),
+                       85.05112877980659e0) AS latc
+          FROM pts),
+    k AS (SELECT PI() * 6378137e0 / 180e0 AS kk)
+    SELECT doc_id,
+           CAST(ROUND(lon * kk * 1000e0) AS BIGINT) AS mx_mm,
+           CAST(ROUND(LN(TAN((latc + 90e0) * (PI() / 360e0)))
+                      / (PI() / 180e0) * kk * 1000e0) AS BIGINT) AS my_mm
+    FROM c, k"""
+
+
 def _q_knn_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed kNN: query side stays a DataFrame (scale path)."""
     from gdal_spark.operators.knn import knn_join_df
@@ -971,6 +1011,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp_pip_count": _q_pip_count_engine,
     "sp_knn": _q_knn,
     "sp_knn_df": _q_knn_df,
+    "sp_reproject_3857": _q_reproject_3857,
     "dd_embed_cosine": _q_dd_embed_cosine,
     "dd_exact_prefix": _q_dd_exact,
     "dd_ngram_jaccard": _q_dd_jaccard,
@@ -1026,6 +1067,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "sp_pip_count": f"""
         WITH hits AS ({PIP_ORACLE_SQL.format(values=_edges_values_sql())})
         SELECT poly_id, COUNT(*) AS n_points FROM hits GROUP BY poly_id""",
+    "sp_reproject_3857": _REPROJECT_ORACLE,
     "sp_knn_df": f"""
         WITH pts AS ({DOC_PTS_SQL}),
         q AS (SELECT doc_id AS qid, lon AS qlon, lat AS qlat
