@@ -726,6 +726,41 @@ def _q_rs_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygonize(tiles)
 
 
+def _q_rs_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sieve a deterministic noisy binarization of the formula raster
+    (GDALSieveFilter semantics) and checksum the cleaned tiles.
+    Rows-only gate; exact semantics pinned by tests/test_sieve.py."""
+    import pandas as pd_
+
+    from gdal_spark.operators.tiling import (
+        TILE_SCHEMA, formula_tiles, sieve, tile_checksums,
+    )
+
+    ts = 64
+
+    def binarize(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = np.frombuffer(r["data"], dtype=np.uint8).reshape(
+                    int(r["h"]), int(r["w"])
+                ).astype(np.int64)
+                tx, ty = int(r["tx"]), int(r["ty"])
+                x = tx * ts + np.arange(int(r["w"]))[None, :]
+                y = ty * ts + np.arange(int(r["h"]))[:, None]
+                noisy = (((arr * 31 + x * 17 + y * 101) % 13) < 4)
+                rows.append(
+                    (0, tx, ty, int(r["w"]), int(r["h"]),
+                     noisy.astype(np.uint8).tobytes())
+                )
+            yield pd_.DataFrame(
+                rows, columns=["z", "tx", "ty", "w", "h", "data"]
+            )
+
+    tiles = formula_tiles(spark, 4, 4, ts).mapInPandas(binarize, TILE_SCHEMA)
+    return tile_checksums(sieve(tiles, threshold=8))
+
+
 def _q_rs_fill_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scanline-burn the literal polygons on a 1-degree world grid and
     count filled pixels per polygon."""
@@ -1005,6 +1040,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_contour_census": _q_rs_contour,
     "rs_point_probe": _q_rs_point_probe,
     "rs_polygonize": _q_rs_polygonize,
+    "rs_sieve_checksum": _q_rs_sieve,
     "rs_fill_polygons": _q_rs_fill_polygons,
     "q_first_match_join": _q_first_match_join,
     "sp_pip_engine": _q_pip_engine,
@@ -1165,7 +1201,10 @@ ENGINE_ORACLES: dict[str, str] = {
 # queries with no SQL-expressible oracle → driver rows-only check
 # (rs_polygonize: connected-component labeling needs iteration; its
 # exact oracle is the flood-fill pytest in tests/test_tiling.py)
-NO_ORACLE = {"dd_simhash", "sim_ann_lsh", "sim_ann_ivf", "rs_polygonize"}
+NO_ORACLE = {
+    "dd_simhash", "sim_ann_lsh", "sim_ann_ivf", "rs_polygonize",
+    "rs_sieve_checksum",
+}
 
 
 # ---------------------------------------------------------------------------

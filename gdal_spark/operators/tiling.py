@@ -768,6 +768,279 @@ _PART_SCHEMA = T.StructType(
 )
 
 
+def mosaic(sources: list[DataFrame], nodata: int = 0) -> DataFrame:
+    """Priority composite of tile tables (gdalbuildvrt / raster mosaic
+    semantics, apps/gdalbuildvrt_lib.cpp): earlier sources win; where a
+    higher-priority tile has ``nodata`` pixels, lower-priority sources
+    show through (per-pixel resolve). Tiles present in only one source
+    pass through unchanged.
+
+    Plan: union with a priority tag → groupBy(tile) → per-tile numpy
+    composite. Shuffle carries each tile once per source that has it.
+    """
+    if not sources:
+        raise ValueError("mosaic needs at least one source")
+    tagged = None
+    for prio, src in enumerate(sources):
+        t = src.withColumn("__prio", F.lit(prio))
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    def composite(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__prio")
+        first = pdf.iloc[0]
+        ts_w, ts_h = int(first["w"]), int(first["h"])
+        out = np.full((ts_h, ts_w), nodata, dtype=np.uint8)
+        filled = np.zeros((ts_h, ts_w), dtype=bool)
+        for _, row in pdf.iterrows():
+            arr = _tile_array(int(row["w"]), int(row["h"]), row["data"])
+            take = (~filled) & (arr != nodata)
+            out[take] = arr[take]
+            filled |= take
+        return pd.DataFrame(
+            {
+                "z": [int(first["z"])],
+                "tx": [int(first["tx"])],
+                "ty": [int(first["ty"])],
+                "w": [ts_w],
+                "h": [ts_h],
+                "data": [out.tobytes()],
+            }
+        )
+
+    return tagged.groupBy("z", "tx", "ty").applyInPandas(
+        composite, TILE_SCHEMA
+    )
+
+
+def sieve(tiles: DataFrame, threshold: int) -> DataFrame:
+    """Remove raster polygons smaller than ``threshold`` pixels by
+    merging each into its largest neighbour (GDALSieveFilter semantics,
+    alg/gdalsievefilter.cpp:178; 4-connected).
+
+    Distributed plan: the shared per-tile pass labels tiles in
+    parallel and emits region stats, within-tile label adjacency and
+    border pixels; same-value borders union regions across tiles
+    (polygonize machinery), ALL-value adjacency builds the region
+    neighbour graph. The graph — O(regions), raster-area-independent —
+    is merged on the driver: small regions absorb into their largest
+    current neighbour (ties → smaller region id), repeating until no
+    mergeable small region remains, exactly the progressive merge of
+    the reference. A broadcast (tile, local label) → value map then
+    rewrites every tile in one parallel pass.
+
+    Returns new tiles (same schema/geometry, values rewritten).
+    """
+    spark = tiles.sparkSession
+    tiles = tiles.persist()
+    parts = _tile_parts(tiles).persist()
+
+    # 1. same-value cross-tile merge → global regions
+    parent: dict[tuple, tuple] = {}
+    find = _make_find(parent)
+    for r in _cross_tile_edges(parts, same_value_only=True).collect():
+        ra, rb = find((r.ta, r.la)), find((r.tb, r.lb))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    region_rows = parts.filter(F.col("kind") == "region").select(
+        "tkey", "lab", "value", "n_pixels"
+    ).collect()
+    size: dict[tuple, int] = {}
+    value: dict[tuple, int] = {}
+    for r in region_rows:
+        root = find((r.tkey, r.lab))
+        size[root] = size.get(root, 0) + int(r.n_pixels)
+        value[root] = int(r.value)
+
+    # 2. neighbour graph over roots (within-tile adj + all-value borders)
+    nbrs: dict[tuple, set] = {root: set() for root in size}
+
+    def add_edge(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            nbrs[ra].add(rb)
+            nbrs[rb].add(ra)
+
+    for r in parts.filter(F.col("kind") == "adj").select(
+        "tkey", "lab", "n_pixels"
+    ).collect():
+        add_edge((r.tkey, r.lab), (r.tkey, int(r.n_pixels)))
+    for r in _cross_tile_edges(parts, same_value_only=False).collect():
+        add_edge((r.ta, r.la), (r.tb, r.lb))
+
+    # 3. progressive merge on the driver (graph is small)
+    merged_into: dict[tuple, tuple] = {}
+
+    def resolve(a):
+        while a in merged_into:
+            a = merged_into[a]
+        return a
+
+    changed = True
+    while changed:
+        changed = False
+        for root in sorted(size, key=lambda k: (size.get(k, 0), k)):
+            root = resolve(root)
+            if size.get(root, 0) >= threshold or root in merged_into:
+                continue
+            cand = {resolve(n) for n in nbrs.get(root, ())} - {root}
+            if not cand:
+                continue
+            target = max(cand, key=lambda k: (size.get(k, 0), tuple(-x for x in k)))
+            merged_into[root] = target
+            size[target] += size.pop(root, 0)
+            nbrs.setdefault(target, set()).update(nbrs.pop(root, set()))
+            changed = True
+
+    # 4. final (tkey, lab) → value map, broadcast, rewrite tiles
+    final_value = {}
+    for r in region_rows:
+        root = resolve(find((r.tkey, r.lab)))
+        final_value[(int(r.tkey), int(r.lab))] = value[root]
+    fv_bc = spark.sparkContext.broadcast(final_value)
+
+    def rewrite(batches):
+        fv = fv_bc.value
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                ts_w, ts_h = int(row["w"]), int(row["h"])
+                tx, ty = int(row["tx"]), int(row["ty"])
+                tkey = _tkey(tx, ty)
+                arr = _tile_array(ts_w, ts_h, row["data"]).astype(np.int64)
+                labels, n = raster.label_components(arr)
+                lut = np.array(
+                    [fv[(tkey, lab)] for lab in range(n)], dtype=np.int64
+                )
+                out = lut[labels].astype(np.uint8)
+                rows.append(
+                    (int(row["z"]), tx, ty, ts_w, ts_h, out.tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=["z", "tx", "ty", "w", "h", "data"]
+            )
+
+    return tiles.mapInPandas(rewrite, TILE_SCHEMA)
+
+
+def _tkey(tx: int, ty: int) -> int:
+    return tx * 1_000_003 + ty
+
+
+def _tile_parts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-tile pass shared by polygonize and sieve: 4-connected
+    labeling, then three row kinds — 'region' (stats per local label),
+    'border' (every edge pixel, for cross-tile merging), 'adj'
+    (within-tile adjacency between DIFFERENT local labels; la in
+    ``lab``, lb in ``n_pixels``)."""
+    out_rows = []
+    for _, row in pdf.iterrows():
+        ts_w, ts_h = int(row["w"]), int(row["h"])
+        tx, ty = int(row["tx"]), int(row["ty"])
+        tkey = _tkey(tx, ty)
+        arr = _tile_array(ts_w, ts_h, row["data"]).astype(np.int64)
+        labels, n = raster.label_components(arr)
+        gx0, gy0 = tx * ts_w, ty * ts_h
+        flat_lab = labels.ravel()
+        flat_val = arr.ravel()
+        jj, ii = np.meshgrid(
+            np.arange(ts_h, dtype=np.int64),
+            np.arange(ts_w, dtype=np.int64),
+            indexing="ij",
+        )
+        fi, fj = ii.ravel(), jj.ravel()
+        for lab in range(n):
+            m = flat_lab == lab
+            out_rows.append(
+                (
+                    "region", tkey, lab, int(flat_val[m][0]),
+                    int(m.sum()),
+                    gx0 + int(fi[m].min()), gy0 + int(fj[m].min()),
+                    gx0 + int(fi[m].max()), gy0 + int(fj[m].max()),
+                    -1, -1, "",
+                )
+            )
+        # within-tile label adjacency (different labels sharing an edge)
+        pairs = set()
+        if ts_w > 1:
+            la, lb = labels[:, :-1].ravel(), labels[:, 1:].ravel()
+            for a, b in zip(la[la != lb], lb[la != lb]):
+                pairs.add((min(int(a), int(b)), max(int(a), int(b))))
+        if ts_h > 1:
+            la, lb = labels[:-1, :].ravel(), labels[1:, :].ravel()
+            for a, b in zip(la[la != lb], lb[la != lb]):
+                pairs.add((min(int(a), int(b)), max(int(a), int(b))))
+        for a, b in pairs:
+            out_rows.append(
+                ("adj", tkey, a, 0, b, 0, 0, 0, 0, -1, -1, "")
+            )
+        # border pixels for the cross-tile joins
+        edges = [
+            (np.full(ts_h, ts_w - 1), np.arange(ts_h), "R"),
+            (np.arange(ts_w), np.full(ts_w, ts_h - 1), "D"),
+            (np.full(ts_h, 0), np.arange(ts_h), "L"),
+            (np.arange(ts_w), np.full(ts_w, 0), "U"),
+        ]
+        for ex, ey, side in edges:
+            ex = ex.astype(np.int64)
+            ey = ey.astype(np.int64)
+            for x, y in zip(ex, ey):
+                out_rows.append(
+                    (
+                        "border", tkey, int(labels[y, x]),
+                        int(arr[y, x]), 0, 0, 0, 0, 0,
+                        gx0 + int(x), gy0 + int(y), side,
+                    )
+                )
+    return pd.DataFrame(out_rows, columns=[f.name for f in _PART_SCHEMA])
+
+
+def _tile_parts(tiles: DataFrame) -> DataFrame:
+    return tiles.groupBy("tx", "ty").applyInPandas(
+        _tile_parts_pdf, _PART_SCHEMA
+    )
+
+
+def _cross_tile_edges(parts: DataFrame, same_value_only: bool) -> DataFrame:
+    """(ta, la, tb, lb) pairs of locally-labeled regions adjacent
+    across a tile boundary; optionally only equal-valued pairs
+    (polygonize merging) or all pairs (sieve adjacency)."""
+    borders = parts.filter(F.col("kind") == "border").select(
+        "tkey", "lab", "value", "gx", "gy", "side"
+    )
+    right = borders.filter(F.col("side") == "R").alias("a")
+    left = borders.filter(F.col("side") == "L").alias("b")
+    down = borders.filter(F.col("side") == "D").alias("a")
+    up = borders.filter(F.col("side") == "U").alias("b")
+    edge_sel = [
+        F.col("a.tkey").alias("ta"), F.col("a.lab").alias("la"),
+        F.col("b.tkey").alias("tb"), F.col("b.lab").alias("lb"),
+    ]
+    h_cond = (F.col("a.gx") + 1 == F.col("b.gx")) & (
+        F.col("a.gy") == F.col("b.gy")
+    )
+    v_cond = (F.col("a.gx") == F.col("b.gx")) & (
+        F.col("a.gy") + 1 == F.col("b.gy")
+    )
+    if same_value_only:
+        h_cond = h_cond & (F.col("a.value") == F.col("b.value"))
+        v_cond = v_cond & (F.col("a.value") == F.col("b.value"))
+    h_edges = right.join(left, h_cond).select(edge_sel)
+    v_edges = down.join(up, v_cond).select(edge_sel)
+    return h_edges.unionByName(v_edges).distinct()
+
+
+def _make_find(parent: dict):
+    def find(a):
+        parent.setdefault(a, a)
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    return find
+
+
 def polygonize(tiles: DataFrame, nx: int | None = None) -> DataFrame:
     """Connected regions of equal-valued pixels (4-connect) across the
     whole tile grid → one row per region with pixel count and bbox.
@@ -781,95 +1054,10 @@ def polygonize(tiles: DataFrame, nx: int | None = None) -> DataFrame:
     alg/polygonize.cpp:73's scanline merge (4-connectedness).
     """
     spark = tiles.sparkSession
-
-    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_rows = []
-        for _, row in pdf.iterrows():
-            ts_w, ts_h = int(row["w"]), int(row["h"])
-            tx, ty = int(row["tx"]), int(row["ty"])
-            tkey = tx * 1_000_003 + ty
-            arr = _tile_array(ts_w, ts_h, row["data"]).astype(np.int64)
-            labels, n = raster.label_components(arr)
-            gx0, gy0 = tx * ts_w, ty * ts_h
-            flat_lab = labels.ravel()
-            flat_val = arr.ravel()
-            jj, ii = np.meshgrid(
-                np.arange(ts_h, dtype=np.int64),
-                np.arange(ts_w, dtype=np.int64),
-                indexing="ij",
-            )
-            fi, fj = ii.ravel(), jj.ravel()
-            for lab in range(n):
-                m = flat_lab == lab
-                out_rows.append(
-                    (
-                        "region", tkey, lab, int(flat_val[m][0]),
-                        int(m.sum()),
-                        gx0 + int(fi[m].min()), gy0 + int(fj[m].min()),
-                        gx0 + int(fi[m].max()), gy0 + int(fj[m].max()),
-                        -1, -1, "",
-                    )
-                )
-            # border pixels: right edge (owner of R-adjacency) and
-            # bottom edge (owner of D-adjacency), plus left/top as
-            # receivers — emit ALL edge pixels; the join pairs them.
-            edges = [
-                (np.full(ts_h, ts_w - 1), np.arange(ts_h), "R"),
-                (np.arange(ts_w), np.full(ts_w, ts_h - 1), "D"),
-                (np.full(ts_h, 0), np.arange(ts_h), "L"),
-                (np.arange(ts_w), np.full(ts_w, 0), "U"),
-            ]
-            for ex, ey, side in edges:
-                ex = ex.astype(np.int64)
-                ey = ey.astype(np.int64)
-                for x, y in zip(ex, ey):
-                    out_rows.append(
-                        (
-                            "border", tkey, int(labels[y, x]),
-                            int(arr[y, x]), 0, 0, 0, 0, 0,
-                            gx0 + int(x), gy0 + int(y), side,
-                        )
-                    )
-        return pd.DataFrame(out_rows, columns=[f.name for f in _PART_SCHEMA])
-
-    parts = tiles.groupBy("tx", "ty").applyInPandas(per_tile, _PART_SCHEMA)
-    parts = parts.persist()
-
-    borders = parts.filter(F.col("kind") == "border").select(
-        "tkey", "lab", "value", "gx", "gy", "side"
-    )
-    right = borders.filter(F.col("side") == "R").alias("a")
-    left = borders.filter(F.col("side") == "L").alias("b")
-    down = borders.filter(F.col("side") == "D").alias("a")
-    up = borders.filter(F.col("side") == "U").alias("b")
-    edge_sel = [
-        F.col("a.tkey").alias("ta"), F.col("a.lab").alias("la"),
-        F.col("b.tkey").alias("tb"), F.col("b.lab").alias("lb"),
-    ]
-    h_edges = right.join(
-        left,
-        (F.col("a.gx") + 1 == F.col("b.gx"))
-        & (F.col("a.gy") == F.col("b.gy"))
-        & (F.col("a.value") == F.col("b.value")),
-    ).select(edge_sel)
-    v_edges = down.join(
-        up,
-        (F.col("a.gx") == F.col("b.gx"))
-        & (F.col("a.gy") + 1 == F.col("b.gy"))
-        & (F.col("a.value") == F.col("b.value")),
-    ).select(edge_sel)
-    edge_rows = h_edges.unionByName(v_edges).distinct().collect()
-
-    # driver-side union-find over (tkey, lab) nodes touched by edges
+    parts = _tile_parts(tiles).persist()
+    edge_rows = _cross_tile_edges(parts, same_value_only=True).collect()
     parent: dict[tuple, tuple] = {}
-
-    def find(a):
-        parent.setdefault(a, a)
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
+    find = _make_find(parent)
     for r in edge_rows:
         ra, rb = find((r.ta, r.la)), find((r.tb, r.lb))
         if ra != rb:
