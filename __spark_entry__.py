@@ -726,6 +726,57 @@ def _q_rs_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygonize(tiles)
 
 
+_PROX_N, _PROX_TS, _PROX_MAXD = 2, 64, 30
+
+
+def _q_rs_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance raster to the nearest formula-zero pixel, bounded
+    (GDALComputeProximity + MAXDIST), via iterative halo relaxation."""
+    import pandas as pd_
+
+    from gdal_spark.operators.tiling import (
+        TILE_SCHEMA, formula_tiles, proximity_d2,
+    )
+
+    def binarize(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = np.frombuffer(r["data"], dtype=np.uint8).reshape(
+                    int(r["h"]), int(r["w"])
+                )
+                rows.append(
+                    (0, int(r["tx"]), int(r["ty"]), int(r["w"]), int(r["h"]),
+                     (arr == 0).astype(np.uint8).tobytes())
+                )
+            yield pd_.DataFrame(
+                rows, columns=["z", "tx", "ty", "w", "h", "data"]
+            )
+
+    tiles = formula_tiles(spark, _PROX_N, _PROX_N, _PROX_TS).mapInPandas(
+        binarize, TILE_SCHEMA
+    )
+    return proximity_d2(tiles, _PROX_MAXD, _PROX_TS)
+
+
+def _proximity_oracle_sql() -> str:
+    n = _PROX_N * _PROX_TS
+    d = _PROX_MAXD
+    return f"""
+        WITH px AS (
+          SELECT CAST(a.x AS BIGINT) AS x, CAST(b.y AS BIGINT) AS y
+          FROM generate_series(0, {n - 1}) a(x)
+          CROSS JOIN generate_series(0, {n - 1}) b(y)),
+        t AS (SELECT x, y FROM px WHERE (x * 7 + y * 13) % 251 = 0)
+        SELECT p.x AS gx, p.y AS gy,
+               MIN((p.x - t.x) * (p.x - t.x) + (p.y - t.y) * (p.y - t.y))
+                 AS d2
+        FROM px p CROSS JOIN t
+        GROUP BY p.x, p.y
+        HAVING MIN((p.x - t.x) * (p.x - t.x) + (p.y - t.y) * (p.y - t.y))
+               <= {d * d}"""
+
+
 def _q_rs_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sieve a deterministic noisy binarization of the formula raster
     (GDALSieveFilter semantics) and checksum the cleaned tiles.
@@ -1041,6 +1092,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_point_probe": _q_rs_point_probe,
     "rs_polygonize": _q_rs_polygonize,
     "rs_sieve_checksum": _q_rs_sieve,
+    "rs_proximity": _q_rs_proximity,
     "rs_fill_polygons": _q_rs_fill_polygons,
     "q_first_match_join": _q_first_match_join,
     "sp_pip_engine": _q_pip_engine,
@@ -1088,6 +1140,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "rs_warp_nearest": _warp_oracle_sql("nearest"),
     "rs_warp_bilinear": _warp_oracle_sql("bilinear"),
     "rs_contour_census": _contour_oracle_sql(),
+    "rs_proximity": _proximity_oracle_sql(),
     "rs_point_probe": _probe_oracle_sql(),
     "rs_fill_polygons": _fill_oracle_sql(),
     "q_first_match_join": """

@@ -434,7 +434,9 @@ _STRIP_SCHEMA = T.StructType(
 )
 
 
-def add_halo(tiles: DataFrame, pad: int = 1, fill: int = 0) -> DataFrame:
+def add_halo(
+    tiles: DataFrame, pad: int = 1, fill: int = 0, dtype: str = "uint8"
+) -> DataFrame:
     """Exchange ``pad``-pixel halos between adjacent tiles so focal
     (neighborhood) kernels can run per tile without cross-tile reads —
     the Spark rendering of the reference's focal ops (sieve
@@ -449,13 +451,17 @@ def add_halo(tiles: DataFrame, pad: int = 1, fill: int = 0) -> DataFrame:
     Output rows carry core (w, h) + ``pad``; ``data`` is the padded
     (h+2p) x (w+2p) array."""
 
+    np_dtype = np.dtype(dtype)
+
     def emit(batches):
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 ts_w, ts_h = int(r["w"]), int(r["h"])
                 tx, ty, z = int(r["tx"]), int(r["ty"]), int(r["z"])
-                arr = _tile_array(ts_w, ts_h, r["data"])
+                arr = np.frombuffer(r["data"], dtype=np_dtype).reshape(
+                    ts_h, ts_w
+                )
                 for dx in (-1, 0, 1):
                     for dy in (-1, 0, 1):
                         if dx == 0 and dy == 0:
@@ -494,10 +500,10 @@ def add_halo(tiles: DataFrame, pad: int = 1, fill: int = 0) -> DataFrame:
             )
         c = center.iloc[0]
         ts_w, ts_h = int(c["sw"]), int(c["sh"])
-        out = np.full((ts_h + 2 * pad, ts_w + 2 * pad), fill, dtype=np.uint8)
+        out = np.full((ts_h + 2 * pad, ts_w + 2 * pad), fill, dtype=np_dtype)
         for _, r in pdf.iterrows():
             sw, sh = int(r["sw"]), int(r["sh"])
-            strip = np.frombuffer(r["data"], dtype=np.uint8).reshape(sh, sw)
+            strip = np.frombuffer(r["data"], dtype=np_dtype).reshape(sh, sw)
             dx, dy = int(r["dx"]), int(r["dy"])
             x0 = {-1: 0, 0: pad, 1: pad + ts_w}[dx]
             y0 = {-1: 0, 0: pad, 1: pad + ts_h}[dy]
@@ -595,6 +601,113 @@ def contour_case_census(
         .agg(F.sum("n").alias("n"))
         .filter(F.col("n") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# proximity (distance raster via iterative halo relaxation)
+# ---------------------------------------------------------------------------
+
+PROX_SCHEMA = T.StructType(
+    [
+        T.StructField("gx", T.LongType()),
+        T.StructField("gy", T.LongType()),
+        T.StructField("d2", T.LongType()),
+    ]
+)
+
+
+def proximity_d2(
+    tiles: DataFrame, max_dist: int, tile_size: int
+) -> DataFrame:
+    """Squared distance from every pixel to the nearest TARGET pixel
+    (value != 0), bounded by ``max_dist`` — GDALComputeProximity
+    semantics (alg/gdalproximity.cpp:94: nearest-source coordinate
+    propagation; MAXDIST bound).
+
+    Distribution: per-pixel state is the packed nearest-target
+    coordinate; each round exchanges 1-px halos and runs an 8SSEDT
+    sweep per tile, so target information travels ≥ one tile per
+    round — ceil(max_dist / tile_size) + 1 rounds suffice for every
+    distance within the bound. Shuffle volume per round = tile
+    perimeters, not areas.
+
+    Output: (gx, gy, d2) rows with d2 <= max_dist².
+    """
+    n_rounds = max_dist // tile_size + 2
+
+    def init(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                ts_w, ts_h = int(r["w"]), int(r["h"])
+                tx, ty = int(r["tx"]), int(r["ty"])
+                arr = _tile_array(ts_w, ts_h, r["data"])
+                gx = tx * ts_w + np.arange(ts_w, dtype=np.int64)[None, :]
+                gy = ty * ts_h + np.arange(ts_h, dtype=np.int64)[:, None]
+                packed = raster.pack_coords(
+                    np.broadcast_to(gx, arr.shape),
+                    np.broadcast_to(gy, arr.shape),
+                    arr != 0,
+                )
+                rows.append(
+                    (int(r["z"]), tx, ty, ts_w, ts_h, packed.tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=["z", "tx", "ty", "w", "h", "data"]
+            )
+
+    state = tiles.mapInPandas(init, TILE_SCHEMA)
+
+    def relax(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                ts_w, ts_h, p = int(r["w"]), int(r["h"]), int(r["pad"])
+                tx, ty = int(r["tx"]), int(r["ty"])
+                win = np.frombuffer(r["data"], dtype=np.int64).reshape(
+                    ts_h + 2 * p, ts_w + 2 * p
+                )
+                out = raster.propagate_nearest(
+                    win, tx * ts_w - p, ty * ts_h - p
+                )
+                core = out[p : p + ts_h, p : p + ts_w]
+                rows.append(
+                    (int(r["z"]), tx, ty, ts_w, ts_h, core.tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=["z", "tx", "ty", "w", "h", "data"]
+            )
+
+    for _ in range(n_rounds):
+        padded = add_halo(state, pad=1, fill=-1, dtype="int64")
+        state = padded.mapInPandas(relax, TILE_SCHEMA).persist()
+
+    max_d2 = max_dist * max_dist
+
+    def emit(batches):
+        for pdf in batches:
+            frames = []
+            for _, r in pdf.iterrows():
+                ts_w, ts_h = int(r["w"]), int(r["h"])
+                tx, ty = int(r["tx"]), int(r["ty"])
+                packed = np.frombuffer(r["data"], dtype=np.int64).reshape(
+                    ts_h, ts_w
+                )
+                d2 = raster.nearest_d2(packed, tx * ts_w, ty * ts_h)
+                jj, ii = np.nonzero(d2 <= max_d2)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "gx": tx * ts_w + ii.astype(np.int64),
+                            "gy": ty * ts_h + jj.astype(np.int64),
+                            "d2": d2[jj, ii],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return state.mapInPandas(emit, PROX_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -262,6 +262,115 @@ def label_components(arr: np.ndarray) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# proximity: nearest-target coordinate propagation (8SSEDT)
+# ---------------------------------------------------------------------------
+
+# packed nearest-target coords: gx * 2^21 + gy (grids < 2^21 px/axis);
+# -1 = no target known yet
+_PACK_SHIFT = 21
+_PACK_MASK = (1 << _PACK_SHIFT) - 1
+D2_INF = np.int64(1) << 62
+
+
+def pack_coords(gx, gy, valid) -> np.ndarray:
+    gx = np.asarray(gx, dtype=np.int64)
+    gy = np.asarray(gy, dtype=np.int64)
+    return np.where(valid, (gx << _PACK_SHIFT) | gy, np.int64(-1))
+
+
+def unpack_coords(packed):
+    packed = np.asarray(packed, dtype=np.int64)
+    valid = packed >= 0
+    gx = np.where(valid, packed >> _PACK_SHIFT, 0)
+    gy = np.where(valid, packed & _PACK_MASK, 0)
+    return valid, gx, gy
+
+
+def propagate_nearest(packed: np.ndarray, gx0: int, gy0: int) -> np.ndarray:
+    """One forward+backward 8SSEDT sweep over a (halo-padded) window of
+    packed nearest-target coords — the per-chunk half of GDAL's
+    proximity scan (alg/gdalproximity.cpp:94, which propagates nearest
+    source coordinates scanline by scanline). (gx0, gy0) are the
+    global coords of pixel [0, 0]. Returns the updated packed array.
+    """
+    H, W = packed.shape
+    valid, bgx, bgy = unpack_coords(packed)
+    bgx = bgx.copy()
+    bgy = bgy.copy()
+    valid = valid.copy()
+    PX = gx0 + np.arange(W, dtype=np.int64)
+    PY = gy0 + np.arange(H, dtype=np.int64)
+
+    def row_d2(y):
+        dx = bgx[y] - PX
+        dy = bgy[y] - PY[y]
+        return np.where(valid[y], dx * dx + dy * dy, D2_INF)
+
+    def merge_from_row(y, src_y, shift):
+        g = np.roll(bgx[src_y], shift)
+        h = np.roll(bgy[src_y], shift)
+        v = np.roll(valid[src_y], shift)
+        if shift > 0:
+            v[:shift] = False
+        elif shift < 0:
+            v[shift:] = False
+        dx = g - PX
+        dy = h - PY[y]
+        cd = np.where(v, dx * dx + dy * dy, D2_INF)
+        better = cd < row_d2(y)
+        bgx[y][better] = g[better]
+        bgy[y][better] = h[better]
+        valid[y] |= better
+
+    def inrow_scan(y, xs):
+        py = PY[y]
+        for x in xs:
+            xp = x - 1 if xs.step == 1 else x + 1
+            if not valid[y, xp]:
+                continue
+            dx = bgx[y, xp] - PX[x]
+            dy = bgy[y, xp] - py
+            cd = dx * dx + dy * dy
+            if valid[y, x]:
+                dx2 = bgx[y, x] - PX[x]
+                dy2 = bgy[y, x] - py
+                cur = dx2 * dx2 + dy2 * dy2
+            else:
+                cur = D2_INF
+            if cd < cur:
+                bgx[y, x] = bgx[y, xp]
+                bgy[y, x] = bgy[y, xp]
+                valid[y, x] = True
+
+    # forward: top→bottom, in-row left→right
+    for y in range(H):
+        if y > 0:
+            for s in (-1, 0, 1):
+                merge_from_row(y, y - 1, s)
+        inrow_scan(y, range(1, W))
+    # backward: bottom→top, in-row right→left
+    for y in range(H - 1, -1, -1):
+        if y < H - 1:
+            for s in (-1, 0, 1):
+                merge_from_row(y, y + 1, s)
+        inrow_scan(y, range(W - 2, -1, -1))
+
+    return pack_coords(bgx, bgy, valid)
+
+
+def nearest_d2(packed: np.ndarray, gx0: int, gy0: int) -> np.ndarray:
+    """Squared distance of each pixel to its recorded nearest target
+    (D2_INF where none)."""
+    H, W = packed.shape
+    valid, gx, gy = unpack_coords(packed)
+    PX = gx0 + np.arange(W, dtype=np.int64)[None, :]
+    PY = gy0 + np.arange(H, dtype=np.int64)[:, None]
+    dx = gx - PX
+    dy = gy - PY
+    return np.where(valid, dx * dx + dy * dy, D2_INF)
+
+
+# ---------------------------------------------------------------------------
 # checksum
 # ---------------------------------------------------------------------------
 

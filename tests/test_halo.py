@@ -107,3 +107,62 @@ def test_point_probe_matches_direct_lookup(spark, tiles):
         py = int(np.floor(igt[3] + pdf["lon"][i] * igt[4] + pdf["lat"][i] * igt[5]))
         want = full[py, px] if 0 <= px < GW and 0 <= py < GH else -1
         assert got[i] == want, f"point {i}"
+
+
+def _brute_d2(targets_mask):
+    h, w = targets_mask.shape
+    ty, tx = np.nonzero(targets_mask)
+    out = np.full((h, w), raster.D2_INF, dtype=np.int64)
+    if len(tx) == 0:
+        return out
+    for y in range(h):
+        for x in range(w):
+            d2 = (tx - x) ** 2 + (ty - y) ** 2
+            out[y, x] = d2.min()
+    return out
+
+
+def test_propagate_nearest_kernel_exact_vs_brute():
+    rng = np.random.default_rng(2)
+    mask = rng.random((24, 24)) < 0.04
+    mask[0, 0] = True  # ensure at least one target
+    packed = raster.pack_coords(
+        np.broadcast_to(np.arange(24)[None, :], mask.shape),
+        np.broadcast_to(np.arange(24)[:, None], mask.shape),
+        mask,
+    )
+    out = raster.propagate_nearest(packed, 0, 0)
+    got = raster.nearest_d2(out, 0, 0)
+    np.testing.assert_array_equal(got, _brute_d2(mask))
+
+
+def test_proximity_d2_distributed_matches_brute(spark):
+    ts, nx = 12, 3  # 36x36 raster in 9 tiles
+    rng = np.random.default_rng(9)
+    full = (rng.random((ts * nx, ts * nx)) < 0.01).astype(np.uint8)
+    full[5, 30] = 1  # a target far from some tiles
+
+    rows = []
+    for ty in range(nx):
+        for tx in range(nx):
+            rows.append(
+                (0, tx, ty, ts, ts,
+                 full[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts].tobytes())
+            )
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["z", "tx", "ty", "w", "h", "data"])
+    )
+    max_dist = 20
+    got = {
+        (int(r["gx"]), int(r["gy"])): int(r["d2"])
+        for r in tiling.proximity_d2(tiles, max_dist, ts).collect()
+    }
+    brute = _brute_d2(full > 0)
+    want = {
+        (x, y): int(brute[y, x])
+        for y in range(ts * nx)
+        for x in range(ts * nx)
+        if brute[y, x] <= max_dist * max_dist
+    }
+    assert got == want
+    assert len(want) > 100  # bound actually bites somewhere or coverage real
