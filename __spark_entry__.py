@@ -969,6 +969,21 @@ def _q_pip_full_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("doc_id", "poly_id")
 
 
+def _q_geo_hull_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex hull per coarse cell over the doc points (ConvexHull
+    analog, ogr/ogrgeometry.cpp:4186). Rows-only gate: hull geometry
+    is not SQL-expressible; exact semantics pinned by
+    tests/test_geometry.py."""
+    from gdal_spark.cells import cell_expr
+    from gdal_spark.operators.geom_ops import convex_hull_per_key
+
+    pts = _doc_points(spark, sf_dir).withColumn(
+        "cell2", cell_expr(F.col("lon"), F.col("lat"), 2)
+    )
+    out = convex_hull_per_key(pts, ["cell2"])
+    return out.select("cell2", "n_vertices", "area_q6")
+
+
 def _q_tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.operators.text import lang_id
 
@@ -1084,6 +1099,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_lang_id": _q_tx_lang_id,
     "q_hstore_get": _q_hstore_get,
     "geo_area_centroid": _q_geo_area_centroid,
+    "geo_hull_cells": _q_geo_hull_cells,
     "geo_haversine_knn": _q_geo_haversine_knn,
     "rs_pyramid_checksum": _q_rs_pyramid,
     "rs_warp_nearest": _warp_query("nearest"),
@@ -1256,7 +1272,7 @@ ENGINE_ORACLES: dict[str, str] = {
 # exact oracle is the flood-fill pytest in tests/test_tiling.py)
 NO_ORACLE = {
     "dd_simhash", "sim_ann_lsh", "sim_ann_ivf", "rs_polygonize",
-    "rs_sieve_checksum",
+    "rs_sieve_checksum", "geo_hull_cells",
 }
 
 

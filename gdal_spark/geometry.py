@@ -273,3 +273,127 @@ def _seg_intersects_rect(x0, y0, x1, y1, minx, miny, maxx, maxy) -> bool:
             x0, y0, c0 = x, y, outcode(x, y)
         else:
             x1, y1, c1 = x, y, outcode(x, y)
+
+
+# ---------------------------------------------------------------------------
+# constructive ops (pure numpy — the engine's stand-ins for the
+# GEOS-backed methods of ogr/ogrgeometry.cpp)
+# ---------------------------------------------------------------------------
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Convex hull of a point set via Andrew's monotone chain
+    (ConvexHull analog, ogr/ogrgeometry.cpp:4186). Returns the hull as
+    a closed CCW ring (first == last); collinear points are dropped.
+    Degenerate inputs (<3 distinct points) return the distinct points
+    closed."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return np.vstack([pts, pts[:1]])
+    # lexicographic sort (x, then y)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = np.array(lower[:-1] + upper[:-1], dtype=np.float64)
+    return np.vstack([hull, hull[:1]])
+
+
+def simplify_dp(ring: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification (Simplify analog,
+    ogr/ogrgeometry.cpp:6360): keeps every vertex whose perpendicular
+    distance from the chord exceeds ``tolerance``. Deterministic,
+    endpoint-preserving; closed rings keep their closure."""
+    pts = np.asarray(ring, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        a, b = pts[i0], pts[i1]
+        ab = b - a
+        seg_len2 = float(ab @ ab)
+        mids = pts[i0 + 1 : i1]
+        if seg_len2 == 0.0:
+            d = np.hypot(*(mids - a).T)
+        else:
+            # perpendicular distance to the infinite chord line
+            d = np.abs(ab[0] * (mids[:, 1] - a[1]) - ab[1] * (mids[:, 0] - a[0]))
+            d = d / np.sqrt(seg_len2)
+        j = int(np.argmax(d))
+        if d[j] > tolerance:
+            k = i0 + 1 + j
+            keep[k] = True
+            stack.append((i0, k))
+            stack.append((k, i1))
+    return pts[keep]
+
+
+def clip_ring_to_rect(
+    ring: np.ndarray, minx: float, miny: float, maxx: float, maxy: float
+) -> np.ndarray:
+    """Sutherland-Hodgman clip of a (convex or concave) ring against an
+    axis-aligned rectangle — the per-cell clipping used to split giant
+    polygons across coarse cover cells (SURVEY.md §7.3; the Clip layer
+    op of ogr/ogrlayer.cpp:5497 restricted to rect windows). Returns a
+    closed ring (possibly empty: shape (0, 2))."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    edges = [
+        ("x>=", minx), ("x<=", maxx), ("y>=", miny), ("y<=", maxy),
+    ]
+
+    def inside(p, kind, v):
+        if kind == "x>=":
+            return p[0] >= v
+        if kind == "x<=":
+            return p[0] <= v
+        if kind == "y>=":
+            return p[1] >= v
+        return p[1] <= v
+
+    def intersect(a, b, kind, v):
+        if kind in ("x>=", "x<="):
+            t = (v - a[0]) / (b[0] - a[0])
+            return np.array([v, a[1] + t * (b[1] - a[1])])
+        t = (v - a[1]) / (b[1] - a[1])
+        return np.array([a[0] + t * (b[0] - a[0]), v])
+
+    poly = [p for p in pts]
+    for kind, v in edges:
+        if not poly:
+            break
+        out = []
+        for i, cur in enumerate(poly):
+            prev = poly[i - 1]
+            cur_in = inside(cur, kind, v)
+            prev_in = inside(prev, kind, v)
+            if cur_in:
+                if not prev_in:
+                    out.append(intersect(prev, cur, kind, v))
+                out.append(cur)
+            elif prev_in:
+                out.append(intersect(prev, cur, kind, v))
+        poly = out
+    if not poly:
+        return np.zeros((0, 2), dtype=np.float64)
+    arr = np.array(poly, dtype=np.float64)
+    return np.vstack([arr, arr[:1]])

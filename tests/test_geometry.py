@@ -8,7 +8,10 @@ import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+import pytest
+
 from gdal_spark import geometry as G
+from gdal_spark import geometry
 
 SQUARE = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
 # concave "staircase" polygon
@@ -167,3 +170,112 @@ def test_hypothesis_raycast_winding_consistent(px, py):
         rc = G.points_in_ring(p_x, p_y, CONCAVE)[0]
         wn = G.winding_number(p_x, p_y, CONCAVE)[0] != 0
         assert rc == wn
+
+
+# ---------------------------------------------------------------------------
+# constructive ops
+# ---------------------------------------------------------------------------
+
+
+def test_convex_hull_square_with_interior():
+    pts = np.array(
+        [[0, 0], [4, 0], [4, 4], [0, 4], [2, 2], [1, 3], [3, 1], [2, 0]],
+        dtype=float,
+    )
+    hull = geometry.convex_hull(pts)
+    assert (hull[0] == hull[-1]).all()
+    corners = {(0, 0), (4, 0), (4, 4), (0, 4)}
+    assert {tuple(p) for p in hull[:-1]} == corners
+    # CCW orientation → positive shoelace area
+    assert geometry.ring_area(hull) == pytest.approx(16.0)
+
+
+def test_convex_hull_properties_random():
+    rng = np.random.default_rng(4)
+    pts = rng.normal(size=(200, 2))
+    hull = geometry.convex_hull(pts)
+    assert geometry.ring_area(hull) > 0  # CCW
+    # every input point is inside or on the hull
+    inside = geometry.points_in_polygon(
+        pts[:, 0], pts[:, 1], [hull], boundary_is_inside=True
+    )
+    assert inside.all()
+
+
+def test_simplify_dp_drops_collinear_keeps_corners():
+    line = np.array(
+        [[0, 0], [1, 0.001], [2, 0], [3, 0], [4, 5], [5, 0]], dtype=float
+    )
+    out = geometry.simplify_dp(line, tolerance=0.01)
+    # near-collinear points dropped, the spike at (4,5) kept
+    assert [tuple(p) for p in out] == [(0, 0), (3, 0), (4, 5), (5, 0)]
+    # zero tolerance keeps everything
+    assert len(geometry.simplify_dp(line, 0.0)) == len(line)
+
+
+def test_clip_ring_to_rect_partial_overlap():
+    ring = np.array(
+        [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float
+    )
+    out = geometry.clip_ring_to_rect(ring, 5, 5, 15, 15)
+    assert abs(geometry.ring_area(out)) == pytest.approx(25.0)
+    out2 = geometry.clip_ring_to_rect(ring, 20, 20, 30, 30)
+    assert len(out2) == 0
+
+
+def test_clip_partition_conserves_area():
+    """Clipping a polygon against a grid of cells partitions its area
+    exactly — the invariant behind per-cell splitting of giant
+    polygons."""
+    ring = np.array(
+        [[0.5, 0.2], [9.3, 1.1], [7.7, 8.8], [2.1, 6.4], [0.5, 0.2]],
+        dtype=float,
+    )
+    total = abs(geometry.ring_area(ring))
+    acc = 0.0
+    for cx in range(0, 10, 2):
+        for cy in range(0, 10, 2):
+            part = geometry.clip_ring_to_rect(ring, cx, cy, cx + 2, cy + 2)
+            if len(part):
+                acc += abs(geometry.ring_area(part))
+    assert acc == pytest.approx(total, rel=1e-12)
+
+
+def test_convex_hull_per_key_spark(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "grp": [0] * 5 + [1] * 4,
+            "lon": [0, 4, 4, 0, 2, 10, 12, 12, 10],
+            "lat": [0, 0, 4, 4, 2, 10, 10, 12, 12],
+        }
+    )
+    from gdal_spark.operators.geom_ops import convex_hull_per_key
+
+    out = {
+        int(r["grp"]): (int(r["n_vertices"]), int(r["area_q6"]))
+        for r in convex_hull_per_key(
+            spark.createDataFrame(pdf), ["grp"]
+        ).collect()
+    }
+    assert out[0] == (4, 16_000_000)   # square, interior point dropped
+    assert out[1] == (4, 4_000_000)    # 2x2 square
+
+
+def test_clip_polygons_to_cells_partitions_area(spark):
+    from gdal_spark.operators.geom_ops import clip_polygons_to_cells
+    from gdal_spark.testdata import polygons_pdf
+
+    pdf = polygons_pdf(8)
+    out = clip_polygons_to_cells(spark, pdf, res=4).toPandas()
+    # per-polygon: sum of piece areas == full polygon area (incl. holes)
+    from gdal_spark import wkb as wkb_mod
+
+    for pid, buf in zip(pdf["poly_id"], pdf["geom_wkb"]):
+        parts = wkb_mod.polygon_rings(bytes(buf))
+        want = sum(geometry.polygon_area(p) for p in parts)
+        got = out[out["poly_id"] == pid]["area_q6"].sum() / 1e6
+        assert got == pytest.approx(want, abs=2e-5), f"poly {pid}"
+    # the giant polygon (poly 0) really was split across many cells
+    assert (out["poly_id"] == 0).sum() > 20
