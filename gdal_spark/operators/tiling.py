@@ -1208,3 +1208,29 @@ def polygonize(tiles: DataFrame, nx: int | None = None) -> DataFrame:
         .drop("rtkey", "rlab")
     )
     return merged.select([f.name for f in REGION_SCHEMA])
+
+
+def footprint(tiles: DataFrame, threshold: int = 1) -> DataFrame:
+    """Raster footprint: outline regions of valid data (val >=
+    threshold) — the mask + polygonize composition of gdal_footprint
+    (apps/gdal_footprint_lib.cpp:826,1281). Returns the valid-data
+    regions (value=1 rows of the polygonize output) with pixel counts
+    and bboxes; feed the bboxes/pieces to geometry.simplify_dp for the
+    simplified outline."""
+
+    def binarize(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = _tile_array(int(r["w"]), int(r["h"]), r["data"])
+                rows.append(
+                    (int(r["z"]), int(r["tx"]), int(r["ty"]),
+                     int(r["w"]), int(r["h"]),
+                     (arr >= threshold).astype(np.uint8).tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=["z", "tx", "ty", "w", "h", "data"]
+            )
+
+    mask = tiles.mapInPandas(binarize, TILE_SCHEMA)
+    return polygonize(mask).filter(F.col("value") == 1)

@@ -101,3 +101,16 @@ def test_mosaic_priority_and_nodata_show_through(spark):
     rows = tiling.mosaic([ta, tc]).collect()
     got = {(int(r["tx"]), int(r["ty"])) for r in rows}
     assert got == {(0, 0), (5, 5)}
+
+
+def test_footprint_outlines_valid_data(spark):
+    full = np.zeros((16, 16), dtype=np.uint8)
+    full[2:6, 2:10] = 200   # one data patch crossing a tile border
+    full[10:14, 12:15] = 50
+    tiles = _tiles_from_array(spark, full, 8)
+    rows = sorted(
+        (int(r["n_pixels"]), int(r["min_gx"]), int(r["min_gy"]),
+         int(r["max_gx"]), int(r["max_gy"]))
+        for r in tiling.footprint(tiles, threshold=1).collect()
+    )
+    assert rows == [(12, 12, 10, 14, 13), (32, 2, 2, 9, 5)]
