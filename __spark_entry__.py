@@ -132,26 +132,32 @@ _QTY = "CAST(ROUND(l_quantity) AS BIGINT)"
 
 SHARED_SQL: dict[str, str] = {
     # --- scans / filters / aggregates (SURVEY §2.2, §2.4) ---
+    # NOTE: every SUM is wrapped in CAST(... AS BIGINT): DuckDB types
+    # SUM(BIGINT) as HUGEINT which materializes as float64 in pandas,
+    # breaking the driver's dtype-aware value hash (Spark returns
+    # int64).  The CAST is a no-op on the Spark side.
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               SUM({_QTY}) AS sum_qty,
-               SUM({_CENTS}) AS sum_base_cents,
-               SUM({_CENTS} * (100 - {_DISC})) AS sum_disc_c4,
-               SUM({_CENTS} * (100 - {_DISC}) * (100 + {_TAX})) AS sum_charge_c6,
+               CAST(SUM({_QTY}) AS BIGINT) AS sum_qty,
+               CAST(SUM({_CENTS}) AS BIGINT) AS sum_base_cents,
+               CAST(SUM({_CENTS} * (100 - {_DISC})) AS BIGINT) AS sum_disc_c4,
+               CAST(SUM({_CENTS} * (100 - {_DISC}) * (100 + {_TAX})) AS BIGINT)
+                 AS sum_charge_c6,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus""",
     "q6_revenue_filter": f"""
-        SELECT SUM({_CENTS} * {_DISC}) AS revenue_c4, COUNT(*) AS n
+        SELECT CAST(SUM({_CENTS} * {_DISC}) AS BIGINT) AS revenue_c4,
+               COUNT(*) AS n
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.03 AND 0.07
           AND l_quantity < 24""",
-    "q_count_fast": "SELECT COUNT(*) AS n_rows FROM lineitem",
     "q_groupby_having": f"""
-        SELECT l_suppkey, COUNT(*) AS n, SUM({_QTY}) AS total_qty
+        SELECT l_suppkey, COUNT(*) AS n,
+               CAST(SUM({_QTY}) AS BIGINT) AS total_qty
         FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 50""",
     "q_distinct": "SELECT DISTINCT o_orderpriority FROM orders",
     "q_count_distinct": """
@@ -166,7 +172,7 @@ SHARED_SQL: dict[str, str] = {
     # --- joins (SURVEY §2.3) ---
     "q3_shipping_topk": f"""
         SELECT o_orderkey,
-               SUM({_CENTS} * (100 - {_DISC})) AS revenue_c4,
+               CAST(SUM({_CENTS} * (100 - {_DISC})) AS BIGINT) AS revenue_c4,
                o_orderdate, o_orderpriority
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -178,7 +184,7 @@ SHARED_SQL: dict[str, str] = {
         ORDER BY revenue_c4 DESC, o_orderkey LIMIT 10""",
     "q5_local_supplier": f"""
         SELECT n_name,
-               SUM({_CENTS} * (100 - {_DISC})) AS revenue_c4
+               CAST(SUM({_CENTS} * (100 - {_DISC})) AS BIGINT) AS revenue_c4
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -230,7 +236,8 @@ SHARED_SQL: dict[str, str] = {
     "q_window_events": """
         SELECT user_id, event_id, event_type,
                ROW_NUMBER() OVER w AS rn,
-               SUM(CAST(ROUND(value * 10000) AS BIGINT)) OVER w AS running_v4,
+               CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) OVER w
+                    AS BIGINT) AS running_v4,
                LAG(event_type) OVER w AS prev_type
         FROM events WHERE user_id % 37 = 0
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
@@ -239,9 +246,9 @@ SHARED_SQL: dict[str, str] = {
         SELECT MIN({_QTY}) AS min_qty, MAX({_QTY}) AS max_qty,
                COUNT(*) AS cnt,
                COUNT(DISTINCT l_returnflag) AS n_flags,
-               SUM({_QTY}) AS sum_qty,
+               CAST(SUM({_QTY}) AS BIGINT) AS sum_qty,
                CAST(SUM({_QTY}) AS DOUBLE) / COUNT(*) AS avg_qty,
-               SUM({_QTY} * {_QTY}) AS sumsq_qty
+               CAST(SUM({_QTY} * {_QTY}) AS BIGINT) AS sumsq_qty
         FROM lineitem""",
     # --- spatial: cell encode / parent rollup / bbox / tiles ---
     "sp_cell_encode": f"""
@@ -837,8 +844,8 @@ def _pyramid_oracle_sql() -> str:
         SELECT {zz} AS z,
                CAST(FLOOR(gx / {ts}e0) AS BIGINT) AS tx,
                CAST(FLOOR(gy / {ts}e0) AS BIGINT) AS ty,
-               SUM(v * (((gy % {ts}) * {ts} + (gx % {ts})) % 11 + 1))
-                 % 2147483648 AS cks
+               CAST(SUM(v * (((gy % {ts}) * {ts} + (gx % {ts})) % 11 + 1))
+                 % 2147483648 AS BIGINT) AS cks
         FROM {src} GROUP BY 2, 3"""
 
     reduce_tpl = """

@@ -58,17 +58,32 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 10,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard ≥ threshold_num/threshold_den.
+    """Exact n-gram Jaccard ≥ threshold_num/threshold_den.
 
     Integer-math threshold (inter*den >= union*num) — no float compare.
     Output: (doc_a, doc_b, inter_cnt, union_cnt).
 
-    Scale note: the gram self-join is quadratic in docs-per-gram; at
-    100 TB this runs AFTER MinHash-LSH candidate pruning
-    (minhash_lsh_pairs) — here it doubles as the exactness oracle path.
+    ``candidates`` (columns doc_a < doc_b) restricts the computation to
+    a candidate pair set: the gram table is LEFT-SEMI-joined to the
+    candidate doc ids BEFORE the quadratic gram self-join, and the
+    aggregated pairs are inner-joined back to ``candidates`` — so the
+    work is O(candidate docs' grams), not O(corpus grams).  This is the
+    verification path of minhash_lsh_pairs; without ``candidates`` it
+    is the exact all-pairs oracle (quadratic in docs-per-gram — at
+    100 TB always pass candidates from an LSH stage).
     """
     grams = _gram_table(df, id_col, text_col, n)
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("doc_a").alias("__id"))
+            .unionByName(candidates.select(F.col("doc_b").alias("__id")))
+            .distinct()
+        )
+        grams = grams.join(cand_ids, "__id", "left_semi")
+    # sizes from the (possibly pruned) gram table: per-doc gram counts
+    # are unaffected by dropping other docs' rows
     sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -78,6 +93,8 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter_cnt"))
     )
+    if candidates is not None:
+        inter = inter.join(candidates.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
     sa = sizes.select(F.col("__id").alias("doc_a"), F.col("sz").alias("__sa"))
     sb = sizes.select(F.col("__id").alias("doc_b"), F.col("sz").alias("__sb"))
     return (
@@ -159,15 +176,12 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(
-        df, id_col, text_col, n, threshold_num, threshold_den
-    ).withColumnRenamed("doc_a", "ea").withColumnRenamed("doc_b", "eb")
-    return (
-        cand.join(
-            exact,
-            (F.col("doc_a") == F.col("ea")) & (F.col("doc_b") == F.col("eb")),
-        )
-        .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+    # exact verification restricted to the LSH candidates: the gram
+    # table is candidate-pruned before its self-join (no quadratic
+    # full-corpus pass — the whole point of the LSH stage)
+    return ngram_jaccard_pairs(
+        df, id_col, text_col, n, threshold_num, threshold_den,
+        candidates=cand,
     )
 
 

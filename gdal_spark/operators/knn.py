@@ -127,7 +127,13 @@ def knn_join_df(
             F.count(F.lit(1)).alias("__n"), F.max("__d2").alias("__worst")
         )
         if ring >= max_rings:
-            done_q = stats.select(qid_col)
+            # final ring: retire EVERY pending query, including ones
+            # with zero candidates (e.g. caller passed a small
+            # max_rings, or the points table is empty) — they emit
+            # their best-so-far rows (possibly none, which is the
+            # correct kNN of an unreachable/empty point set) instead
+            # of silently vanishing from the loop state
+            done_q = pending.select(qid_col)
         else:
             done_q = stats.filter(
                 (F.col("__n") >= k) & (F.col("__worst") <= guarantee)

@@ -178,7 +178,11 @@ def overview_level(tiles: DataFrame, method: str = "average") -> DataFrame:
     parent = tiles.withColumn("ptx", (F.col("tx") / 2).cast("long")).withColumn(
         "pty", (F.col("ty") / 2).cast("long")
     )
-    return parent.groupBy("ptx", "pty").applyInPandas(reduce_group, TILE_SCHEMA)
+    # z in the keys: a multi-zoom input (e.g. a pyramid() output fed
+    # back in) must never merge tiles from different levels
+    return parent.groupBy("z", "ptx", "pty").applyInPandas(
+        reduce_group, TILE_SCHEMA
+    )
 
 
 def pyramid(
@@ -306,40 +310,76 @@ def warp_affine(
     (val = nodata -1 outside src; bilinear values are
     round(bilinear_scale * v) for integer exactness).
 
-    Distribution: dst blocks enumerated on the driver (metadata only),
-    each block's src-tile cover computed from the affine corners, then
-    an equi-join ships exactly the needed src tiles to each block's
-    gather task (CollectChunkList analog, alg/gdalwarpoperation.cpp:930).
+    Distribution: dst blocks enumerated JVM-side via spark.range (a
+    100 TB raster has billions of blocks — never a driver Python
+    list); each block's src-tile cover is four affine corner
+    expressions + a sequence() explode, then an equi-join ships
+    exactly the needed src tiles to each block's gather task
+    (CollectChunkList analog, alg/gdalwarpoperation.cpp:930).
     """
     spark = src_tiles.sparkSession
-    pairs = []
-    for j0 in range(0, dst_h, dst_block):
-        for i0 in range(0, dst_w, dst_block):
-            bw = min(dst_block, dst_w - i0)
-            bh = min(dst_block, dst_h - j0)
-            # src bbox of this dst block (affine → corners suffice)
-            ci = np.array([i0, i0 + bw, i0, i0 + bw], dtype=np.float64)
-            cj = np.array([j0, j0, j0 + bh, j0 + bh], dtype=np.float64)
-            gx, gy = raster.apply_gt(dst_gt, ci, cj)
-            igt = raster.inv_gt(src_gt)
-            sx = igt[0] + gx * igt[1] + gy * igt[2]
-            sy = igt[3] + gx * igt[4] + gy * igt[5]
-            pad = 2.0  # bilinear support + safety
-            sx0 = max(0, int(np.floor(sx.min() - pad)))
-            sx1 = min(src_w - 1, int(np.ceil(sx.max() + pad)))
-            sy0 = max(0, int(np.floor(sy.min() - pad)))
-            sy1 = min(src_h - 1, int(np.ceil(sy.max() + pad)))
-            if sx1 < 0 or sy1 < 0 or sx0 > src_w - 1 or sy0 > src_h - 1:
-                continue
-            for sty in range(sy0 // src_tile_size, sy1 // src_tile_size + 1):
-                for stx in range(sx0 // src_tile_size, sx1 // src_tile_size + 1):
-                    pairs.append((i0, j0, bw, bh, stx, sty))
-    if not pairs:
-        return spark.createDataFrame([], WARP_PIXEL_SCHEMA)
-    pairs_df = spark.createDataFrame(
-        pd.DataFrame(
-            pairs, columns=["i0", "j0", "bw", "bh", "stx", "sty"]
+    igt = raster.inv_gt(src_gt)
+    nbx = (dst_w + dst_block - 1) // dst_block
+    nby = (dst_h + dst_block - 1) // dst_block
+
+    i0 = (F.col("id") % nbx) * dst_block
+    j0 = F.expr(f"id DIV {nbx}") * dst_block
+    bw = F.least(F.lit(dst_block), F.lit(dst_w) - i0)
+    bh = F.least(F.lit(dst_block), F.lit(dst_h) - j0)
+
+    def src_xy(ci, cj):
+        gx = F.lit(dst_gt[0]) + ci * dst_gt[1] + cj * dst_gt[2]
+        gy = F.lit(dst_gt[3]) + ci * dst_gt[4] + cj * dst_gt[5]
+        return (
+            F.lit(igt[0]) + gx * igt[1] + gy * igt[2],
+            F.lit(igt[3]) + gx * igt[4] + gy * igt[5],
         )
+
+    corners = [
+        src_xy(ci.cast("double"), cj.cast("double"))
+        for ci, cj in [
+            (i0, j0), (i0 + bw, j0), (i0, j0 + bh), (i0 + bw, j0 + bh)
+        ]
+    ]
+    pad = 2.0  # bilinear support + safety
+    sx_lo = F.floor(F.least(*[c[0] for c in corners]) - pad).cast("long")
+    sx_hi = F.ceil(F.greatest(*[c[0] for c in corners]) + pad).cast("long")
+    sy_lo = F.floor(F.least(*[c[1] for c in corners]) - pad).cast("long")
+    sy_hi = F.ceil(F.greatest(*[c[1] for c in corners]) + pad).cast("long")
+
+    blocks = (
+        spark.range(nbx * nby)
+        .select(
+            i0.alias("i0"), j0.alias("j0"), bw.alias("bw"), bh.alias("bh"),
+            F.greatest(sx_lo, F.lit(0)).alias("sx0"),
+            F.least(sx_hi, F.lit(src_w - 1)).alias("sx1"),
+            F.greatest(sy_lo, F.lit(0)).alias("sy0"),
+            F.least(sy_hi, F.lit(src_h - 1)).alias("sy1"),
+        )
+        .filter(
+            (F.col("sx1") >= 0) & (F.col("sy1") >= 0)
+            & (F.col("sx0") <= src_w - 1) & (F.col("sy0") <= src_h - 1)
+        )
+    )
+    ts_ = src_tile_size
+    pairs_df = (
+        blocks.withColumn(
+            "stx",
+            F.explode(
+                F.sequence(
+                    F.expr(f"sx0 DIV {ts_}"), F.expr(f"sx1 DIV {ts_}")
+                )
+            ),
+        )
+        .withColumn(
+            "sty",
+            F.explode(
+                F.sequence(
+                    F.expr(f"sy0 DIV {ts_}"), F.expr(f"sy1 DIV {ts_}")
+                )
+            ),
+        )
+        .select("i0", "j0", "bw", "bh", "stx", "sty")
     )
     joined = pairs_df.join(
         src_tiles.withColumnRenamed("tx", "stx").withColumnRenamed("ty", "sty"),
@@ -371,12 +411,18 @@ def warp_affine(
         sx, sy = raster.dst_to_src_coords(dst_gt, src_gt, bw, bh, i0, j0)
         # shift to window coords; clip handled by kernels via window size
         sxw, syw = sx - wx0, sy - wy0
+        wh_, ww_ = valid.shape
         if method == "nearest":
             out = raster.warp_nearest(win, sxw, syw)
             # mask pixels whose src lies outside the full raster
             ixg = np.floor(sx).astype(np.int64)
             iyg = np.floor(sy).astype(np.int64)
             bad = (ixg < 0) | (ixg >= src_w) | (iyg < 0) | (iyg >= src_h)
+            # ...or whose src tile is absent from src_tiles (sparse
+            # raster): the mosaic window reads 0 there, not nodata
+            ixw = np.clip(ixg - wx0, 0, ww_ - 1)
+            iyw = np.clip(iyg - wy0, 0, wh_ - 1)
+            bad |= ~valid[iyw, ixw]
             out[bad] = raster.NODATA
         elif method == "bilinear":
             out = raster.warp_bilinear_q(win, sxw, syw, scale=bilinear_scale)
@@ -385,6 +431,13 @@ def warp_affine(
             x0 = np.floor(fx).astype(np.int64)
             y0 = np.floor(fy).astype(np.int64)
             bad = (x0 < 0) | (x0 + 1 >= src_w) | (y0 < 0) | (y0 + 1 >= src_h)
+            # all 4 bilinear support pixels must come from present tiles
+            x0w = np.clip(x0 - wx0, 0, ww_ - 2)
+            y0w = np.clip(y0 - wy0, 0, wh_ - 2)
+            bad |= ~(
+                valid[y0w, x0w] & valid[y0w, x0w + 1]
+                & valid[y0w + 1, x0w] & valid[y0w + 1, x0w + 1]
+            )
             out[bad] = raster.NODATA
         else:
             raise ValueError(f"unknown warp method {method!r}")
@@ -520,7 +573,8 @@ def add_halo(
             }
         )
 
-    return strips.groupBy("dtx", "dty").applyInPandas(
+    # z in the keys (same reason as overview_level: multi-level safety)
+    return strips.groupBy("z", "dtx", "dty").applyInPandas(
         assemble, HALO_TILE_SCHEMA
     )
 
@@ -678,9 +732,16 @@ def proximity_d2(
                 rows, columns=["z", "tx", "ty", "w", "h", "data"]
             )
 
+    prev = None
     for _ in range(n_rounds):
         padded = add_halo(state, pad=1, fill=-1, dtype="int64")
         state = padded.mapInPandas(relax, TILE_SCHEMA).persist()
+        # materialize this round, then drop the previous round's cache
+        # (bounded cache pressure: 1 live state, not n_rounds)
+        state.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = state
 
     max_d2 = max_dist * max_dist
 
@@ -752,16 +813,26 @@ def point_probe_nearest(
     # broadcast when the raster fits (fixture-sized); at scale leave
     # it to a shuffle join co-partitioned on (tx, ty)
     tside = F.broadcast(tiles) if broadcast_tiles else tiles
-    joined = inside.join(tside, ["tx", "ty"], "inner")
+    # LEFT join: a point whose tile row is absent (sparse raster) must
+    # still yield a row (val = nodata), per the (id, val) contract
+    joined = inside.join(tside, ["tx", "ty"], "left")
 
     def gather(batches):
         for pdf in batches:
-            vals = np.empty(len(pdf), dtype=np.int64)
-            for i, (_, r) in enumerate(pdf.iterrows()):
-                arr = _tile_array(int(r["w"]), int(r["h"]), r["data"])
-                vals[i] = arr[
-                    int(r["py"]) % int(r["h"]), int(r["px"]) % int(r["w"])
-                ]
+            pdf = pdf.reset_index(drop=True)
+            vals = np.full(len(pdf), raster.NODATA, dtype=np.int64)
+            has = pdf["data"].notna()
+            if has.any():
+                # decode each tile buffer ONCE, then vectorized fancy
+                # indexing over that tile's whole point batch —
+                # per-tile cardinality work, never per-point Python
+                for _, g in pdf[has].groupby(["tx", "ty"], sort=False):
+                    r0 = g.iloc[0]
+                    h, w = int(r0["h"]), int(r0["w"])
+                    arr = _tile_array(w, h, r0["data"])
+                    pxl = g["px"].to_numpy(dtype=np.int64)
+                    pyl = g["py"].to_numpy(dtype=np.int64)
+                    vals[g.index.to_numpy()] = arr[pyl % h, pxl % w]
             yield pd.DataFrame({"id": pdf["id"], "val": vals})
 
     hit = joined.mapInPandas(gather, "id long, val long")
@@ -933,13 +1004,17 @@ def sieve(tiles: DataFrame, threshold: int) -> DataFrame:
     Distributed plan: the shared per-tile pass labels tiles in
     parallel and emits region stats, within-tile label adjacency and
     border pixels; same-value borders union regions across tiles
-    (polygonize machinery), ALL-value adjacency builds the region
-    neighbour graph. The graph — O(regions), raster-area-independent —
-    is merged on the driver: small regions absorb into their largest
-    current neighbour (ties → smaller region id), repeating until no
-    mergeable small region remains, exactly the progressive merge of
-    the reference. A broadcast (tile, local label) → value map then
-    rewrites every tile in one parallel pass.
+    (polygonize machinery). Region sizes/values stay DISTRIBUTED
+    (groupBy root); the driver collects ONLY the small-region subgraph
+    — regions under ``threshold``, edges incident to them, and the
+    stats of their direct neighbours (O(small regions + incident
+    edges), never O(all regions): a noisy 100 TB raster has O(pixels)
+    regions but the merge inputs are bounded by the small ones).
+    Small regions absorb into their largest current neighbour (ties →
+    smaller region id), repeating until no mergeable small region
+    remains, exactly the progressive merge of the reference. The
+    changed labels flow back as a JOIN (per-tile change lists), not a
+    broadcast dict over all labels.
 
     Returns new tiles (same schema/geometry, values rewritten).
     """
@@ -947,41 +1022,107 @@ def sieve(tiles: DataFrame, threshold: int) -> DataFrame:
     tiles = tiles.persist()
     parts = _tile_parts(tiles).persist()
 
-    # 1. same-value cross-tile merge → global regions
+    # 1. same-value cross-tile merge → root map (edges are O(tile
+    # perimeter), the only full collect in the operator)
     parent: dict[tuple, tuple] = {}
     find = _make_find(parent)
     for r in _cross_tile_edges(parts, same_value_only=True).collect():
         ra, rb = find((r.ta, r.la)), find((r.tb, r.lb))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
+    map_items = [
+        (int(k[0]), int(k[1]), int(v[0]), int(v[1]))
+        for k in list(parent)
+        for v in [find(k)]
+        if k != v
+    ]
+    map_df = spark.createDataFrame(
+        map_items or [], "tkey long, lab long, rtkey long, rlab long"
+    )
 
-    region_rows = parts.filter(F.col("kind") == "region").select(
-        "tkey", "lab", "value", "n_pixels"
-    ).collect()
+    regions = parts.filter(F.col("kind") == "region")
+    rooted = (
+        regions.join(F.broadcast(map_df), ["tkey", "lab"], "left")
+        .withColumn("rtkey", F.coalesce("rtkey", "tkey"))
+        .withColumn("rlab", F.coalesce("rlab", "lab"))
+        .select("tkey", "lab", "rtkey", "rlab", "value", "n_pixels")
+        .persist()
+    )
+    stats = (
+        rooted.groupBy("rtkey", "rlab")
+        .agg(F.sum("n_pixels").alias("rsize"), F.first("value").alias("rvalue"))
+        .persist()
+    )
+
+    # 2. root-level neighbour edges (within-tile adj + all-value
+    # borders), restricted to edges touching a small root
+    adj = parts.filter(F.col("kind") == "adj").select(
+        F.col("tkey").alias("ta"), F.col("lab").alias("la"),
+        F.col("tkey").alias("tb"), F.col("n_pixels").alias("lb"),
+    )
+    edges = adj.unionByName(
+        _cross_tile_edges(parts, same_value_only=False)
+    )
+    ma = map_df.select(
+        F.col("tkey").alias("ta"), F.col("lab").alias("la"),
+        F.col("rtkey").alias("rta"), F.col("rlab").alias("rla"),
+    )
+    mb = map_df.select(
+        F.col("tkey").alias("tb"), F.col("lab").alias("lb"),
+        F.col("rtkey").alias("rtb"), F.col("rlab").alias("rlb"),
+    )
+    redges = (
+        edges.join(F.broadcast(ma), ["ta", "la"], "left")
+        .join(F.broadcast(mb), ["tb", "lb"], "left")
+        .select(
+            F.coalesce("rta", "ta").alias("at"),
+            F.coalesce("rla", "la").alias("al"),
+            F.coalesce("rtb", "tb").alias("bt"),
+            F.coalesce("rlb", "lb").alias("bl"),
+        )
+        .filter((F.col("at") != F.col("bt")) | (F.col("al") != F.col("bl")))
+        .distinct()
+        .persist()
+    )
+    small = stats.filter(F.col("rsize") < threshold)
+    sa = small.select(F.col("rtkey").alias("at"), F.col("rlab").alias("al"))
+    sb = small.select(F.col("rtkey").alias("bt"), F.col("rlab").alias("bl"))
+    incident = (
+        redges.join(sa, ["at", "al"], "left_semi")
+        .unionByName(redges.join(sb, ["bt", "bl"], "left_semi"))
+        .distinct()
+    )
+    edge_rows = incident.collect()
+    ends = (
+        incident.select(F.col("at").alias("rtkey"), F.col("al").alias("rlab"))
+        .unionByName(
+            incident.select(F.col("bt").alias("rtkey"), F.col("bl").alias("rlab"))
+        )
+        .distinct()
+        .join(stats, ["rtkey", "rlab"])
+    )
+    stat_rows = ends.unionByName(small.join(ends, ["rtkey", "rlab"],
+                                            "left_anti")).collect()
+    sieve.last_stats = {
+        "collected_edges": len(edge_rows),
+        "collected_stats": len(stat_rows),
+        "total_regions": stats.count(),
+    }
+
     size: dict[tuple, int] = {}
     value: dict[tuple, int] = {}
-    for r in region_rows:
-        root = find((r.tkey, r.lab))
-        size[root] = size.get(root, 0) + int(r.n_pixels)
-        value[root] = int(r.value)
+    nbrs: dict[tuple, set] = {}
+    for r in stat_rows:
+        k = (int(r.rtkey), int(r.rlab))
+        size[k] = int(r.rsize)
+        value[k] = int(r.rvalue)
+        nbrs.setdefault(k, set())
+    for r in edge_rows:
+        a, b = (int(r.at), int(r.al)), (int(r.bt), int(r.bl))
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
 
-    # 2. neighbour graph over roots (within-tile adj + all-value borders)
-    nbrs: dict[tuple, set] = {root: set() for root in size}
-
-    def add_edge(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            nbrs[ra].add(rb)
-            nbrs[rb].add(ra)
-
-    for r in parts.filter(F.col("kind") == "adj").select(
-        "tkey", "lab", "n_pixels"
-    ).collect():
-        add_edge((r.tkey, r.lab), (r.tkey, int(r.n_pixels)))
-    for r in _cross_tile_edges(parts, same_value_only=False).collect():
-        add_edge((r.ta, r.la), (r.tb, r.lb))
-
-    # 3. progressive merge on the driver (graph is small)
+    # 3. progressive merge on the driver (small-region subgraph only)
     merged_into: dict[tuple, tuple] = {}
 
     def resolve(a):
@@ -1005,35 +1146,51 @@ def sieve(tiles: DataFrame, threshold: int) -> DataFrame:
             nbrs.setdefault(target, set()).update(nbrs.pop(root, set()))
             changed = True
 
-    # 4. final (tkey, lab) → value map, broadcast, rewrite tiles
-    final_value = {}
-    for r in region_rows:
-        root = resolve(find((r.tkey, r.lab)))
-        final_value[(int(r.tkey), int(r.lab))] = value[root]
-    fv_bc = spark.sparkContext.broadcast(final_value)
+    # 4. changed roots → per-tile (lab → value) change lists via JOIN
+    changed_items = [
+        (root[0], root[1], int(value[resolve(root)]))
+        for root in merged_into
+    ]
+    changed_df = spark.createDataFrame(
+        changed_items or [], "rtkey long, rlab long, newval long"
+    )
+    per_tile = (
+        rooted.join(F.broadcast(changed_df), ["rtkey", "rlab"])
+        .groupBy("tkey")
+        .agg(
+            F.collect_list(F.struct("lab", "newval")).alias("chg")
+        )
+    )
+    tiles_k = tiles.withColumn(
+        "tkey", F.col("tx") * F.lit(1_000_003) + F.col("ty")
+    )
+    joined = tiles_k.join(F.broadcast(per_tile), ["tkey"], "left")
 
     def rewrite(batches):
-        fv = fv_bc.value
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
                 ts_w, ts_h = int(row["w"]), int(row["h"])
-                tx, ty = int(row["tx"]), int(row["ty"])
-                tkey = _tkey(tx, ty)
                 arr = _tile_array(ts_w, ts_h, row["data"]).astype(np.int64)
-                labels, n = raster.label_components(arr)
-                lut = np.array(
-                    [fv[(tkey, lab)] for lab in range(n)], dtype=np.int64
-                )
-                out = lut[labels].astype(np.uint8)
+                chg = row["chg"]
+                if isinstance(chg, float):  # null from the left join
+                    chg = None
+                if chg is not None and len(chg):
+                    labels, n = raster.label_components(arr)
+                    lut = np.empty(n, dtype=np.int64)
+                    lut[labels.ravel()] = arr.ravel()
+                    for e in chg:
+                        lut[int(e["lab"])] = int(e["newval"])
+                    arr = lut[labels]
                 rows.append(
-                    (int(row["z"]), tx, ty, ts_w, ts_h, out.tobytes())
+                    (int(row["z"]), int(row["tx"]), int(row["ty"]),
+                     ts_w, ts_h, arr.astype(np.uint8).tobytes())
                 )
             yield pd.DataFrame(
                 rows, columns=["z", "tx", "ty", "w", "h", "data"]
             )
 
-    return tiles.mapInPandas(rewrite, TILE_SCHEMA)
+    return joined.mapInPandas(rewrite, TILE_SCHEMA)
 
 
 def _tkey(tx: int, ty: int) -> int:
@@ -1046,7 +1203,8 @@ def _tile_parts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     'border' (every edge pixel, for cross-tile merging), 'adj'
     (within-tile adjacency between DIFFERENT local labels; la in
     ``lab``, lb in ``n_pixels``)."""
-    out_rows = []
+    cols = [f.name for f in _PART_SCHEMA]
+    frames = []
     for _, row in pdf.iterrows():
         ts_w, ts_h = int(row["w"]), int(row["h"])
         tx, ty = int(row["tx"]), int(row["ty"])
@@ -1056,56 +1214,71 @@ def _tile_parts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         gx0, gy0 = tx * ts_w, ty * ts_h
         flat_lab = labels.ravel()
         flat_val = arr.ravel()
-        jj, ii = np.meshgrid(
-            np.arange(ts_h, dtype=np.int64),
-            np.arange(ts_w, dtype=np.int64),
-            indexing="ij",
-        )
-        fi, fj = ii.ravel(), jj.ravel()
-        for lab in range(n):
-            m = flat_lab == lab
-            out_rows.append(
-                (
-                    "region", tkey, lab, int(flat_val[m][0]),
-                    int(m.sum()),
-                    gx0 + int(fi[m].min()), gy0 + int(fj[m].min()),
-                    gx0 + int(fi[m].max()), gy0 + int(fj[m].max()),
-                    -1, -1, "",
-                )
-            )
-        # within-tile label adjacency (different labels sharing an edge)
-        pairs = set()
+        # per-label stats via bincount / ufunc.at — O(pixels), never
+        # O(labels x pixels)
+        counts = np.bincount(flat_lab, minlength=n)
+        lab_val = np.zeros(n, dtype=np.int64)
+        lab_val[flat_lab] = flat_val
+        fi = np.tile(np.arange(ts_w, dtype=np.int64), ts_h)
+        fj = np.repeat(np.arange(ts_h, dtype=np.int64), ts_w)
+        minx = np.full(n, ts_w, dtype=np.int64)
+        miny = np.full(n, ts_h, dtype=np.int64)
+        maxx = np.full(n, -1, dtype=np.int64)
+        maxy = np.full(n, -1, dtype=np.int64)
+        np.minimum.at(minx, flat_lab, fi)
+        np.minimum.at(miny, flat_lab, fj)
+        np.maximum.at(maxx, flat_lab, fi)
+        np.maximum.at(maxy, flat_lab, fj)
+        labs = np.arange(n, dtype=np.int64)
+        frames.append(pd.DataFrame({
+            "kind": "region", "tkey": tkey, "lab": labs,
+            "value": lab_val, "n_pixels": counts.astype(np.int64),
+            "min_gx": gx0 + minx, "min_gy": gy0 + miny,
+            "max_gx": gx0 + maxx, "max_gy": gy0 + maxy,
+            "gx": -1, "gy": -1, "side": "",
+        }))
+        # within-tile label adjacency (different labels sharing an
+        # edge), deduped via unique on packed codes
+        pair_codes = []
         if ts_w > 1:
             la, lb = labels[:, :-1].ravel(), labels[:, 1:].ravel()
-            for a, b in zip(la[la != lb], lb[la != lb]):
-                pairs.add((min(int(a), int(b)), max(int(a), int(b))))
+            m = la != lb
+            pair_codes.append(
+                np.minimum(la[m], lb[m]) * n + np.maximum(la[m], lb[m])
+            )
         if ts_h > 1:
             la, lb = labels[:-1, :].ravel(), labels[1:, :].ravel()
-            for a, b in zip(la[la != lb], lb[la != lb]):
-                pairs.add((min(int(a), int(b)), max(int(a), int(b))))
-        for a, b in pairs:
-            out_rows.append(
-                ("adj", tkey, a, 0, b, 0, 0, 0, 0, -1, -1, "")
+            m = la != lb
+            pair_codes.append(
+                np.minimum(la[m], lb[m]) * n + np.maximum(la[m], lb[m])
             )
-        # border pixels for the cross-tile joins
-        edges = [
-            (np.full(ts_h, ts_w - 1), np.arange(ts_h), "R"),
-            (np.arange(ts_w), np.full(ts_w, ts_h - 1), "D"),
-            (np.full(ts_h, 0), np.arange(ts_h), "L"),
-            (np.arange(ts_w), np.full(ts_w, 0), "U"),
-        ]
-        for ex, ey, side in edges:
-            ex = ex.astype(np.int64)
-            ey = ey.astype(np.int64)
-            for x, y in zip(ex, ey):
-                out_rows.append(
-                    (
-                        "border", tkey, int(labels[y, x]),
-                        int(arr[y, x]), 0, 0, 0, 0, 0,
-                        gx0 + int(x), gy0 + int(y), side,
-                    )
-                )
-    return pd.DataFrame(out_rows, columns=[f.name for f in _PART_SCHEMA])
+        if pair_codes:
+            codes = np.unique(np.concatenate(pair_codes))
+            if codes.size:
+                frames.append(pd.DataFrame({
+                    "kind": "adj", "tkey": tkey, "lab": codes // n,
+                    "value": 0, "n_pixels": codes % n,
+                    "min_gx": 0, "min_gy": 0, "max_gx": 0, "max_gy": 0,
+                    "gx": -1, "gy": -1, "side": "",
+                }))
+        # border pixels for the cross-tile joins (vectorized per side)
+        col_h = np.arange(ts_h, dtype=np.int64)
+        col_w = np.arange(ts_w, dtype=np.int64)
+        for ex, ey, side in [
+            (np.full(ts_h, ts_w - 1, dtype=np.int64), col_h, "R"),
+            (col_w, np.full(ts_w, ts_h - 1, dtype=np.int64), "D"),
+            (np.zeros(ts_h, dtype=np.int64), col_h, "L"),
+            (col_w, np.zeros(ts_w, dtype=np.int64), "U"),
+        ]:
+            frames.append(pd.DataFrame({
+                "kind": "border", "tkey": tkey, "lab": labels[ey, ex],
+                "value": arr[ey, ex], "n_pixels": 0,
+                "min_gx": 0, "min_gy": 0, "max_gx": 0, "max_gy": 0,
+                "gx": gx0 + ex, "gy": gy0 + ey, "side": side,
+            }))
+    if not frames:
+        return pd.DataFrame({c: [] for c in cols})
+    return pd.concat(frames, ignore_index=True)[cols]
 
 
 def _tile_parts(tiles: DataFrame) -> DataFrame:
