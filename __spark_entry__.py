@@ -1046,6 +1046,316 @@ def _q_geo_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# layer algebra (polygon × polygon) — convex integer-coordinate fixture
+# ---------------------------------------------------------------------------
+
+_LA_NA, _LA_NB = 24, 8
+
+
+def _convex_ring(pid: int, seed: int, r_lo: int, r_hi: int) -> np.ndarray:
+    """Deterministic convex polygon with INTEGER vertex coordinates
+    (closed CCW ring): jittered radial points → convex hull. Integer
+    coords keep every shoelace term exact in float64, so engine and
+    oracle agree bit-for-bit on vertex-derived areas."""
+    import math
+
+    from gdal_spark import geometry
+
+    def h(k: int) -> int:
+        return (pid * 2654435761 + k * 40503 + seed * 69069) % 2147483647
+
+    nv = 6 + h(0) % 4
+    cx = -140 + (h(1) % 280)
+    cy = -60 + (h(2) % 120)
+    pts = []
+    for k in range(nv):
+        ang = 2 * math.pi * k / nv + (h(3 + k) % 97) / 97.0 * (
+            math.pi / nv
+        )
+        r = r_lo + (h(50 + k) % (r_hi - r_lo))
+        pts.append(
+            (round(cx + r * math.cos(ang)), round(cy + r * math.sin(ang)))
+        )
+    return geometry.convex_hull(np.array(pts, dtype=np.float64))
+
+
+def _la_fixture(n: int, seed: int, r_lo: int, r_hi: int) -> pd.DataFrame:
+    from gdal_spark import wkb
+
+    rows = []
+    for pid in range(n):
+        ring = _convex_ring(pid, seed, r_lo, r_hi)
+        rows.append(
+            {
+                "poly_id": pid,
+                "geom_wkb": wkb.polygon([ring]),
+                "bbox_minx": float(ring[:, 0].min()),
+                "bbox_miny": float(ring[:, 1].min()),
+                "bbox_maxx": float(ring[:, 0].max()),
+                "bbox_maxy": float(ring[:, 1].max()),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _la_edges_values(pdf: pd.DataFrame) -> str:
+    """Ring edges (x1,y1)→(x2,y2) in CCW traversal order as SQL VALUES."""
+    from gdal_spark import wkb
+
+    vals = []
+    for pid, buf in zip(pdf["poly_id"], pdf["geom_wkb"]):
+        ring = wkb.polygon_rings(bytes(buf))[0][0]
+        for k in range(len(ring) - 1):
+            x1, y1 = ring[k]
+            x2, y2 = ring[k + 1]
+            vals.append(
+                f"({int(pid)}, {x1:.0f}e0, {y1:.0f}e0,"
+                f" {x2:.0f}e0, {y2:.0f}e0)"
+            )
+    return ", ".join(vals)
+
+
+def _q_geo_layer_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair Intersection/Union/SymDifference areas with REAL
+    geometric output (clipped-piece WKB upstream) — the layer-algebra
+    family (ogr/ogrlayer.cpp:3345,3763,4300)."""
+    from gdal_spark import geometry, wkb
+    from gdal_spark.operators.layer_algebra import intersection_pieces
+
+    a_pdf = _la_fixture(_LA_NA, 101, 8, 18)
+    b_pdf = _la_fixture(_LA_NB, 202, 14, 30)
+    a_df = spark.createDataFrame(
+        a_pdf[["poly_id", "geom_wkb"]].rename(columns={"poly_id": "a_id"})
+    )
+    pieces = intersection_pieces(a_df, b_pdf)
+
+    def areas(pdf, idc):
+        return pd.DataFrame(
+            {
+                idc: pdf["poly_id"].astype("int64"),
+                f"__area_{idc}": [
+                    abs(
+                        geometry.ring_area(
+                            wkb.polygon_rings(bytes(b))[0][0]
+                        )
+                    )
+                    for b in pdf["geom_wkb"]
+                ],
+            }
+        )
+
+    aa = spark.createDataFrame(areas(a_pdf, "a_id"))
+    ab = spark.createDataFrame(areas(b_pdf, "b_id"))
+    out = (
+        pieces.join(F.broadcast(aa), "a_id")
+        .join(F.broadcast(ab), "b_id")
+        .select(
+            "a_id", "b_id",
+            F.round(F.col("area") * 100).cast("long").alias("inter_q2"),
+            F.round(
+                (F.col("__area_a_id") + F.col("__area_b_id")
+                 - F.col("area")) * 100
+            ).cast("long").alias("union_q2"),
+            F.round(
+                (F.col("__area_a_id") + F.col("__area_b_id")
+                 - 2 * F.col("area")) * 100
+            ).cast("long").alias("sym_q2"),
+        )
+        .filter(F.col("inter_q2") >= 1)
+    )
+    return out
+
+
+def _layer_algebra_oracle_sql() -> str:
+    """Convex∩convex intersection area in pure SQL: candidate vertices
+    = A-verts in B + B-verts in A + edge-pair crossings, angular sort
+    around their centroid, shoelace."""
+    a_pdf = _la_fixture(_LA_NA, 101, 8, 18)
+    b_pdf = _la_fixture(_LA_NB, 202, 14, 30)
+    ae = _la_edges_values(a_pdf)
+    be = _la_edges_values(b_pdf)
+    return f"""
+        WITH ae(aid, x1, y1, x2, y2) AS (VALUES {ae}),
+        be(bid, x1, y1, x2, y2) AS (VALUES {be}),
+        -- A vertices (edge starts) inside-or-on convex B (CCW: all
+        -- edge crosses >= 0)
+        va AS (
+          SELECT ae.aid, be.bid, ae.x1 AS x, ae.y1 AS y
+          FROM ae CROSS JOIN be
+          GROUP BY ae.aid, be.bid, ae.x1, ae.y1
+          HAVING BOOL_AND(
+            (be.x2 - be.x1) * (ae.y1 - be.y1)
+            - (be.y2 - be.y1) * (ae.x1 - be.x1) >= 0)),
+        vb AS (
+          SELECT ae.aid, be.bid, be.x1 AS x, be.y1 AS y
+          FROM be CROSS JOIN ae
+          GROUP BY be.bid, ae.aid, be.x1, be.y1
+          HAVING BOOL_AND(
+            (ae.x2 - ae.x1) * (be.y1 - ae.y1)
+            - (ae.y2 - ae.y1) * (be.x1 - ae.x1) >= 0)),
+        vx AS (
+          SELECT aid, bid,
+                 ax1 + t * (ax2 - ax1) AS x,
+                 ay1 + t * (ay2 - ay1) AS y
+          FROM (
+            SELECT ae.aid, be.bid,
+                   ae.x1 AS ax1, ae.y1 AS ay1, ae.x2 AS ax2, ae.y2 AS ay2,
+                   ((be.x1 - ae.x1) * (be.y2 - be.y1)
+                    - (be.y1 - ae.y1) * (be.x2 - be.x1))
+                   / ((ae.x2 - ae.x1) * (be.y2 - be.y1)
+                      - (ae.y2 - ae.y1) * (be.x2 - be.x1)) AS t,
+                   ((be.x1 - ae.x1) * (ae.y2 - ae.y1)
+                    - (be.y1 - ae.y1) * (ae.x2 - ae.x1))
+                   / ((ae.x2 - ae.x1) * (be.y2 - be.y1)
+                      - (ae.y2 - ae.y1) * (be.x2 - be.x1)) AS u
+            FROM ae CROSS JOIN be
+            WHERE (ae.x2 - ae.x1) * (be.y2 - be.y1)
+                  - (ae.y2 - ae.y1) * (be.x2 - be.x1) <> 0) s
+          WHERE t >= 0 AND t <= 1 AND u >= 0 AND u <= 1),
+        pts AS (
+          SELECT DISTINCT aid, bid, x, y FROM (
+            SELECT * FROM va UNION ALL SELECT * FROM vb
+            UNION ALL SELECT * FROM vx) u),
+        c AS (
+          SELECT aid, bid, AVG(x) AS cx, AVG(y) AS cy
+          FROM pts GROUP BY aid, bid HAVING COUNT(*) >= 3),
+        o AS (
+          SELECT p.aid, p.bid, p.x, p.y,
+                 ROW_NUMBER() OVER w AS rn
+          FROM pts p JOIN c ON p.aid = c.aid AND p.bid = c.bid
+          WINDOW w AS (PARTITION BY p.aid, p.bid
+                       ORDER BY ATAN2(p.y - c.cy, p.x - c.cx), p.x, p.y)),
+        eo AS (
+          SELECT aid, bid, x, y,
+                 COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w) AS nx,
+                 COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w) AS ny
+          FROM o WINDOW w AS (PARTITION BY aid, bid ORDER BY rn)),
+        ia AS (
+          SELECT aid, bid, ABS(SUM(x * ny - nx * y)) / 2e0 AS inter_a
+          FROM eo GROUP BY aid, bid),
+        aaq AS (SELECT aid, ABS(SUM(x1 * y2 - x2 * y1)) / 2e0 AS aa
+                FROM ae GROUP BY aid),
+        abq AS (SELECT bid, ABS(SUM(x1 * y2 - x2 * y1)) / 2e0 AS ab
+                FROM be GROUP BY bid)
+        SELECT ia.aid AS a_id, ia.bid AS b_id,
+               CAST(ROUND(inter_a * 100) AS BIGINT) AS inter_q2,
+               CAST(ROUND((aa + ab - inter_a) * 100) AS BIGINT) AS union_q2,
+               CAST(ROUND((aa + ab - 2 * inter_a) * 100) AS BIGINT) AS sym_q2
+        FROM ia
+        JOIN aaq ON aaq.aid = ia.aid
+        JOIN abq ON abq.bid = ia.bid
+        WHERE CAST(ROUND(inter_a * 100) AS BIGINT) >= 1"""
+
+
+# ---------------------------------------------------------------------------
+# ST predicates on polygon pairs — integer rectangle fixture
+# ---------------------------------------------------------------------------
+
+_SP_NA, _SP_NB = 30, 10
+
+
+def _rect_fixture(n: int, seed: int, lo: int, hi: int) -> list[tuple]:
+    """(pid, x0, y0, x1, y1) integer rects + engineered relation cases."""
+    rects = []
+    for pid in range(n):
+        def h(k: int) -> int:
+            return (pid * 2654435761 + k * 40503 + seed * 69069) % 2147483647
+
+        x0 = -140 + (h(1) % 260)
+        y0 = -60 + (h(2) % 100)
+        w = lo + h(3) % (hi - lo)
+        ht = lo + h(4) % (hi - lo)
+        rects.append((pid, x0, y0, x0 + w, y0 + ht))
+    return rects
+
+
+def _sp_fixtures() -> tuple[list[tuple], list[tuple]]:
+    a = _rect_fixture(_SP_NA, 11, 6, 26)
+    b = _rect_fixture(_SP_NB, 23, 8, 34)
+    # engineered relations against a0..a3: equals, edge-touch,
+    # contained-in, containing
+    ax = {r[0]: r for r in a}
+    b[0] = (0, *ax[0][1:])                                   # equals a0
+    _, x0, y0, x1, y1 = ax[1]
+    b[1] = (1, x1, y0, x1 + 10, y1)                          # touches a1
+    _, x0, y0, x1, y1 = ax[2]
+    b[2] = (2, x0 + 1, y0 + 1, max(x0 + 2, x1 - 1),
+            max(y0 + 2, y1 - 1))                             # within a2
+    _, x0, y0, x1, y1 = ax[3]
+    b[3] = (3, x0 - 2, y0 - 2, x1 + 2, y1 + 2)               # contains a3
+    return a, b
+
+
+def _rect_ring(x0, y0, x1, y1) -> np.ndarray:
+    return np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+        dtype=np.float64,
+    )
+
+
+def _q_geo_st_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ST predicate matrix (Intersects/Disjoint/Equals/Contains/
+    Within/Touches/Overlaps/Crosses) for every (A, B) polygon pair —
+    computed by the GENERAL polygon kernel (clip area + boundary
+    contact), gated against interval arithmetic on the rect fixture."""
+    from gdal_spark import wkb
+    from gdal_spark.operators.layer_algebra import predicate_pairs
+
+    a, b = _sp_fixtures()
+    a_pdf = pd.DataFrame(
+        {
+            "a_id": [r[0] for r in a],
+            "geom_wkb": [wkb.polygon([_rect_ring(*r[1:])]) for r in a],
+        }
+    )
+    b_pdf = pd.DataFrame(
+        {
+            "poly_id": [r[0] for r in b],
+            "geom_wkb": [wkb.polygon([_rect_ring(*r[1:])]) for r in b],
+        }
+    )
+    return predicate_pairs(spark.createDataFrame(a_pdf), b_pdf)
+
+
+def _st_predicates_oracle_sql() -> str:
+    a, b = _sp_fixtures()
+    av = ", ".join(f"({p}, {x0}, {y0}, {x1}, {y1})" for p, x0, y0, x1, y1 in a)
+    bv = ", ".join(f"({p}, {x0}, {y0}, {x1}, {y1})" for p, x0, y0, x1, y1 in b)
+    return f"""
+        WITH ar(aid, x0, y0, x1, y1) AS (VALUES {av}),
+        br(bid, x0, y0, x1, y1) AS (VALUES {bv}),
+        p AS (
+          SELECT ar.aid, br.bid,
+                 GREATEST(ar.x0, br.x0) AS ix0, LEAST(ar.x1, br.x1) AS ix1,
+                 GREATEST(ar.y0, br.y0) AS iy0, LEAST(ar.y1, br.y1) AS iy1,
+                 (ar.x0 = br.x0 AND ar.y0 = br.y0
+                  AND ar.x1 = br.x1 AND ar.y1 = br.y1) AS eq,
+                 (br.x0 >= ar.x0 AND br.x1 <= ar.x1
+                  AND br.y0 >= ar.y0 AND br.y1 <= ar.y1) AS cont,
+                 (ar.x0 >= br.x0 AND ar.x1 <= br.x1
+                  AND ar.y0 >= br.y0 AND ar.y1 <= br.y1) AS wthn
+          FROM ar CROSS JOIN br)
+        SELECT aid AS a_id, bid AS b_id,
+          CAST(CASE WHEN ix0 <= ix1 AND iy0 <= iy1 THEN 1 ELSE 0 END
+               AS BIGINT) AS st_intersects,
+          CAST(CASE WHEN ix0 <= ix1 AND iy0 <= iy1 THEN 0 ELSE 1 END
+               AS BIGINT) AS st_disjoint,
+          CAST(CASE WHEN eq THEN 1 ELSE 0 END AS BIGINT) AS st_equals,
+          CAST(CASE WHEN cont AND ix0 < ix1 AND iy0 < iy1 THEN 1 ELSE 0 END
+               AS BIGINT) AS st_contains,
+          CAST(CASE WHEN wthn AND ix0 < ix1 AND iy0 < iy1 THEN 1 ELSE 0 END
+               AS BIGINT) AS st_within,
+          CAST(CASE WHEN ix0 <= ix1 AND iy0 <= iy1
+                     AND (ix0 = ix1 OR iy0 = iy1) THEN 1 ELSE 0 END
+               AS BIGINT) AS st_touches,
+          CAST(CASE WHEN ix0 < ix1 AND iy0 < iy1
+                     AND NOT cont AND NOT wthn THEN 1 ELSE 0 END
+               AS BIGINT) AS st_overlaps,
+          CAST(0 AS BIGINT) AS st_crosses
+        FROM p"""
+
+
 _HAV_LON, _HAV_LAT = 13.4, 52.5
 _HAV_SQL_TPL = """
     WITH pts AS ({pts}),
@@ -1102,6 +1412,8 @@ def _lang_id_oracle_sql() -> str:
 
 
 ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "geo_layer_algebra": _q_geo_layer_algebra,
+    "geo_st_predicates": _q_geo_st_predicates,
     "sp_pip_full_fixture": _q_pip_full_fixture,
     "tx_lang_id": _q_tx_lang_id,
     "q_hstore_get": _q_hstore_get,
@@ -1136,6 +1448,8 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ENGINE_ORACLES: dict[str, str] = {
+    "geo_layer_algebra": _layer_algebra_oracle_sql(),
+    "geo_st_predicates": _st_predicates_oracle_sql(),
     "sp_pip_full_fixture": PIP_ORACLE_SQL.format(
         values=_testdata_edges_values()
     ),

@@ -346,6 +346,227 @@ def simplify_dp(ring: np.ndarray, tolerance: float) -> np.ndarray:
     return pts[keep]
 
 
+def _open_ring(ring: np.ndarray) -> np.ndarray:
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    return pts
+
+
+def _ccw_ring(ring: np.ndarray) -> np.ndarray:
+    """Open ring in CCW orientation (positive shoelace)."""
+    pts = _open_ring(ring)
+    if len(pts) >= 3 and ring_area(np.vstack([pts, pts[:1]])) < 0:
+        pts = pts[::-1]
+    return pts
+
+
+def clip_poly_halfplane(
+    poly: np.ndarray, ax: float, ay: float, bx: float, by: float
+) -> np.ndarray:
+    """Sutherland-Hodgman clip of an open ring to the LEFT side
+    (cross >= 0) of the directed line a→b. Returns an open ring
+    (possibly < 3 vertices = empty result)."""
+    n = len(poly)
+    if n == 0:
+        return poly
+    cr = (bx - ax) * (poly[:, 1] - ay) - (by - ay) * (poly[:, 0] - ax)
+    out: list = []
+    for i in range(n):
+        j = (i + 1) % n
+        ci, cj = cr[i], cr[j]
+        if ci >= 0.0:
+            out.append(poly[i])
+        if (ci >= 0.0) != (cj >= 0.0):
+            t = ci / (ci - cj)
+            out.append(poly[i] + t * (poly[j] - poly[i]))
+    if len(out) < 3:
+        return np.zeros((0, 2), dtype=np.float64)
+    return np.asarray(out, dtype=np.float64)
+
+
+def clip_poly_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Clip ``subject`` (any simple ring) by a CONVEX ``clip_ring`` —
+    successive half-plane Sutherland-Hodgman. The geometric core of the
+    layer-algebra Intersection/Clip ops (ogr/ogrlayer.cpp:3345, 5497;
+    per-pair GEOS intersection in the reference). Exact for convex
+    subjects; for concave subjects the output ring may contain
+    degenerate bridges but its shoelace area is the true intersection
+    area (standard SH semantics). Returns an OPEN ring, empty if
+    disjoint."""
+    P = _open_ring(subject)
+    C = _ccw_ring(clip_ring)
+    m = len(C)
+    for i in range(m):
+        a, b = C[i], C[(i + 1) % m]
+        P = clip_poly_halfplane(P, a[0], a[1], b[0], b[1])
+        if len(P) == 0:
+            break
+    return P
+
+
+def split_poly_convex(
+    subject: np.ndarray, clip_ring: np.ndarray
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Exact disjoint decomposition of ``subject`` by a convex
+    ``clip_ring`` → (inside_piece, [outside_pieces]).
+
+    outside_piece k = subject ∩ outside(halfplane k) ∩ inside(halfplanes
+    0..k-1) — the classic convex-difference decomposition; the pieces
+    tile subject \\ clip exactly (areas sum). This is the Erase /
+    SymDifference residue emitter (ogr/ogrlayer.cpp:5806, 4300)."""
+    C = _ccw_ring(clip_ring)
+    m = len(C)
+    remaining = _open_ring(subject)
+    outside: list[np.ndarray] = []
+    for i in range(m):
+        if len(remaining) == 0:
+            break
+        a, b = C[i], C[(i + 1) % m]
+        # outside of left(a→b) == left of the reversed line b→a
+        piece = clip_poly_halfplane(remaining, b[0], b[1], a[0], a[1])
+        if len(piece) >= 3:
+            outside.append(piece)
+        remaining = clip_poly_halfplane(remaining, a[0], a[1], b[0], b[1])
+    return remaining, outside
+
+
+def erase_poly_convex(
+    subject: np.ndarray, clip_rings: list[np.ndarray]
+) -> list[np.ndarray]:
+    """subject minus the union of convex clip rings, as a disjoint
+    piece list (correct for OVERLAPPING clips: pieces stay disjoint, so
+    each subtraction is exact)."""
+    pieces = [_open_ring(subject)]
+    for clip in clip_rings:
+        nxt: list[np.ndarray] = []
+        for p in pieces:
+            _, outs = split_poly_convex(p, clip)
+            nxt.extend(outs)
+        pieces = nxt
+        if not pieces:
+            break
+    return pieces
+
+
+def pieces_area(pieces: list[np.ndarray]) -> float:
+    return float(
+        sum(abs(ring_area(np.vstack([p, p[:1]]))) for p in pieces if len(p) >= 3)
+    )
+
+
+def segments_intersect(
+    ax0, ay0, ax1, ay1, bx0, by0, bx1, by1
+) -> np.ndarray:
+    """Vectorized proper-or-touching segment intersection test
+    (broadcastable arrays), including collinear-overlap — the boundary
+    contact primitive behind Touches/Crosses (ogr/ogrgeometry.cpp:5661,
+    5734)."""
+    d1x, d1y = ax1 - ax0, ay1 - ay0
+    d2x, d2y = bx1 - bx0, by1 - by0
+
+    def orient(ox, oy, dx, dy, px, py):
+        return dx * (py - oy) - dy * (px - ox)
+
+    o1 = orient(ax0, ay0, d1x, d1y, bx0, by0)
+    o2 = orient(ax0, ay0, d1x, d1y, bx1, by1)
+    o3 = orient(bx0, by0, d2x, d2y, ax0, ay0)
+    o4 = orient(bx0, by0, d2x, d2y, ax1, ay1)
+    general = (
+        ((o1 > 0) != (o2 > 0)) & ((o3 > 0) != (o4 > 0))
+        & (o1 != 0) & (o2 != 0) & (o3 != 0) & (o4 != 0)
+    )
+
+    def on_seg(ox, oy, ex, ey, px, py):
+        return (
+            (np.minimum(ox, ex) <= px) & (px <= np.maximum(ox, ex))
+            & (np.minimum(oy, ey) <= py) & (py <= np.maximum(oy, ey))
+        )
+
+    touch = (
+        ((o1 == 0) & on_seg(ax0, ay0, ax1, ay1, bx0, by0))
+        | ((o2 == 0) & on_seg(ax0, ay0, ax1, ay1, bx1, by1))
+        | ((o3 == 0) & on_seg(bx0, by0, bx1, by1, ax0, ay0))
+        | ((o4 == 0) & on_seg(bx0, by0, bx1, by1, ax1, ay1))
+    )
+    return general | touch
+
+
+def rings_boundary_touch(ring_a: np.ndarray, ring_b: np.ndarray) -> bool:
+    """Any edge of ring_a meets any edge of ring_b (incl. collinear
+    shared-edge contact)."""
+    A = _open_ring(ring_a)
+    B = _open_ring(ring_b)
+    if len(A) < 2 or len(B) < 2:
+        return False
+    Ax0, Ay0 = A[:, 0], A[:, 1]
+    Ax1, Ay1 = np.roll(Ax0, -1), np.roll(Ay0, -1)
+    Bx0, By0 = B[:, 0], B[:, 1]
+    Bx1, By1 = np.roll(Bx0, -1), np.roll(By0, -1)
+    hit = segments_intersect(
+        Ax0[:, None], Ay0[:, None], Ax1[:, None], Ay1[:, None],
+        Bx0[None, :], By0[None, :], Bx1[None, :], By1[None, :],
+    )
+    return bool(hit.any())
+
+
+_PREDICATES = (
+    "intersects", "disjoint", "equals", "contains", "within",
+    "touches", "overlaps", "crosses",
+)
+
+
+def polygon_pair_predicates(
+    ring_a: np.ndarray, ring_b: np.ndarray, eps: float = 1e-9
+) -> dict[str, bool]:
+    """DE-9IM-equivalent predicate set for a pair of simple polygons
+    (outer rings; B — and for exact areas A too — convex, the
+    layer-algebra precondition). Area-based: the interior/interior
+    entry is the clipped area, boundary/boundary is the segment
+    contact test. Mirrors the SQLite-dialect predicate registry
+    (ogr/ogrsqlitesqlfunctions.cpp:876-883) for the polygon×polygon
+    case; point-in-polygon predicates live in points_in_polygon."""
+    A = _open_ring(ring_a)
+    B = _open_ring(ring_b)
+    area_a = abs(ring_area(np.vstack([A, A[:1]])))
+    area_b = abs(ring_area(np.vstack([B, B[:1]])))
+    inter = clip_poly_convex(A, B)
+    area_i = (
+        abs(ring_area(np.vstack([inter, inter[:1]])))
+        if len(inter) >= 3 else 0.0
+    )
+    btouch = rings_boundary_touch(A, B)
+    interior = area_i > eps
+    intersects = interior or btouch
+    equals = interior and area_i >= area_a - eps and area_i >= area_b - eps
+    contains = interior and area_i >= area_b - eps
+    within = interior and area_i >= area_a - eps
+    return {
+        "intersects": intersects,
+        "disjoint": not intersects,
+        "equals": equals,
+        "contains": contains,
+        "within": within,
+        "touches": btouch and not interior,
+        "overlaps": interior and not contains and not within,
+        # area×area geometries can never Cross (dim rule, DE-9IM)
+        "crosses": False,
+    }
+
+
+def ring_perimeter(ring: np.ndarray) -> float:
+    """Boundary length (ST_Length analog, ogr/ogrsqlitesqlfunctions
+    .cpp:977): sum of sqrt(dx²+dy²) over closed-ring edges, in edge
+    order (sequential sum — SQL SUM parity at fixture sizes)."""
+    pts = _open_ring(ring)
+    if len(pts) < 2:
+        return 0.0
+    nxt = np.roll(pts, -1, axis=0)
+    dx = nxt[:, 0] - pts[:, 0]
+    dy = nxt[:, 1] - pts[:, 1]
+    return float(np.sum(np.sqrt(dx * dx + dy * dy)))
+
+
 def clip_ring_to_rect(
     ring: np.ndarray, minx: float, miny: float, maxx: float, maxy: float
 ) -> np.ndarray:

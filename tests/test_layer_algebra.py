@@ -1,0 +1,159 @@
+"""Layer algebra: clipping kernels, piece decomposition, predicates.
+
+Mirrors the semantics corpus of autotest/ogr/ogr_layer_algebra.py
+(Intersection/Union/SymDifference/Identity/Update/Clip/Erase row and
+area semantics) with exact unit fixtures plus conservation properties
+on the seeded convex fixture set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_spark import geometry, wkb
+
+
+def sq(x0, y0, x1, y1):
+    return np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=float
+    )
+
+
+def area_of(p):
+    return abs(geometry.ring_area(np.vstack([p, p[:1]]))) if len(p) else 0.0
+
+
+class TestClipKernels:
+    def test_overlapping_squares(self):
+        inter = geometry.clip_poly_convex(sq(0, 0, 2, 2), sq(1, 1, 3, 3))
+        assert area_of(inter) == pytest.approx(1.0)
+
+    def test_disjoint(self):
+        assert len(geometry.clip_poly_convex(sq(0, 0, 1, 1), sq(5, 5, 6, 6))) == 0
+
+    def test_contained(self):
+        inter = geometry.clip_poly_convex(sq(1, 1, 2, 2), sq(0, 0, 5, 5))
+        assert area_of(inter) == pytest.approx(1.0)
+
+    def test_split_conservation_exact(self):
+        inside, outside = geometry.split_poly_convex(
+            sq(0, 0, 4, 4), sq(2, -1, 6, 5)
+        )
+        assert area_of(inside) == pytest.approx(8.0)
+        assert sum(area_of(p) for p in outside) == pytest.approx(8.0)
+
+    def test_erase_overlapping_clips(self):
+        # two overlapping clips must not double-subtract
+        pieces = geometry.erase_poly_convex(
+            sq(0, 0, 10, 10), [sq(0, 0, 6, 10), sq(4, 0, 8, 10)]
+        )
+        assert geometry.pieces_area(pieces) == pytest.approx(20.0)
+
+    def test_split_conservation_fixture(self):
+        import __spark_entry__ as e
+
+        for pid in range(10):
+            a = e._convex_ring(pid, 101, 8, 18)
+            b = e._convex_ring(pid % 4, 202, 14, 30)
+            inter = geometry.clip_poly_convex(a, b)
+            _, outs = geometry.split_poly_convex(a, b)
+            total = area_of(inter) + sum(area_of(p) for p in outs)
+            assert total == pytest.approx(area_of(a[:-1]), abs=1e-8)
+
+
+class TestPredicates:
+    def test_matrix(self):
+        cases = [
+            # (A, B, expected true predicates)
+            (sq(0, 0, 2, 2), sq(5, 5, 6, 6), {"disjoint"}),
+            (sq(0, 0, 2, 2), sq(1, 1, 3, 3), {"intersects", "overlaps"}),
+            (sq(0, 0, 4, 4), sq(1, 1, 2, 2),
+             {"intersects", "contains"}),
+            (sq(1, 1, 2, 2), sq(0, 0, 4, 4), {"intersects", "within"}),
+            (sq(0, 0, 2, 2), sq(0, 0, 2, 2),
+             {"intersects", "equals", "contains", "within"}),
+            (sq(0, 0, 2, 2), sq(2, 0, 4, 2), {"intersects", "touches"}),
+            (sq(0, 0, 2, 2), sq(2, 2, 4, 4), {"intersects", "touches"}),
+        ]
+        for a, b, want in cases:
+            got = geometry.polygon_pair_predicates(a, b)
+            on = {k for k, v in got.items() if v}
+            assert on == want, (a[:2], b[:2], on, want)
+
+    def test_boundary_touch_collinear(self):
+        # shared partial edge (collinear overlap, no crossing)
+        assert geometry.rings_boundary_touch(
+            sq(0, 0, 2, 2), sq(2, 1, 4, 3)
+        )
+
+
+class TestPieceOperators:
+    @pytest.fixture(scope="class")
+    def fixture_dfs(self, spark):
+        from gdal_spark.operators.layer_algebra import _b_rings  # noqa
+
+        a_pdf = pd.DataFrame(
+            {
+                "a_id": [0, 1],
+                "geom_wkb": [
+                    wkb.polygon([sq(0, 0, 4, 4)]),
+                    wkb.polygon([sq(10, 10, 12, 12)]),
+                ],
+            }
+        )
+        b_pdf = pd.DataFrame(
+            {
+                "poly_id": [0, 1],
+                "geom_wkb": [
+                    wkb.polygon([sq(2, 0, 6, 4)]),
+                    wkb.polygon([sq(100, 100, 101, 101)]),
+                ],
+            }
+        )
+        return spark.createDataFrame(a_pdf), b_pdf
+
+    def test_intersection(self, fixture_dfs):
+        from gdal_spark.operators.layer_algebra import intersection_pieces
+
+        a_df, b_pdf = fixture_dfs
+        rows = intersection_pieces(a_df, b_pdf).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.a_id, r.b_id) == (0, 0)
+        assert r.area == pytest.approx(8.0)
+        ring = wkb.polygon_rings(bytes(r.piece_wkb))[0][0]
+        assert area_of(ring[:-1]) == pytest.approx(8.0)
+
+    def test_erase_and_union(self, fixture_dfs):
+        from gdal_spark.operators.layer_algebra import (
+            erase_pieces, sym_difference_pieces, union_pieces,
+        )
+
+        a_df, b_pdf = fixture_dfs
+        er = erase_pieces(a_df, b_pdf).collect()
+        # a0 minus b0 → 8.0 of residue; a1 untouched → full 4.0
+        by_a: dict[int, float] = {}
+        for r in er:
+            by_a[r.a_id] = by_a.get(r.a_id, 0.0) + r.area
+        assert by_a[0] == pytest.approx(8.0)
+        assert by_a[1] == pytest.approx(4.0)
+
+        un = union_pieces(a_df, b_pdf).collect()
+        total = sum(r.area for r in un)
+        # union area = 16 + 4 + 16 + 1 - 8 (overlap counted once)
+        assert total == pytest.approx(29.0)
+
+        sd = sym_difference_pieces(a_df, b_pdf).collect()
+        assert sum(r.area for r in sd) == pytest.approx(29.0 - 8.0)
+
+    def test_update(self, fixture_dfs):
+        from gdal_spark.operators.layer_algebra import update_pieces
+
+        a_df, b_pdf = fixture_dfs
+        up = update_pieces(a_df, b_pdf).collect()
+        total = sum(r.area for r in up)
+        # A\B (8 + 4) + B whole (16 + 1)
+        assert total == pytest.approx(29.0)
+        assert {r.b_id for r in up if r.a_id == -1} == {0, 1}

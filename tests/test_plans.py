@@ -168,3 +168,20 @@ def test_lineage_write_prunes_buckets(spark, tmp_path):
     plan = _plan(df)
     # partition filters, not data filters: scan lists only b=3/b=4
     assert "PartitionFilters" in plan and "b#" in plan
+
+
+def test_minhash_verify_is_candidate_pruned(spark):
+    """minhash_lsh_pairs' exact verification must LEFT-SEMI-prune the
+    gram table to LSH candidate ids BEFORE the quadratic gram
+    self-join — without it, LSH saves nothing at corpus scale."""
+    from gdal_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.lit("alpha"), (F.col("id") % 5).cast("string"),
+            F.lit("omega"),
+        ).alias("text"),
+    )
+    out = minhash_lsh_pairs(docs, num_perm=16, bands=8)
+    assert "LeftSemi" in _optimized(out)

@@ -114,3 +114,37 @@ def test_footprint_outlines_valid_data(spark):
         for r in tiling.footprint(tiles, threshold=1).collect()
     )
     assert rows == [(12, 12, 10, 14, 13), (32, 2, 2, 9, 5)]
+
+
+def test_sieve_collects_only_small_region_subgraph(spark):
+    """Driver memory pin: a raster dominated by LARGE regions must not
+    collect its region table — only the small-region subgraph (the
+    100 TB safety property; a checkerboard with threshold=1 collects
+    nothing at all)."""
+    # 256x256 checkerboard: 65536 single-pixel regions, none below
+    # threshold=1 -> zero driver collection
+    n = 256
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    board = ((xx + yy) % 2).astype(np.uint8)
+    tiles = _tiles_from_array(spark, board, 64)
+    out = _assemble(tiling.sieve(tiles, threshold=1).collect(), n, n, 64)
+    np.testing.assert_array_equal(out, board)
+    st = tiling.sieve.last_stats
+    assert st["total_regions"] == n * n
+    assert st["collected_stats"] == 0
+    assert st["collected_edges"] == 0
+
+    # stripes (large) + a few specks: collection bounded by specks,
+    # not by the region count
+    full = np.zeros((n, n), dtype=np.uint8)
+    for band in range(n // 4):
+        full[band * 4 : band * 4 + 2, :] = (band % 2) + 1
+    spots = [(4 * k + 1, 16 * k + 3) for k in range(12)]
+    for y, x in spots:
+        full[y, x] = 7
+    tiles = _tiles_from_array(spark, full, 64)
+    out = _assemble(tiling.sieve(tiles, threshold=4).collect(), n, n, 64)
+    assert not (out == 7).any()  # every speck absorbed
+    st = tiling.sieve.last_stats
+    assert st["collected_stats"] <= 6 * len(spots)
+    assert st["collected_stats"] < st["total_regions"] // 2
