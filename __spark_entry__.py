@@ -653,6 +653,244 @@ def _q_rs_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contour_case_census(tiles, n * ts, n * ts, _CONTOUR_THR)
 
 
+def _q_rs_overview_resamplers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview resamplers beyond NEAREST/AVERAGE: MODE, RMS (2x2) and
+    GAUSS (3x3 binomial via halo exchange) — gcore/overview.cpp:1842,
+    2163-2429, RMS path — checksummed per output tile."""
+    from gdal_spark.operators.tiling import (
+        formula_tiles, overview_gauss, overview_level, tile_checksums,
+    )
+
+    tiles = formula_tiles(spark, 4, 4, 64)
+    parts = [
+        tile_checksums(overview_level(tiles, m)).withColumn(
+            "method", F.lit(m)
+        )
+        for m in ("mode", "rms")
+    ]
+    parts.append(
+        tile_checksums(overview_gauss(tiles)).withColumn(
+            "method", F.lit("gauss")
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("method", "tx", "ty", "cks")
+
+
+def _overview_resamplers_oracle_sql() -> str:
+    n = 256  # source grid; reduced grid 128², output tiles 2x2 of 64
+    f = "(({x}) * 7 + ({y}) * 13) % 251"
+    fz = (
+        f"CASE WHEN ({{x}}) BETWEEN 0 AND {n - 1}"
+        f" AND ({{y}}) BETWEEN 0 AND {n - 1}"
+        f" THEN {f} ELSE 0 END"
+    )
+    c = [f.format(x="2*gx", y="2*gy"), f.format(x="2*gx + 1", y="2*gy"),
+         f.format(x="2*gx", y="2*gy + 1"),
+         f.format(x="2*gx + 1", y="2*gy + 1")]
+    cnt = [
+        "(" + " + ".join(
+            f"CASE WHEN ({c[j]}) = ({c[i]}) THEN 1 ELSE 0 END"
+            for j in range(4)
+        ) + ")"
+        for i in range(4)
+    ]
+    maxcnt = f"GREATEST({cnt[0]}, {cnt[1]}, {cnt[2]}, {cnt[3]})"
+    mode = "LEAST(" + ", ".join(
+        f"CASE WHEN {cnt[i]} = {maxcnt} THEN ({c[i]}) ELSE 9999 END"
+        for i in range(4)
+    ) + ")"
+    rms = (
+        f"CAST(FLOOR(SQRT((({c[0]}) * ({c[0]}) + ({c[1]}) * ({c[1]})"
+        f" + ({c[2]}) * ({c[2]}) + ({c[3]}) * ({c[3]})) / 4e0) + 0.5)"
+        " AS BIGINT)"
+    )
+    g = [
+        (1, "2*gx - 1", "2*gy - 1"), (2, "2*gx", "2*gy - 1"),
+        (1, "2*gx + 1", "2*gy - 1"),
+        (2, "2*gx - 1", "2*gy"), (4, "2*gx", "2*gy"),
+        (2, "2*gx + 1", "2*gy"),
+        (1, "2*gx - 1", "2*gy + 1"), (2, "2*gx", "2*gy + 1"),
+        (1, "2*gx + 1", "2*gy + 1"),
+    ]
+    gsum = " + ".join(f"{w} * ({fz.format(x=x, y=y)})" for w, x, y in g)
+    gauss = f"(({gsum}) + 8) // 16"
+
+    def level(method: str, vexpr: str) -> str:
+        return f"""
+        SELECT '{method}' AS method,
+               gx // 64 AS tx, gy // 64 AS ty,
+               CAST(SUM(({vexpr}) * (((gy % 64) * 64 + (gx % 64)) % 11 + 1))
+                    % 2147483648 AS BIGINT) AS cks
+        FROM rg GROUP BY gx // 64, gy // 64"""
+
+    return f"""
+        WITH rg AS (
+          SELECT CAST(a.gx AS BIGINT) AS gx, CAST(b.gy AS BIGINT) AS gy
+          FROM generate_series(0, {n // 2 - 1}) a(gx)
+          CROSS JOIN generate_series(0, {n // 2 - 1}) b(gy))
+        {level('mode', mode)}
+        UNION ALL {level('rms', rms)}
+        UNION ALL {level('gauss', gauss)}"""
+
+
+_WAGG_N = 16
+_WAGG_DST_GT = (440720.0, 480.0, 0.0, 3751320.0, 0.0, -480.0)
+
+
+def _q_rs_warp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warp-time aggregates (GRA_Average/Mode/Min/Max/Med/Q1/Q3/Sum):
+    16x16 dst grid, each pixel aggregating an 8x8 block of formula-
+    raster src centers via the distributed value-histogram plan."""
+    from gdal_spark.operators.tiling import formula_tiles, warp_aggregate
+
+    tiles = formula_tiles(spark, 2, 2, 64)
+    return warp_aggregate(
+        tiles, _WARP_SRC_GT, _WAGG_DST_GT, _WAGG_N, _WAGG_N
+    )
+
+
+def _warp_aggregate_oracle_sql() -> str:
+    g0, g1, _, g3, _, g5 = _WARP_SRC_GT
+    d0, d1, _, d3, _, d5 = _WAGG_DST_GT
+    n = _WAGG_N
+    # mirror the engine's forward map exactly: gx = g0 + (sx+0.5)*g1,
+    # dpx = (gx - d0)/d1 — no algebraic simplification
+    di = (
+        f"CAST(FLOOR((({g0!r} + (x + 0.5e0) * {g1!r}) - {d0!r})"
+        f" / {d1!r}) AS BIGINT)"
+    )
+    dj = (
+        f"CAST(FLOOR((({g3!r} + (y + 0.5e0) * {g5!r}) - {d3!r})"
+        f" / {d5!r}) AS BIGINT)"
+    )
+    return f"""
+        WITH px AS (
+          SELECT CAST(a.x AS BIGINT) AS x, CAST(b.y AS BIGINT) AS y
+          FROM generate_series(0, {_WARP_SRC_WH - 1}) a(x)
+          CROSS JOIN generate_series(0, {_WARP_SRC_WH - 1}) b(y)),
+        v AS (
+          SELECT {di} AS di, {dj} AS dj, (x * 7 + y * 13) % 251 AS val
+          FROM px),
+        hist AS (
+          SELECT di, dj, val, COUNT(*) AS cnt FROM v
+          WHERE di >= 0 AND di < {n} AND dj >= 0 AND dj < {n}
+          GROUP BY di, dj, val),
+        h2 AS (
+          SELECT di, dj, val, cnt,
+                 SUM(cnt) OVER (PARTITION BY di, dj ORDER BY val
+                                ROWS UNBOUNDED PRECEDING) AS run,
+                 SUM(cnt) OVER (PARTITION BY di, dj) AS tot,
+                 MAX(cnt) OVER (PARTITION BY di, dj) AS maxcnt
+          FROM hist),
+        h3 AS (
+          SELECT *, (tot + 1) // 2 AS lo, tot // 2 + 1 AS hi,
+                 (tot - 1) // 4 + 1 AS p1, 3 * (tot - 1) // 4 + 1 AS p3
+          FROM h2)
+        SELECT di, dj,
+               CAST(MAX(tot) AS BIGINT) AS n,
+               CAST(SUM(val * cnt) AS BIGINT) AS sum_v,
+               CAST(MIN(val) AS BIGINT) AS min_v,
+               CAST(MAX(val) AS BIGINT) AS max_v,
+               CAST(MIN(CASE WHEN cnt = maxcnt THEN val END) AS BIGINT)
+                 AS mode_v,
+               CAST(MIN(CASE WHEN run >= lo THEN val END)
+                    + MIN(CASE WHEN run >= hi THEN val END) AS BIGINT)
+                 AS med2,
+               CAST(MIN(CASE WHEN run >= p1 THEN val END) AS BIGINT)
+                 AS q1_v,
+               CAST(MIN(CASE WHEN run >= p3 THEN val END) AS BIGINT)
+                 AS q3_v,
+               CAST(FLOOR(SUM(val * cnt) * 256e0 / MAX(tot) + 0.5)
+                    AS BIGINT) AS avg_q8
+        FROM h3 GROUP BY di, dj"""
+
+
+_CONTOUR_LEVELS = [64, 100, 160]
+
+
+def _q_rs_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares polyline SEGMENTS (interpolated geometry, not
+    just the case census) per level: count + quantized length sum."""
+    from gdal_spark.operators.tiling import (
+        contour_level_stats, contour_segments, formula_tiles,
+    )
+
+    n, ts = _CONTOUR_N, _CONTOUR_TS
+    tiles = formula_tiles(spark, n, n, ts)
+    segs = contour_segments(tiles, n * ts, n * ts, _CONTOUR_LEVELS)
+    return contour_level_stats(segs)
+
+
+def _contour_lines_oracle_sql() -> str:
+    """Closed-form marching-squares segments over the formula raster:
+    identical (level - v)/(vb - va) interpolation expressions → every
+    endpoint double matches the engine bit-for-bit."""
+    from gdal_spark.operators.tiling import _SADDLE, _SEG_TABLE
+
+    n = _CONTOUR_N * _CONTOUR_TS
+    levels = ", ".join(f"({lv})" for lv in _CONTOUR_LEVELS)
+    # edge-point coordinate expressions (x, y) per edge id
+    E = {
+        "B": ("(x + (level - v00) / (v10 - v00))", "CAST(y AS DOUBLE)"),
+        "R": ("(x + 1e0)", "(y + (level - v10) / (v11 - v10))"),
+        "T": ("(x + (level - v01) / (v11 - v01))", "(y + 1e0)"),
+        "L": ("CAST(x AS DOUBLE)", "(y + (level - v00) / (v01 - v00))"),
+    }
+    whens: dict[int, list] = {0: [], 1: []}
+    for c, segs in _SEG_TABLE.items():
+        whens[0].append((f"cc = {c}", segs[0]))
+    for (c, hi), segs in _SADDLE.items():
+        cond = f"cc = {c} AND {'hi' if hi else '(NOT hi)'}"
+        whens[0].append((cond, segs[0]))
+        whens[1].append((cond, segs[1]))
+
+    def coord(idx: int) -> str:
+        parts = []
+        for slot in (0, 1):
+            for cond, (e1, e2) in whens[slot]:
+                e = e1 if idx < 2 else e2
+                expr = E[e][idx % 2]
+                parts.append(f"WHEN slot = {slot} AND {cond} THEN {expr}")
+        return "CASE " + " ".join(parts) + " ELSE NULL END"
+
+    bit = "CASE WHEN {v} >= level THEN 1 ELSE 0 END"
+    return f"""
+        WITH cl(level) AS (VALUES {levels}),
+        g AS (
+          SELECT CAST(a.x AS BIGINT) AS x, CAST(b.y AS BIGINT) AS y
+          FROM generate_series(0, {n - 2}) a(x)
+          CROSS JOIN generate_series(0, {n - 2}) b(y)),
+        c AS (
+          SELECT level, x, y,
+                 (x * 7 + y * 13) % 251 AS v00,
+                 ((x + 1) * 7 + y * 13) % 251 AS v10,
+                 ((x + 1) * 7 + (y + 1) * 13) % 251 AS v11,
+                 (x * 7 + (y + 1) * 13) % 251 AS v01
+          FROM g CROSS JOIN cl),
+        d AS (
+          SELECT *,
+                 {bit.format(v='v00')} + 2 * {bit.format(v='v10')}
+                 + 4 * {bit.format(v='v11')} + 8 * {bit.format(v='v01')}
+                   AS cc,
+                 (v00 + v10 + v11 + v01 >= 4 * level) AS hi
+          FROM c),
+        s AS (
+          SELECT level,
+                 {coord(0)} AS x1, {coord(1)} AS y1,
+                 {coord(2)} AS x2, {coord(3)} AS y2
+          FROM d CROSS JOIN (VALUES (0), (1)) sl(slot))
+        SELECT level, COUNT(*) AS n_segments,
+               CAST(SUM(CAST(FLOOR(SQRT((x2 - x1) * (x2 - x1)
+                                        + (y2 - y1) * (y2 - y1))
+                                   * 1000000e0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS len_q6
+        FROM s WHERE x1 IS NOT NULL
+        GROUP BY level"""
+
+
 def _q_rs_point_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster value enrichment of the doc point table, nearest-pixel
     (GDALInterpolateAtPoint analog)."""
@@ -893,6 +1131,44 @@ def _warp_oracle_sql(method: str) -> str:
                CASE WHEN sx BETWEEN 0 AND {w - 1} AND sy BETWEEN 0 AND {w - 1}
                     THEN (sx * 7 + sy * 13) % 251 ELSE -1 END AS val
         FROM s"""
+    if method == "cubic":
+        # Catmull-Rom over the 4x4 support, scaled by 2^20: every
+        # weight/product is an exact dyadic double (fx denominators
+        # <= 8), so the scaled sum is an exact integer in BOTH engines
+        def p(dx: int, dy: int) -> str:
+            return f"((x0 + {dx}) * 7 + (y0 + {dy}) * 13) % 251"
+
+        wxs = [
+            "(-(t*t*t) + 2e0*(t*t) - t) * 0.5e0",
+            "(3e0*(t*t*t) - 5e0*(t*t) + 2e0) * 0.5e0",
+            "(-3e0*(t*t*t) + 4e0*(t*t) + t) * 0.5e0",
+            "((t*t*t) - (t*t)) * 0.5e0",
+        ]
+        wys = [w.replace("t", "u") for w in wxs]
+        rows_sql = " + ".join(
+            f"({wys[j]}) * ("
+            + " + ".join(
+                f"({wxs[i]}) * ({p(i - 1, j - 1)})" for i in range(4)
+            )
+            + ")"
+            for j in range(4)
+        )
+        return f"""
+        WITH g AS ({grid}),
+        s AS (SELECT di, dj,
+                     {fx} - 0.5e0 AS fx, {fy} - 0.5e0 AS fy FROM g),
+        tt AS (SELECT di, dj, fx, fy,
+                      CAST(FLOOR(fx) AS BIGINT) AS x0,
+                      CAST(FLOOR(fy) AS BIGINT) AS y0,
+                      fx - CAST(FLOOR(fx) AS BIGINT) AS t,
+                      fy - CAST(FLOOR(fy) AS BIGINT) AS u
+               FROM s)
+        SELECT di, dj,
+          CASE WHEN x0 - 1 >= 0 AND x0 + 2 <= {w - 1}
+                AND y0 - 1 >= 0 AND y0 + 2 <= {w - 1}
+          THEN CAST(ROUND(1048576e0 * ({rows_sql})) AS BIGINT)
+          ELSE -1000000000 END AS val
+        FROM tt"""
     # bilinear between pixel centers, scaled by 64 (integer-exact)
     return f"""
         WITH g AS ({grid}),
@@ -1423,7 +1699,11 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_pyramid_checksum": _q_rs_pyramid,
     "rs_warp_nearest": _warp_query("nearest"),
     "rs_warp_bilinear": _warp_query("bilinear"),
+    "rs_warp_cubic": _warp_query("cubic"),
+    "rs_warp_aggregate": _q_rs_warp_aggregate,
+    "rs_overview_resamplers": _q_rs_overview_resamplers,
     "rs_contour_census": _q_rs_contour,
+    "rs_contour_lines": _q_rs_contour_lines,
     "rs_point_probe": _q_rs_point_probe,
     "rs_polygonize": _q_rs_polygonize,
     "rs_sieve_checksum": _q_rs_sieve,
@@ -1476,7 +1756,11 @@ ENGINE_ORACLES: dict[str, str] = {
     "rs_pyramid_checksum": _pyramid_oracle_sql(),
     "rs_warp_nearest": _warp_oracle_sql("nearest"),
     "rs_warp_bilinear": _warp_oracle_sql("bilinear"),
+    "rs_warp_cubic": _warp_oracle_sql("cubic"),
+    "rs_warp_aggregate": _warp_aggregate_oracle_sql(),
+    "rs_overview_resamplers": _overview_resamplers_oracle_sql(),
     "rs_contour_census": _contour_oracle_sql(),
+    "rs_contour_lines": _contour_lines_oracle_sql(),
     "rs_proximity": _proximity_oracle_sql(),
     "rs_point_probe": _probe_oracle_sql(),
     "rs_fill_polygons": _fill_oracle_sql(),

@@ -185,6 +185,45 @@ def overview_level(tiles: DataFrame, method: str = "average") -> DataFrame:
     )
 
 
+def overview_gauss(tiles: DataFrame) -> DataFrame:
+    """GAUSS overview level (gcore/overview.cpp:1842): 3x3 binomial
+    kernel at each even source pixel needs 1 neighbor pixel beyond the
+    tile — one halo exchange, then the same parent-quadrant assembly
+    as overview_level."""
+    padded = add_halo(tiles, pad=1)
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = int(pdf["w"].iloc[0])
+        half = ts // 2
+        out = np.zeros((ts, ts), dtype=np.uint8)
+        for _, row in pdf.iterrows():
+            p = int(row["pad"])
+            a = np.frombuffer(row["data"], dtype=np.uint8).reshape(
+                int(row["h"]) + 2 * p, int(row["w"]) + 2 * p
+            )
+            red = raster.gauss_3x3(a)
+            qx = int(row["tx"]) % 2
+            qy = int(row["ty"]) % 2
+            out[qy * half:(qy + 1) * half, qx * half:(qx + 1) * half] = red
+        return pd.DataFrame(
+            {
+                "z": [int(pdf["z"].iloc[0]) - 1],
+                "tx": [int(pdf["tx"].iloc[0]) // 2],
+                "ty": [int(pdf["ty"].iloc[0]) // 2],
+                "w": [ts],
+                "h": [ts],
+                "data": [out.tobytes()],
+            }
+        )
+
+    parent = padded.withColumn(
+        "ptx", (F.col("tx") / 2).cast("long")
+    ).withColumn("pty", (F.col("ty") / 2).cast("long"))
+    return parent.groupBy("z", "ptx", "pty").applyInPandas(
+        reduce_group, TILE_SCHEMA
+    )
+
+
 def pyramid(
     base: DataFrame, base_zoom: int, min_zoom: int = 0, method: str = "average"
 ) -> DataFrame:
@@ -439,6 +478,25 @@ def warp_affine(
                 & valid[y0w + 1, x0w] & valid[y0w + 1, x0w + 1]
             )
             out[bad] = raster.NODATA
+        elif method == "cubic":
+            out = raster.warp_cubic_q(win, sxw, syw)
+            fx = sx - 0.5
+            fy = sy - 0.5
+            x0 = np.floor(fx).astype(np.int64)
+            y0 = np.floor(fy).astype(np.int64)
+            bad = (
+                (x0 - 1 < 0) | (x0 + 2 > src_w - 1)
+                | (y0 - 1 < 0) | (y0 + 2 > src_h - 1)
+            )
+            # all 16 support pixels must come from present tiles
+            x0w = np.clip(x0 - wx0, 1, max(ww_ - 3, 1))
+            y0w = np.clip(y0 - wy0, 1, max(wh_ - 3, 1))
+            okv = np.ones_like(bad)
+            for dj in range(-1, 3):
+                for di in range(-1, 3):
+                    okv &= valid[y0w + dj, x0w + di]
+            bad |= ~okv
+            out[bad] = raster.CUBIC_NODATA
         else:
             raise ValueError(f"unknown warp method {method!r}")
         jj, ii = np.meshgrid(
@@ -455,6 +513,117 @@ def warp_affine(
         )
 
     return joined.groupBy("i0", "j0").applyInPandas(gather, WARP_PIXEL_SCHEMA)
+
+
+def warp_aggregate(
+    src_tiles: DataFrame,
+    src_gt: tuple,
+    dst_gt: tuple,
+    dst_w: int,
+    dst_h: int,
+) -> DataFrame:
+    """Warp-time aggregates — GRA_Average/Mode/Min/Max/Med/Q1/Q3/Sum
+    (alg/gdalwarper.h:35-67, GWKAverageOrMode alg/gdalwarpkernel.cpp
+    :192): every dst pixel aggregates the src pixels whose CENTER maps
+    into its footprint.
+
+    Plan: each src tile maps its pixel centers to dst pixels and emits
+    a VALUE HISTOGRAM (di, dj, val, cnt) — for bounded pixel depth
+    (uint8) that is ≤256 rows per touched dst pixel regardless of
+    raster size, so the shuffle carries histograms, not pixels
+    (map-side combine via np.unique). All aggregates — including exact
+    median/quartiles/mode — then reduce JVM-side from the histogram
+    (cumulative-count window), never a per-pixel value list.
+
+    Axis-aligned geotransforms only (d2 = d4 = 0): the forward map is
+    (gx - d0)/d1 so an ANSI-SQL oracle reproduces every rounding
+    decision bit-for-bit (no 1/d1 inverse-coefficient literal).
+
+    Ties/conventions (documented deviations from GDAL's scan-order-
+    dependent behavior, which is not reproducible under parallel
+    reduction): Mode ties → smallest value; Med on even counts emits
+    v_lo + v_hi (twice the median) as ``med2``; Q1/Q3 are the exact
+    order statistics at 1-indexed positions (n-1) DIV 4 + 1 and
+    3*(n-1) DIV 4 + 1.
+    """
+    g0, g1, _, g3, _, g5 = src_gt
+    d0, d1, _, d3, _, d5 = dst_gt
+
+    def hist(batches):
+        for pdf in batches:
+            frames = []
+            for _, r in pdf.iterrows():
+                ts_w, ts_h = int(r["w"]), int(r["h"])
+                tx, ty = int(r["tx"]), int(r["ty"])
+                arr = _tile_array(ts_w, ts_h, r["data"])
+                sx = tx * ts_w + np.arange(ts_w, dtype=np.float64)[None, :]
+                sy = ty * ts_h + np.arange(ts_h, dtype=np.float64)[:, None]
+                gx = g0 + (sx + 0.5) * g1
+                gy = g3 + (sy + 0.5) * g5
+                dpx = (gx - d0) / d1
+                dpy = (gy - d3) / d5
+                di = np.floor(dpx).astype(np.int64)
+                dj = np.floor(dpy).astype(np.int64)
+                di = np.broadcast_to(di, arr.shape)
+                dj = np.broadcast_to(dj, arr.shape)
+                m = (di >= 0) & (di < dst_w) & (dj >= 0) & (dj < dst_h)
+                if not m.any():
+                    continue
+                key = (
+                    (di[m] * dst_h + dj[m]) * 256 + arr[m].astype(np.int64)
+                )
+                uk, cnt = np.unique(key, return_counts=True)
+                frames.append(pd.DataFrame({
+                    "di": uk // (dst_h * 256),
+                    "dj": (uk // 256) % dst_h,
+                    "val": uk % 256,
+                    "cnt": cnt.astype(np.int64),
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    h = src_tiles.mapInPandas(
+        hist, "di long, dj long, val long, cnt long"
+    )
+    # merge partial histograms (tiles share no dst pixel unless tile
+    # edges split one — still correct)
+    h = h.groupBy("di", "dj", "val").agg(F.sum("cnt").alias("cnt"))
+    from pyspark.sql.window import Window
+
+    wpix = Window.partitionBy("di", "dj")
+    wrun = wpix.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    h2 = (
+        h.withColumn("run", F.sum("cnt").over(wrun))
+        .withColumn("tot", F.sum("cnt").over(wpix))
+        .withColumn("maxcnt", F.max("cnt").over(wpix))
+        .withColumn("lo", F.expr("(tot + 1) DIV 2"))
+        .withColumn("hi", F.expr("tot DIV 2 + 1"))
+        .withColumn("p1", F.expr("(tot - 1) DIV 4 + 1"))
+        .withColumn("p3", F.expr("3 * (tot - 1) DIV 4 + 1"))
+    )
+    agg = h2.groupBy("di", "dj").agg(
+        F.first("tot").alias("n"),
+        F.sum(F.col("val") * F.col("cnt")).alias("sum_v"),
+        F.min("val").alias("min_v"),
+        F.max("val").alias("max_v"),
+        F.min(
+            F.when(F.col("cnt") == F.col("maxcnt"), F.col("val"))
+        ).alias("mode_v"),
+        (
+            F.min(F.when(F.col("run") >= F.col("lo"), F.col("val")))
+            + F.min(F.when(F.col("run") >= F.col("hi"), F.col("val")))
+        ).alias("med2"),
+        F.min(F.when(F.col("run") >= F.col("p1"), F.col("val"))).alias("q1_v"),
+        F.min(F.when(F.col("run") >= F.col("p3"), F.col("val"))).alias("q3_v"),
+    )
+    return agg.withColumn(
+        "avg_q8",
+        F.floor(
+            F.col("sum_v") * 256.0 / F.col("n") + 0.5
+        ).cast("long"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -654,6 +823,180 @@ def contour_case_census(
         partials.groupBy("case_code")
         .agg(F.sum("n").alias("n"))
         .filter(F.col("n") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# contour polyline extraction (marching squares segments + stitching)
+# ---------------------------------------------------------------------------
+
+CONTOUR_SEG_SCHEMA = (
+    "level long, x1 double, y1 double, x2 double, y2 double"
+)
+
+# case → [(edge, edge)] segment table; edges B(ottom) R(ight) T(op)
+# L(eft); case bits b0=v00 + 2*b1(v10) + 4*b2(v11) + 8*b3(v01), inside
+# = (v >= level) — same convention as contour_case_census. Saddles
+# (5, 10) resolve on the 4-corner sum vs 4*level (GDAL's
+# marching_squares center-mean disambiguation, alg/marching_squares/).
+_SEG_TABLE: dict[int, list[tuple[str, str]]] = {
+    1: [("B", "L")], 2: [("B", "R")], 3: [("L", "R")],
+    4: [("R", "T")], 6: [("B", "T")], 7: [("T", "L")],
+    8: [("T", "L")], 9: [("B", "T")], 11: [("R", "T")],
+    12: [("L", "R")], 13: [("B", "R")], 14: [("B", "L")],
+}
+_SADDLE = {
+    (5, True): [("B", "R"), ("T", "L")],
+    (5, False): [("B", "L"), ("R", "T")],
+    (10, True): [("B", "L"), ("R", "T")],
+    (10, False): [("B", "R"), ("T", "L")],
+}
+
+
+def contour_segments(
+    tiles: DataFrame, grid_w: int, grid_h: int, levels: list[int]
+) -> DataFrame:
+    """Marching-squares contour SEGMENTS (not just the case census):
+    per interior 2x2 square, linearly interpolated crossing points on
+    the square's edges, joined per the 16-case table
+    (alg/contour.cpp:383, alg/marching_squares/square.h; exact cases
+    autotest/cpp/test_marching_squares_contour.cpp).
+
+    One halo exchange, per-tile numpy; output rows are
+    (level, x1, y1, x2, y2) in global pixel coordinates. Endpoint
+    arithmetic is pure (level - v)/(vb - va) over integer pixel values
+    so an ANSI-SQL oracle reproduces every coordinate bit-for-bit."""
+    padded = add_halo(tiles, pad=1)
+
+    def run(batches):
+        for pdf in batches:
+            frames = []
+            for _, r in pdf.iterrows():
+                ts_w, ts_h, p = int(r["w"]), int(r["h"]), int(r["pad"])
+                tx, ty = int(r["tx"]), int(r["ty"])
+                a = np.frombuffer(r["data"], dtype=np.uint8).reshape(
+                    ts_h + 2 * p, ts_w + 2 * p
+                ).astype(np.int64)
+                v00 = a[1:1 + ts_h, 1:1 + ts_w]
+                v10 = a[1:1 + ts_h, 2:2 + ts_w]
+                v11 = a[2:2 + ts_h, 2:2 + ts_w]
+                v01 = a[2:2 + ts_h, 1:1 + ts_w]
+                gx = (tx * ts_w + np.arange(ts_w, dtype=np.int64))[None, :]
+                gy = (ty * ts_h + np.arange(ts_h, dtype=np.int64))[:, None]
+                valid = (np.broadcast_to(gx + 1, v00.shape) <= grid_w - 1) & (
+                    np.broadcast_to(gy + 1, v00.shape) <= grid_h - 1
+                )
+                gxf = np.broadcast_to(gx, v00.shape).astype(np.float64)
+                gyf = np.broadcast_to(gy, v00.shape).astype(np.float64)
+                for lv in levels:
+                    b0 = v00 >= lv
+                    b1 = v10 >= lv
+                    b2 = v11 >= lv
+                    b3 = v01 >= lv
+                    case = (
+                        b0.astype(np.int64) + 2 * b1 + 4 * b2 + 8 * b3
+                    )
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        tb = (lv - v00) / (v10 - v00)
+                        tr = (lv - v10) / (v11 - v10)
+                        tt = (lv - v01) / (v11 - v01)
+                        tl = (lv - v00) / (v01 - v00)
+                    pts = {
+                        "B": (gxf + tb, gyf),
+                        "R": (gxf + 1.0, gyf + tr),
+                        "T": (gxf + tt, gyf + 1.0),
+                        "L": (gxf, gyf + tl),
+                    }
+                    s4 = v00 + v10 + v11 + v01
+                    jobs: list[tuple[np.ndarray, list]] = [
+                        (valid & (case == c), segs)
+                        for c, segs in _SEG_TABLE.items()
+                    ]
+                    for (c, hi), segs in _SADDLE.items():
+                        m = valid & (case == c) & (
+                            (s4 >= 4 * lv) == hi
+                        )
+                        jobs.append((m, segs))
+                    for m, segs in jobs:
+                        if not m.any():
+                            continue
+                        for e1, e2 in segs:
+                            frames.append(pd.DataFrame({
+                                "level": lv,
+                                "x1": pts[e1][0][m], "y1": pts[e1][1][m],
+                                "x2": pts[e2][0][m], "y2": pts[e2][1][m],
+                            }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return padded.mapInPandas(run, CONTOUR_SEG_SCHEMA)
+
+
+def contour_level_stats(segs: DataFrame) -> DataFrame:
+    """Per-level gate aggregate: segment count + integer-quantized
+    length sum (each segment rounds before summing → order-free)."""
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    ln = F.sqrt(dx * dx + dy * dy)
+    q = F.floor(ln * 1000000.0 + 0.5).cast("long")
+    return segs.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(q).alias("len_q6"),
+    )
+
+
+def contour_polylines(segs: DataFrame, quant: int = 1 << 20) -> DataFrame:
+    """Stitch segments into polylines by shared endpoints (the
+    cross-tile merge of alg/contour.cpp's polyline ringing): endpoints
+    quantize to a shared key, segments become union edges, components
+    resolve driver-side over O(contour length) edges (contour size ≪
+    raster area — same collect bound as polygonize's border set).
+    Output: (level, line_id, n_segments, len_q6)."""
+    spark = segs.sparkSession
+    kx1 = F.floor(F.col("x1") * quant + 0.5).cast("long")
+    ky1 = F.floor(F.col("y1") * quant + 0.5).cast("long")
+    kx2 = F.floor(F.col("x2") * quant + 0.5).cast("long")
+    ky2 = F.floor(F.col("y2") * quant + 0.5).cast("long")
+    keyed = segs.select(
+        "level", "x1", "y1", "x2", "y2",
+        (kx1 * 268435456 + ky1).alias("k1"),
+        (kx2 * 268435456 + ky2).alias("k2"),
+    )
+    edge_rows = keyed.select("level", "k1", "k2").collect()
+    parent: dict[tuple, tuple] = {}
+    find = _make_find(parent)
+    for r in edge_rows:
+        a, b = find((r.level, r.k1)), find((r.level, r.k2))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    comp = {
+        k: i
+        for i, k in enumerate(
+            sorted({find(k) for k in list(parent)} | {
+                find((r.level, r.k1)) for r in edge_rows
+            })
+        )
+    }
+    items = [
+        (int(lv), int(k), comp[find((lv, k))])
+        for (lv, k) in (
+            {(r.level, r.k1) for r in edge_rows}
+            | {(r.level, r.k2) for r in edge_rows}
+        )
+    ]
+    map_df = spark.createDataFrame(
+        items or [], "level long, k1 long, line_id long"
+    )
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    q = F.floor(F.sqrt(dx * dx + dy * dy) * 1000000.0 + 0.5).cast("long")
+    return (
+        keyed.join(F.broadcast(map_df), ["level", "k1"])
+        .groupBy("level", "line_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(q).alias("len_q6"),
+        )
     )
 
 

@@ -189,6 +189,63 @@ def warp_bilinear_q(
 # ---------------------------------------------------------------------------
 
 
+CUBIC_SCALE = 1 << 20
+CUBIC_NODATA = -(10 ** 9)
+
+
+def cubic_weights(t: np.ndarray) -> tuple:
+    """Catmull-Rom (a = -0.5) cubic-convolution weights for the four
+    taps at offsets -1, 0, +1, +2 (GWKCubicComputeWeights,
+    alg/gdalwarpkernel.cpp:101-135). For dyadic t every weight is an
+    exactly-representable dyadic rational (denominator 2^10 when t has
+    denominator 8), so any summation order is exact."""
+    t2 = t * t
+    t3 = t2 * t
+    w0 = (-t3 + 2.0 * t2 - t) * 0.5
+    w1 = (3.0 * t3 - 5.0 * t2 + 2.0) * 0.5
+    w2 = (-3.0 * t3 + 4.0 * t2 + t) * 0.5
+    w3 = (t3 - t2) * 0.5
+    return w0, w1, w2, w3
+
+
+def warp_cubic_q(
+    src: np.ndarray,
+    sx: np.ndarray,
+    sy: np.ndarray,
+    scale: int = CUBIC_SCALE,
+    nodata: int = CUBIC_NODATA,
+) -> np.ndarray:
+    """Cubic (Catmull-Rom) warp kernel, integer-quantized: round(scale
+    * Σ wy_j wx_i p_ij) over the 4x4 support (GWKCubic,
+    alg/gdalwarpkernel.cpp; the reference benchmark's `-r cubic` rig,
+    autotest/benchmark/test_gdalwarp.py:31-80). With dyadic source
+    grids (fx denominators ≤ 8) the scaled result is an EXACT integer
+    — bit-reproducible against an ANSI-SQL oracle. Support outside the
+    window → nodata (large negative: cubic undershoot makes small
+    negatives legitimate values)."""
+    fx = sx - 0.5
+    fy = sy - 0.5
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    t = fx - x0
+    u = fy - y0
+    h, w = src.shape
+    ok = (x0 - 1 >= 0) & (x0 + 2 <= w - 1) & (y0 - 1 >= 0) & (y0 + 2 <= h - 1)
+    xc = np.clip(x0, 1, max(w - 3, 1))
+    yc = np.clip(y0, 1, max(h - 3, 1))
+    wx = cubic_weights(t)
+    wy = cubic_weights(u)
+    acc = np.zeros(sx.shape, dtype=np.float64)
+    for j in range(4):
+        rowacc = np.zeros(sx.shape, dtype=np.float64)
+        for i in range(4):
+            rowacc += wx[i] * src[yc + j - 1, xc + i - 1]
+        acc += wy[j] * rowacc
+    out = np.floor(acc * scale + 0.5).astype(np.int64)
+    out[~ok] = nodata
+    return out
+
+
 def block_reduce_2x2(arr: np.ndarray, method: str = "average") -> np.ndarray:
     """One overview level (factor 2). ``average`` on integers rounds
     half-up exactly like GDAL's (total + n/2) / n (gcore/overview.cpp
@@ -203,7 +260,47 @@ def block_reduce_2x2(arr: np.ndarray, method: str = "average") -> np.ndarray:
         a = arr.astype(np.int64)
         s = a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]
         return ((s + 2) // 4).astype(arr.dtype)
+    if method == "mode":
+        # most frequent of the 4 children; ties → smallest value (a
+        # deterministic stand-in for overview.cpp:2163's scan-order
+        # tie, which is not parallel-reduction-safe)
+        a = arr.astype(np.int64)
+        c = np.stack(
+            [a[0::2, 0::2], a[0::2, 1::2], a[1::2, 0::2], a[1::2, 1::2]]
+        )
+        c.sort(axis=0)
+        # runs within the sorted 4-stack: count occurrences of each
+        same = np.zeros_like(c)
+        for i in range(4):
+            same[i] = (c == c[i]).sum(axis=0)
+        best = np.where(
+            same == same.max(axis=0, keepdims=True), c, np.iinfo(np.int64).max
+        ).min(axis=0)
+        return best.astype(arr.dtype)
+    if method == "rms":
+        # round(sqrt(mean of squares)) — overview.cpp RMS path; sqrt
+        # of an exact small integer/4 is correctly rounded → SQL-exact
+        a = arr.astype(np.int64)
+        sq = (
+            a[0::2, 0::2] ** 2 + a[0::2, 1::2] ** 2
+            + a[1::2, 0::2] ** 2 + a[1::2, 1::2] ** 2
+        )
+        return np.floor(np.sqrt(sq / 4.0) + 0.5).astype(arr.dtype)
     raise ValueError(f"unknown method {method!r}")
+
+
+def gauss_3x3(padded: np.ndarray) -> np.ndarray:
+    """GAUSS overview reduce (gcore/overview.cpp:1842): decimate by 2
+    with the normalized 3x3 binomial kernel {1,2,1}⊗{1,2,1}/16 centered
+    on each even pixel of a 1-px-padded array. Integer math: half-up
+    exact — (sum + 8) // 16."""
+    a = padded.astype(np.int64)
+    k = (
+        1 * a[0:-2:2, 0:-2:2] + 2 * a[0:-2:2, 1:-1:2] + 1 * a[0:-2:2, 2::2]
+        + 2 * a[1:-1:2, 0:-2:2] + 4 * a[1:-1:2, 1:-1:2] + 2 * a[1:-1:2, 2::2]
+        + 1 * a[2::2, 0:-2:2] + 2 * a[2::2, 1:-1:2] + 1 * a[2::2, 2::2]
+    )
+    return ((k + 8) // 16).astype(padded.dtype)
 
 
 # ---------------------------------------------------------------------------

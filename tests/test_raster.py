@@ -245,3 +245,58 @@ def test_formula_block_matches_global_coords():
     whole = raster.formula_block(0, 0, 64, 64)
     sub = raster.formula_block(16, 32, 8, 8)
     np.testing.assert_array_equal(whole[32:40, 16:24], sub)
+
+
+def test_block_reduce_mode_rms():
+    arr = np.array(
+        [[5, 5, 1, 2],
+         [3, 9, 3, 4],
+         [7, 7, 0, 0],
+         [7, 8, 0, 3]], dtype=np.uint8)
+    mode = raster.block_reduce_2x2(arr, "mode")
+    # TL: {5,5,3,9} -> 5; TR: {1,2,3,4} tie -> smallest 1
+    # BL: {7,7,7,8} -> 7; BR: {0,0,0,3} -> 0
+    np.testing.assert_array_equal(mode, [[5, 1], [7, 0]])
+    rms = raster.block_reduce_2x2(arr, "rms")
+    want = np.floor(np.sqrt((arr.astype(np.int64) ** 2)
+                            .reshape(2, 2, 2, 2).swapaxes(1, 2)
+                            .reshape(2, 2, 4).sum(-1) / 4.0) + 0.5)
+    np.testing.assert_array_equal(rms.astype(np.int64), want.astype(np.int64))
+
+
+def test_gauss_3x3_matches_naive():
+    rng = np.random.default_rng(3)
+    core = rng.integers(0, 251, (8, 8)).astype(np.uint8)
+    padded = np.zeros((10, 10), dtype=np.uint8)
+    padded[1:9, 1:9] = core
+    got = raster.gauss_3x3(padded)
+    k = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=np.int64)
+    for gy in range(4):
+        for gx in range(4):
+            win = padded.astype(np.int64)[2 * gy:2 * gy + 3, 2 * gx:2 * gx + 3]
+            assert got[gy, gx] == (int((win * k).sum()) + 8) // 16
+
+
+def test_warp_cubic_exact_on_dyadic_grid():
+    src = raster.formula_block(0, 0, 16, 16)
+    # dyadic fractional coords (denominator 8)
+    sx = np.array([[4.625, 5.875], [6.125, 7.375]])
+    sy = np.array([[4.375, 5.125], [6.875, 7.625]])
+    out = raster.warp_cubic_q(src, sx, sy)
+    for idx in np.ndindex(2, 2):
+        fx, fy = sx[idx] - 0.5, sy[idx] - 0.5
+        x0, y0 = int(np.floor(fx)), int(np.floor(fy))
+        t, u = fx - x0, fy - y0
+        wx = raster.cubic_weights(np.array(t))
+        wy = raster.cubic_weights(np.array(u))
+        acc = 0.0
+        for j in range(4):
+            for i in range(4):
+                acc += float(wy[j]) * float(wx[i]) * src[y0 + j - 1, x0 + i - 1]
+        want = int(np.floor(acc * raster.CUBIC_SCALE + 0.5))
+        assert out[idx] == want
+    # interpolation at integer centers reproduces the source exactly
+    sx2 = np.array([[5.5]]); sy2 = np.array([[7.5]])
+    assert raster.warp_cubic_q(src, sx2, sy2)[0, 0] == (
+        src[7, 5] * raster.CUBIC_SCALE
+    )

@@ -195,3 +195,33 @@ def test_polygonize_matches_flood_fill(spark):
     expect = _flood_fill_regions(full)
     assert got == expect
     assert len(expect) > 4  # the fixture really produces multiple regions
+
+
+def test_contour_segments_and_polyline_stitch(spark):
+    """A single bump crossing tile borders yields one closed polyline
+    whose stitched segment count equals the per-level census total."""
+    import pandas as pd
+    from gdal_spark.operators.tiling import (
+        contour_level_stats, contour_polylines, contour_segments,
+    )
+
+    n = 16
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    r2 = (xx - 8) ** 2 + (yy - 8) ** 2
+    full = np.where(r2 <= 20, 200, 10).astype(np.uint8)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            rows.append(
+                (0, tx, ty, 8, 8,
+                 full[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8].tobytes())
+            )
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["z", "tx", "ty", "w", "h", "data"])
+    )
+    segs = contour_segments(tiles, n, n, [100])
+    stats = {r.level: r for r in contour_level_stats(segs).collect()}
+    lines = contour_polylines(segs).collect()
+    assert len(lines) == 1  # one closed loop
+    assert lines[0].n_segments == stats[100].n_segments
+    assert lines[0].len_q6 == stats[100].len_q6
