@@ -653,6 +653,200 @@ def _q_rs_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contour_case_census(tiles, n * ts, n * ts, _CONTOUR_THR)
 
 
+def _q_sp_idw_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW gridding with integer-quantized weights (gate-exact variant
+    of the scatter-plan IDW; alg/gdalgrid.cpp:109)."""
+    from gdal_spark.operators.grid import idw_grid_quantized
+
+    pts = _doc_points(spark, sf_dir).withColumn(
+        "z", (F.col("doc_id") % 997).cast("long")
+    )
+    return idw_grid_quantized(pts, res=5, z_col="z", radius_cells=1)
+
+
+_IDW_ORACLE = f"""
+    WITH pts AS ({DOC_PTS_SQL}),
+    p AS (SELECT doc_id % 997 AS z, lon, lat,
+            LEAST(GREATEST(CAST(FLOOR((lon + 180e0) / 360e0 * 32)
+                                AS BIGINT), 0), 31) AS ix,
+            LEAST(GREATEST(CAST(FLOOR((lat + 90e0) / 180e0 * 32)
+                                AS BIGINT), 0), 31) AS iy
+          FROM pts),
+    s AS (SELECT z, lon, lat, ix + dx AS cell_ix, iy + dy AS cell_iy
+          FROM p
+          CROSS JOIN (VALUES (-1), (0), (1)) a(dx)
+          CROSS JOIN (VALUES (-1), (0), (1)) b(dy)
+          WHERE ix + dx BETWEEN 0 AND 31 AND iy + dy BETWEEN 0 AND 31),
+    w AS (SELECT cell_ix, cell_iy, z,
+            1000000000000 // (CAST(FLOOR(
+              ((lon - ((cell_ix + 0.5e0) / 32 * 360e0 - 180e0))
+               * (lon - ((cell_ix + 0.5e0) / 32 * 360e0 - 180e0))
+               + (lat - ((cell_iy + 0.5e0) / 32 * 180e0 - 90e0))
+               * (lat - ((cell_iy + 0.5e0) / 32 * 180e0 - 90e0)))
+              * 1000000e0) AS BIGINT) + 1) AS wq
+          FROM s),
+    g AS (SELECT cell_ix, cell_iy, COUNT(*) AS n_points,
+                 CAST(SUM(wq) AS BIGINT) AS sw,
+                 CAST(SUM(z * wq) AS BIGINT) AS szw
+          FROM w GROUP BY cell_ix, cell_iy)
+    SELECT cell_ix, cell_iy, n_points,
+           CAST((szw // sw) * 1000 + ((szw % sw) * 1000) // sw AS BIGINT)
+             AS idw_m3
+    FROM g"""
+
+
+_NLINES = 30
+
+
+def _lines_fixture() -> pd.DataFrame:
+    """Deterministic line segments (half-integer pixel endpoints) on
+    the 360x180 grid; line 0 vertical, line 1 horizontal."""
+    rows = []
+    for lid in range(_NLINES):
+        def h(k: int) -> int:
+            return (lid * 2654435761 + k * 40503 + 12345) % 2147483647
+
+        x0 = (h(1) % 350) + 0.5
+        y0 = (h(2) % 170) + 0.5
+        x1 = (h(3) % 350) + 0.5
+        y1 = (h(4) % 170) + 0.5
+        if lid == 0:
+            x1 = x0
+        if lid == 1:
+            y1 = y0
+        rows.append({"line_id": lid, "x0": x0, "y0": y0,
+                     "x1": x1, "y1": y1})
+    return pd.DataFrame(rows)
+
+
+def _q_rs_burn_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL_TOUCHED line rasterization digest per line
+    (GDALdllImageLineAllTouched, alg/llrasterize.cpp:233)."""
+    from gdal_spark.operators.tiling import burn_lines_all_touched
+
+    return burn_lines_all_touched(
+        spark, _lines_fixture(), 360, 180, tile_size=64
+    )
+
+
+def _burn_lines_oracle_sql() -> str:
+    pdf = _lines_fixture()
+    vals = ", ".join(
+        f"({int(r.line_id)}, {r.x0!r}, {r.y0!r}, {r.x1!r}, {r.y1!r})"
+        for r in pdf.itertuples()
+    )
+    return f"""
+        WITH ln(line_id, rx0, ry0, rx1, ry1) AS (VALUES {vals}),
+        nrm AS (
+          SELECT line_id,
+                 CASE WHEN rx0 <= rx1 THEN rx0 ELSE rx1 END AS x0,
+                 CASE WHEN rx0 <= rx1 THEN ry0 ELSE ry1 END AS y0,
+                 CASE WHEN rx0 <= rx1 THEN rx1 ELSE rx0 END AS x1,
+                 CASE WHEN rx0 <= rx1 THEN ry1 ELSE ry0 END AS y1
+          FROM ln),
+        cols AS (
+          SELECT line_id, x0, y0, x1, y1, CAST(t.c AS BIGINT) AS c
+          FROM nrm CROSS JOIN generate_series(0, 359) t(c)
+          WHERE t.c >= GREATEST(CAST(FLOOR(x0) AS BIGINT), 0)
+            AND t.c <= LEAST(CAST(FLOOR(x1) AS BIGINT), 359)),
+        spans AS (
+          SELECT line_id, c,
+                 CASE WHEN x1 = x0 THEN y0
+                      ELSE y0 + (GREATEST(CAST(c AS DOUBLE), x0) - x0)
+                               * (y1 - y0) / (x1 - x0) END AS ya,
+                 CASE WHEN x1 = x0 THEN y1
+                      ELSE y0 + (LEAST(CAST(c + 1 AS DOUBLE), x1) - x0)
+                               * (y1 - y0) / (x1 - x0) END AS yb
+          FROM cols),
+        rng AS (
+          SELECT line_id, c,
+                 GREATEST(CAST(FLOOR(LEAST(ya, yb)) AS BIGINT), 0) AS r0,
+                 LEAST(CAST(FLOOR(GREATEST(ya, yb)) AS BIGINT), 179) AS r1
+          FROM spans),
+        cells AS (
+          SELECT line_id, c, CAST(t.r AS BIGINT) AS r
+          FROM rng CROSS JOIN generate_series(0, 179) t(r)
+          WHERE t.r >= r0 AND t.r <= r1)
+        SELECT line_id, COUNT(*) AS n_cells,
+               CAST(SUM(c * 7 + r * 13) AS BIGINT) AS cks
+        FROM cells GROUP BY line_id"""
+
+
+_TIN_N = 48
+_TIN_GRID = 64
+
+
+def _tin_points() -> pd.DataFrame:
+    """Deterministic integer scattered points (x, y in [4, 252], z in
+    [0, 1000)) for the linear-interpolation fixture."""
+    seen = set()
+    rows = []
+    for k in range(200):
+        x = 4 + (k * 2654435761 + 17) % 249
+        y = 4 + (k * 2246822519 + 5) % 249
+        if (x, y) in seen:
+            continue
+        seen.add((x, y))
+        rows.append({"x": float(x), "y": float(y),
+                     "z": float((k * 69069 + 11) % 1000)})
+        if len(rows) == _TIN_N:
+            break
+    return pd.DataFrame(rows)
+
+
+def _q_rs_grid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (Delaunay/TIN) interpolation: driver-side Bowyer-Watson
+    over the in-memory point set (gdal_grid's own model), distributed
+    barycentric fill (alg/gdalgrid.cpp:2459, alg/delaunay.c)."""
+    from gdal_spark.operators.grid import tin_grid
+
+    return tin_grid(
+        spark, _tin_points(), _TIN_GRID, _TIN_GRID, 0.0, 0.0, 4.0
+    )
+
+
+def _grid_linear_oracle_sql() -> str:
+    from gdal_spark.operators.grid import delaunay_triangulate
+
+    pdf = _tin_points()
+    P = pdf[["x", "y"]].to_numpy()
+    Z = pdf["z"].to_numpy()
+    tris = delaunay_triangulate(P)
+    vals = ", ".join(
+        f"({tid}, {P[a][0]!r}, {P[a][1]!r}, {Z[a]!r},"
+        f" {P[b][0]!r}, {P[b][1]!r}, {Z[b]!r},"
+        f" {P[c][0]!r}, {P[c][1]!r}, {Z[c]!r})"
+        for tid, (a, b, c) in enumerate(tris)
+    )
+    det = "((tbx - tax) * (tcy - tay) - (tby - tay) * (tcx - tax))"
+    return f"""
+        WITH g AS (
+          SELECT CAST(a.gx AS BIGINT) AS gx, CAST(b.gy AS BIGINT) AS gy
+          FROM generate_series(0, {_TIN_GRID - 1}) a(gx)
+          CROSS JOIN generate_series(0, {_TIN_GRID - 1}) b(gy)),
+        px AS (
+          SELECT gx, gy,
+                 (0e0 + (gx + 0.5e0) * 4e0) AS pxc,
+                 (0e0 + (gy + 0.5e0) * 4e0) AS pyc
+          FROM g),
+        tri(tid, tax, tay, taz, tbx, tby, tbz, tcx, tcy, tcz)
+          AS (VALUES {vals}),
+        w AS (
+          SELECT gx, gy, tid, taz, tbz, tcz,
+                 ((tby - tcy) * (pxc - tcx) + (tcx - tbx) * (pyc - tcy))
+                   / {det} AS wa,
+                 ((tcy - tay) * (pxc - tcx) + (tax - tcx) * (pyc - tcy))
+                   / {det} AS wb
+          FROM px CROSS JOIN tri),
+        i AS (SELECT * FROM w
+              WHERE wa >= 0 AND wb >= 0 AND wa + wb <= 1),
+        m AS (SELECT gx, gy, MIN(tid) AS tid FROM i GROUP BY gx, gy)
+        SELECT i.gx, i.gy,
+               CAST(FLOOR((wa * taz + wb * tbz + (1e0 - wa - wb) * tcz)
+                          * 1000e0 + 0.5) AS BIGINT) AS z_q3
+        FROM i JOIN m ON i.gx = m.gx AND i.gy = m.gy AND i.tid = m.tid"""
+
+
 def _q_rs_overview_resamplers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overview resamplers beyond NEAREST/AVERAGE: MODE, RMS (2x2) and
     GAUSS (3x3 binomial via halo exchange) — gcore/overview.cpp:1842,
@@ -1702,6 +1896,9 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_warp_cubic": _warp_query("cubic"),
     "rs_warp_aggregate": _q_rs_warp_aggregate,
     "rs_overview_resamplers": _q_rs_overview_resamplers,
+    "sp_idw_grid": _q_sp_idw_grid,
+    "rs_grid_linear": _q_rs_grid_linear,
+    "rs_burn_lines": _q_rs_burn_lines,
     "rs_contour_census": _q_rs_contour,
     "rs_contour_lines": _q_rs_contour_lines,
     "rs_point_probe": _q_rs_point_probe,
@@ -1759,6 +1956,9 @@ ENGINE_ORACLES: dict[str, str] = {
     "rs_warp_cubic": _warp_oracle_sql("cubic"),
     "rs_warp_aggregate": _warp_aggregate_oracle_sql(),
     "rs_overview_resamplers": _overview_resamplers_oracle_sql(),
+    "sp_idw_grid": _IDW_ORACLE,
+    "rs_grid_linear": _grid_linear_oracle_sql(),
+    "rs_burn_lines": _burn_lines_oracle_sql(),
     "rs_contour_census": _contour_oracle_sql(),
     "rs_contour_lines": _contour_lines_oracle_sql(),
     "rs_proximity": _proximity_oracle_sql(),

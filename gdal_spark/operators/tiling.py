@@ -1262,6 +1262,93 @@ def rasterize_polygons_count(
     return parts.groupBy("poly_id").agg(F.sum("n_filled").alias("n_filled"))
 
 
+def burn_lines_all_touched(
+    spark: SparkSession,
+    lines_pdf: pd.DataFrame,
+    grid_w: int,
+    grid_h: int,
+    tile_size: int = 64,
+) -> DataFrame:
+    """ALL_TOUCHED line rasterization (GDALdllImageLineAllTouched,
+    alg/llrasterize.cpp:233): x-major column sweep — in every pixel
+    column the segment crosses, all rows between the y-extremes of the
+    in-column span burn.
+
+    ``lines_pdf``: (line_id, x0, y0, x1, y1) in continuous pixel
+    coords. Output: (line_id, n_cells, cks = Σ cx*7 + cy*13) per line
+    — the burn-set digest (pixel emission is a trivial variant).
+
+    Distribution: tile grid fans out via spark.range, lines broadcast;
+    each touched cell is counted by exactly the tile containing it, so
+    per-line partial (count, cks) reduce through a tiny groupBy."""
+    lb = spark.sparkContext.broadcast(
+        lines_pdf[["line_id", "x0", "y0", "x1", "y1"]].to_numpy(
+            dtype=np.float64
+        )
+    )
+    nx = (grid_w + tile_size - 1) // tile_size
+    ny = (grid_h + tile_size - 1) // tile_size
+    ts = tile_size
+
+    def burn(batches):
+        lines = lb.value
+        for pdf in batches:
+            rows = []
+            for tid in pdf["id"]:
+                txi, tyi = int(tid) % nx, int(tid) // nx
+                c_lo = txi * ts
+                c_hi = min((txi + 1) * ts, grid_w) - 1
+                r_lo = tyi * ts
+                r_hi = min((tyi + 1) * ts, grid_h) - 1
+                for lid, rx0, ry0, rx1, ry1 in lines:
+                    # normalize left→right (same branch as the oracle)
+                    if rx0 <= rx1:
+                        x0, y0, x1, y1 = rx0, ry0, rx1, ry1
+                    else:
+                        x0, y0, x1, y1 = rx1, ry1, rx0, ry0
+                    c0 = max(c_lo, int(np.floor(x0)), 0)
+                    c1 = min(c_hi, int(np.floor(x1)), grid_w - 1)
+                    if c1 < c0:
+                        continue
+                    c = np.arange(c0, c1 + 1, dtype=np.int64)
+                    xs = np.maximum(c.astype(np.float64), x0)
+                    xe = np.minimum((c + 1).astype(np.float64), x1)
+                    if x1 == x0:
+                        ya = np.full(c.shape, y0)
+                        yb = np.full(c.shape, y1)
+                    else:
+                        ya = y0 + (xs - x0) * (y1 - y0) / (x1 - x0)
+                        yb = y0 + (xe - x0) * (y1 - y0) / (x1 - x0)
+                    r0 = np.maximum(
+                        np.floor(np.minimum(ya, yb)).astype(np.int64), r_lo
+                    )
+                    r1 = np.minimum(
+                        np.floor(np.maximum(ya, yb)).astype(np.int64), r_hi
+                    )
+                    m = r1 >= r0
+                    if not m.any():
+                        continue
+                    cnt = (r1[m] - r0[m] + 1)
+                    # Σ over rows r in [r0, r1] of (c*7 + r*13)
+                    cks = (
+                        cnt * c[m] * 7
+                        + 13 * (r0[m] + r1[m]) * cnt // 2
+                    )
+                    rows.append(
+                        (int(lid), int(cnt.sum()), int(cks.sum()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["line_id", "n_cells", "cks"]
+            )
+
+    parts = spark.range(0, nx * ny, 1, min(nx * ny, 32)).mapInPandas(
+        burn, "line_id long, n_cells long, cks long"
+    )
+    return parts.groupBy("line_id").agg(
+        F.sum("n_cells").alias("n_cells"), F.sum("cks").alias("cks")
+    )
+
+
 # ---------------------------------------------------------------------------
 # polygonize (per-tile label + cross-tile merge)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,68 @@
+"""Delaunay triangulation + TIN interpolation properties
+(alg/delaunay.c / GDALGridLinear analog)."""
+
+import numpy as np
+import pytest
+
+from gdal_spark import geometry
+from gdal_spark.operators.grid import delaunay_triangulate
+
+
+def test_square_with_center():
+    pts = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [5, 5]], float)
+    tris = delaunay_triangulate(pts)
+    assert len(tris) == 4
+    assert all(4 in t for t in tris)  # center in every triangle
+
+
+def _tri_area(P, t):
+    a, b, c = P[t[0]], P[t[1]], P[t[2]]
+    return abs(
+        (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+    ) / 2.0
+
+
+def test_fixture_triangulation_properties():
+    import __spark_entry__ as e
+
+    pdf = e._tin_points()
+    P = pdf[["x", "y"]].to_numpy()
+    tris = delaunay_triangulate(P)
+    # coverage: triangle areas tile the convex hull exactly
+    hull = geometry.convex_hull(P)
+    hull_area = abs(geometry.ring_area(hull))
+    assert sum(_tri_area(P, t) for t in tris) == pytest.approx(hull_area)
+    # Delaunay property: no point strictly inside any circumcircle
+    from gdal_spark.operators.grid import _in_circumcircle
+
+    for t in tris[::7]:  # spot-check every 7th triangle
+        for i in range(len(P)):
+            if i in t:
+                continue
+            assert not _in_circumcircle(
+                P[t[0]], P[t[1]], P[t[2]], P[i][0], P[i][1]
+            )
+    # every point participates
+    used = {i for t in tris for i in t}
+    assert used == set(range(len(P)))
+
+
+def test_tin_grid_interpolates_plane_exactly(spark):
+    # z = 2x + 3y + 7 over any triangulation reproduces the plane
+    import pandas as pd
+
+    from gdal_spark.operators.grid import tin_grid
+
+    xs = [0, 40, 80, 20, 60, 10, 70]
+    ys = [0, 10, 0, 50, 60, 80, 80]
+    pdf = pd.DataFrame({
+        "x": [float(v) for v in xs],
+        "y": [float(v) for v in ys],
+        "z": [float(2 * x + 3 * y + 7) for x, y in zip(xs, ys)],
+    })
+    out = tin_grid(spark, pdf, 16, 16, 0.0, 0.0, 4.0).collect()
+    assert len(out) > 30
+    for r in out:
+        px, py = 4 * r.gx + 2, 4 * r.gy + 2
+        want = int(np.floor((2 * px + 3 * py + 7) * 1000 + 0.5))
+        assert abs(r.z_q3 - want) <= 1  # float assoc slack at q3
