@@ -350,6 +350,14 @@ SHARED_SQL: dict[str, str] = {
                MAX(CAST(ROUND(SQRT(dx * dx + dy * dy) * 1e6) AS BIGINT))
                  AS max_d6
         FROM c GROUP BY ix, iy""",
+    # --- general CRS transform: WGS84 → per-zone UTM (Krüger series)
+    #     (vectorized OGRCoordinateTransformation::Transform analog,
+    #     ogr/ogrct.cpp:2254, for an arbitrary projected CRS — the
+    #     engine's answer to "transforms beyond 4326↔3857"). The whole
+    #     transform is dialect-common SQL (EXP/LN-based hyperbolics),
+    #     so Spark and DuckDB evaluate the IDENTICAL expression tree;
+    #     mm rounding absorbs last-ulp libm differences. ---
+    "sp_utm_transform": None,  # filled in below (needs computed consts)
     # --- text analysis (shared arithmetic) ---
     "tx_quality": """
         SELECT doc_id,
@@ -359,6 +367,75 @@ SHARED_SQL: dict[str, str] = {
                  AS q_stop_hits
         FROM documents WHERE doc_id % 7 = 0""",
 }
+
+
+def _utm_sql() -> str:
+    """WGS84 → UTM forward (transverse Mercator, 4th-order Krüger
+    series, standard published coefficients): per-point zone from lon,
+    E/N in millimetres. Pure SQL shared verbatim by both engines."""
+    f = 1.0 / 298.257223563
+    a = 6378137.0
+    n = f / (2.0 - f)
+    big_a = a / (1.0 + n) * (1.0 + n * n / 4.0 + n ** 4 / 64.0)
+    a1 = n / 2.0 - 2.0 / 3.0 * n ** 2 + 5.0 / 16.0 * n ** 3 \
+        + 41.0 / 180.0 * n ** 4
+    a2 = 13.0 / 48.0 * n ** 2 - 3.0 / 5.0 * n ** 3 \
+        + 557.0 / 1440.0 * n ** 4
+    a3 = 61.0 / 240.0 * n ** 3 - 103.0 / 140.0 * n ** 4
+    a4 = 49561.0 / 161280.0 * n ** 4
+    s2n = 2.0 * n ** 0.5 / (1.0 + n)
+    k0a = 0.9996 * big_a
+    series_xi = " + ".join(
+        f"{c!r} * SIN({2 * j}e0 * xip)"
+        f" * ((EXP({2 * j}e0 * etap) + EXP(-{2 * j}e0 * etap)) / 2e0)"
+        for j, c in zip((1, 2, 3, 4), (a1, a2, a3, a4))
+    )
+    series_eta = " + ".join(
+        f"{c!r} * COS({2 * j}e0 * xip)"
+        f" * ((EXP({2 * j}e0 * etap) - EXP(-{2 * j}e0 * etap)) / 2e0)"
+        for j, c in zip((1, 2, 3, 4), (a1, a2, a3, a4))
+    )
+    return f"""
+        WITH pts AS ({DOC_PTS_SQL}),
+        cl AS (SELECT doc_id,
+                      LEAST(GREATEST(lat, -84e0), 84e0) AS latc, lon
+               FROM pts),
+        zc AS (SELECT doc_id, latc, lon,
+                      LEAST(CAST(FLOOR((lon + 180e0) / 6e0) AS BIGINT)
+                            + 1, 60) AS zone
+               FROM cl),
+        pr AS (SELECT doc_id, zone, latc,
+                      RADIANS(latc) AS phi,
+                      RADIANS(lon - (zone * 6 - 183)) AS dlam
+               FROM zc),
+        s1 AS (SELECT doc_id, zone, latc, dlam, SIN(phi) AS sphi FROM pr),
+        s2 AS (SELECT *,
+                      0.5e0 * LN((1e0 + sphi) / (1e0 - sphi))
+                      - {s2n!r} * (0.5e0 * LN((1e0 + {s2n!r} * sphi)
+                                              / (1e0 - {s2n!r} * sphi)))
+                        AS u
+               FROM s1),
+        s3 AS (SELECT *, (EXP(u) - EXP(-u)) / 2e0 AS t FROM s2),
+        s4 AS (SELECT *,
+                      ATAN2(t, COS(dlam)) AS xip,
+                      0.5e0 * LN((1e0 + SIN(dlam) / SQRT(1e0 + t * t))
+                                 / (1e0 - SIN(dlam) / SQRT(1e0 + t * t)))
+                        AS etap
+               FROM s3),
+        s5 AS (SELECT doc_id, zone, latc,
+                      xip + {series_xi} AS xi,
+                      etap + {series_eta} AS eta
+               FROM s4)
+        SELECT doc_id, zone,
+               CAST(ROUND((500000e0 + {k0a!r} * eta) * 1000e0) AS BIGINT)
+                 AS e_mm,
+               CAST(ROUND((CASE WHEN latc >= 0 THEN 0e0
+                                ELSE 10000000e0 END
+                           + {k0a!r} * xi) * 1000e0) AS BIGINT) AS n_mm
+        FROM s5"""
+
+
+SHARED_SQL["sp_utm_transform"] = _utm_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -373,6 +450,44 @@ def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
         return spark.sql(SHARED_SQL[name])
 
     return run
+
+
+_OGR_SQL_QUERY = (
+    "SELECT o_orderkey, CONCAT(o_orderstatus, '-', o_orderpriority) AS tag, "
+    "SUBSTR(o_orderpriority, 1, 3) AS pri, "
+    "CAST(o_orderkey % 97 AS integer) AS bucket "
+    "FROM orders "
+    "WHERE o_orderpriority LIKE '%urgent%' AND o_orderkey % 3 = 0 "
+    "AND o_custkey IS NOT NULL AND o_orderkey BETWEEN 100 AND 40000 "
+    "ORDER BY o_orderkey DESC LIMIT 50 OFFSET 5"
+)
+
+
+def _q_ogr_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR SQL string front-end (swq_parser.y dialect → DataFrame):
+    record-set mode with OGR's case-insensitive LIKE, scalar funcs,
+    CAST, ORDER BY/LIMIT/OFFSET — oracle is the equivalent ANSI SQL."""
+    from gdal_spark import ogrsql
+
+    return ogrsql.execute(
+        {"orders": _t(spark, sf_dir, "orders")}, _OGR_SQL_QUERY
+    )
+
+
+def _q_ogr_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR SQL front-end: first-match LEFT JOIN through the parser
+    (ogr_gensql.cpp:1497-1526 one-row-per-primary semantics)."""
+    from gdal_spark import ogrsql
+
+    return ogrsql.execute(
+        {
+            "nation": _t(spark, sf_dir, "nation"),
+            "customer": _t(spark, sf_dir, "customer"),
+        },
+        "SELECT n_nationkey, n_name, customer.c_custkey AS first_custkey "
+        "FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey "
+        "ORDER BY n_nationkey",
+    )
 
 
 def _q_first_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1906,6 +2021,8 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_sieve_checksum": _q_rs_sieve,
     "rs_proximity": _q_rs_proximity,
     "rs_fill_polygons": _q_rs_fill_polygons,
+    "q_ogr_sql": _q_ogr_sql,
+    "q_ogr_sql_join": _q_ogr_sql_join,
     "q_first_match_join": _q_first_match_join,
     "sp_pip_engine": _q_pip_engine,
     "sp_pip_count": _q_pip_count_engine,
@@ -1964,6 +2081,21 @@ ENGINE_ORACLES: dict[str, str] = {
     "rs_proximity": _proximity_oracle_sql(),
     "rs_point_probe": _probe_oracle_sql(),
     "rs_fill_polygons": _fill_oracle_sql(),
+    "q_ogr_sql": """
+        SELECT o_orderkey, o_orderstatus || '-' || o_orderpriority AS tag,
+               SUBSTR(o_orderpriority, 1, 3) AS pri,
+               CAST(o_orderkey % 97 AS INTEGER) AS bucket
+        FROM orders
+        WHERE o_orderpriority ILIKE '%urgent%' AND o_orderkey % 3 = 0
+          AND o_custkey IS NOT NULL AND o_orderkey BETWEEN 100 AND 40000
+        ORDER BY o_orderkey DESC LIMIT 50 OFFSET 5""",
+    "q_ogr_sql_join": """
+        SELECT n_nationkey, n_name, c_custkey AS first_custkey FROM (
+          SELECT n.n_nationkey, n.n_name, c.c_custkey,
+                 ROW_NUMBER() OVER (PARTITION BY n.n_nationkey
+                                    ORDER BY c.c_custkey ASC NULLS LAST) AS rn
+          FROM nation n LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+        ) t WHERE rn = 1""",
     "q_first_match_join": """
         SELECT n_nationkey, n_name, c_custkey AS first_custkey,
                c_name AS first_cname
