@@ -251,13 +251,20 @@ SHARED_SQL: dict[str, str] = {
                CAST(SUM({_QTY} * {_QTY}) AS BIGINT) AS sumsq_qty
         FROM lineitem""",
     # --- spatial: cell encode / parent rollup / bbox / tiles ---
+    # per-row res-9 cell id + its res-5 parent (encode + parent in one
+    # gate; the groupBy(parent) rollup itself is generic Spark)
     "sp_cell_encode": f"""
         SELECT doc_id,
                (CAST(9 AS BIGINT) * CAST(288230376151711744 AS BIGINT)
                 + LEAST(GREATEST(CAST(FLOOR((lon + 180e0) / 360e0 * 512) AS BIGINT), 0), 511)
                   * CAST(536870912 AS BIGINT)
                 + LEAST(GREATEST(CAST(FLOOR((lat + 90e0) / 180e0 * 512) AS BIGINT), 0), 511)
-               ) AS cell_id
+               ) AS cell_id,
+               (CAST(5 AS BIGINT) * CAST(288230376151711744 AS BIGINT)
+                + LEAST(GREATEST(CAST(FLOOR((lon + 180e0) / 360e0 * 32) AS BIGINT), 0), 31)
+                  * CAST(536870912 AS BIGINT)
+                + LEAST(GREATEST(CAST(FLOOR((lat + 90e0) / 180e0 * 32) AS BIGINT), 0), 31)
+               ) AS cell5
         FROM ({DOC_PTS_SQL}) pts""",
     "sp_cell_rollup": f"""
         SELECT cell5, COUNT(*) AS n FROM (
@@ -458,6 +465,7 @@ _OGR_SQL_QUERY = (
     "CAST(o_orderkey % 97 AS integer) AS bucket "
     "FROM orders "
     "WHERE o_orderpriority LIKE '%urgent%' AND o_orderkey % 3 = 0 "
+    "AND o_orderstatus IN ('O', 'F') "
     "AND o_custkey IS NOT NULL AND o_orderkey BETWEEN 100 AND 40000 "
     "ORDER BY o_orderkey DESC LIMIT 50 OFFSET 5"
 )
@@ -1601,8 +1609,10 @@ def _q_hstore_get(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_geo_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polygon area + centroid from WKB via the numpy geometry kernels
-    (ST_Area / ST_Centroid analogs, ogr/ogrgeometry.cpp:6106)."""
+    """Polygon area + centroid + boundary length from WKB via the
+    numpy geometry kernels (ST_Area / ST_Centroid / ST_Length analogs,
+    ogr/ogrgeometry.cpp:6106, ogrsqlitesqlfunctions.cpp:977).
+    Perimeter quantizes PER EDGE before summing (order-free ints)."""
     from gdal_spark import geometry, wkb
 
     pdf = _polygons_pdf()
@@ -1621,13 +1631,24 @@ def _q_geo_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ring = parts[0][0]
                 area = geometry.ring_area(ring)
                 cx, cy = geometry.ring_centroid(ring)
-                rows.append((int(pid), r6(abs(area)), r6(cx), r6(cy)))
+                dx = ring[1:, 0] - ring[:-1, 0]
+                dy = ring[1:, 1] - ring[:-1, 1]
+                perim_q6 = int(
+                    np.floor(
+                        np.sqrt(dx * dx + dy * dy) * 1e6 + 0.5
+                    ).astype(np.int64).sum()
+                )
+                rows.append(
+                    (int(pid), r6(abs(area)), r6(cx), r6(cy), perim_q6)
+                )
             yield pd.DataFrame(
-                rows, columns=["poly_id", "area_q6", "cx_q6", "cy_q6"]
+                rows,
+                columns=["poly_id", "area_q6", "cx_q6", "cy_q6", "perim_q6"],
             )
 
     return spark.createDataFrame(pdf[["poly_id", "geom_wkb"]]).mapInPandas(
-        run, "poly_id long, area_q6 long, cx_q6 long, cy_q6 long"
+        run,
+        "poly_id long, area_q6 long, cx_q6 long, cy_q6 long, perim_q6 long",
     )
 
 
@@ -2057,12 +2078,17 @@ ENGINE_ORACLES: dict[str, str] = {
           SELECT poly_id,
                  SUM(x2 * y1 - x1 * y2) / 2e0 AS a,
                  SUM((x2 + x1) * (x2 * y1 - x1 * y2)) AS sx,
-                 SUM((y2 + y1) * (x2 * y1 - x1 * y2)) AS sy
+                 SUM((y2 + y1) * (x2 * y1 - x1 * y2)) AS sy,
+                 CAST(SUM(CAST(FLOOR(SQRT((x1 - x2) * (x1 - x2)
+                                          + (y1 - y2) * (y1 - y2))
+                                    * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS perim_q6
           FROM edges GROUP BY poly_id)
         SELECT poly_id,
                CAST(ROUND(ABS(a) * 1e6) AS BIGINT) AS area_q6,
                CAST(ROUND(sx / (6e0 * a) * 1e6) AS BIGINT) AS cx_q6,
-               CAST(ROUND(sy / (6e0 * a) * 1e6) AS BIGINT) AS cy_q6
+               CAST(ROUND(sy / (6e0 * a) * 1e6) AS BIGINT) AS cy_q6,
+               perim_q6
         FROM m""",
     "geo_haversine_knn": _HAV_SQL_TPL.format(
         pts=DOC_PTS_SQL, lat=_HAV_LAT, lon=_HAV_LON
@@ -2087,6 +2113,7 @@ ENGINE_ORACLES: dict[str, str] = {
                CAST(o_orderkey % 97 AS INTEGER) AS bucket
         FROM orders
         WHERE o_orderpriority ILIKE '%urgent%' AND o_orderkey % 3 = 0
+          AND o_orderstatus IN ('O', 'F')
           AND o_custkey IS NOT NULL AND o_orderkey BETWEEN 100 AND 40000
         ORDER BY o_orderkey DESC LIMIT 50 OFFSET 5""",
     "q_ogr_sql_join": """
@@ -2212,6 +2239,33 @@ NO_ORACLE = {
     "rs_sieve_checksum", "geo_hull_cells",
 }
 
+# The driver's correctness run caps at 50 queries (CORRECTNESS_r01 had
+# 50 rows for 57 entries, truncated in dict order). These gates are
+# RETIRED from queries() to keep every remaining entry verified —
+# each was green in CORRECTNESS_r01 (or is subsumed by a stronger
+# gate); the operators stay implemented, pytest-covered, and most stay
+# in the benchmark suite. Value = what subsumes it (COVERAGE.md).
+RETIRED_GATES: dict[str, str] = {
+    "q_distinct": "q_count_distinct + ogrsql DISTINCT pytest",
+    "q6_revenue_filter": "q1_pricing_summary (same filter+agg shape)",
+    "q_rollup": "Spark built-in; green in r01; cap headroom",
+    "q_sort_limit_offset": "q_ogr_sql (ORDER/LIMIT/OFFSET via parser)",
+    "q_union_all": "Spark built-in; ogrsql UNION ALL pytest",
+    "q_like_ilike": "q_ogr_sql (OGR case-insensitive LIKE via parser)",
+    "q_scalar_funcs": "q_ogr_sql (CONCAT/SUBSTR/CAST via parser)",
+    "q_in_between_null": "q_ogr_sql (IN/BETWEEN/IS NULL via parser)",
+    "q_json_extract": "built-in regexp; green in r01",
+    "q_window_events": "q_sessionize (LAG + running SUM windows)",
+    "q_median_window": "rs_warp_aggregate (exact median from counts)",
+    "sp_cell_rollup": "sp_cell_encode (now emits the res-5 parent)",
+    "sp_bbox_filter": "sp_pip_full_fixture + pushdown plan pins",
+    "sp_reproject_3857": "sp_tile_assign + sp_utm_transform",
+    "sp_knn": "sp_knn_df (the fully distributed scale path)",
+    "sp_pip_engine": "sp_pip_full_fixture (harder fixture) + sp_pip_count",
+    "q_first_match_join": "q_ogr_sql_join (same op through the parser)",
+    "rs_contour_census": "rs_contour_lines (census ⊂ segment geometry)",
+}
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -2224,7 +2278,8 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_pip_count_engine(spark, sf_dir)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every runnable query incl. retired gates (bench.py uses this)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in SHARED_SQL:
         out[name] = _sql_query(name)
@@ -2232,9 +2287,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out = all_queries()
+    for name in RETIRED_GATES:
+        out.pop(name, None)
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
     out = dict(SHARED_SQL)
     out.update(ENGINE_ORACLES)
     for name in NO_ORACLE:
+        out.pop(name, None)
+    for name in RETIRED_GATES:
         out.pop(name, None)
     return out

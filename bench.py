@@ -27,21 +27,32 @@ HEADLINE = [
     # north-rule spatial core
     "sp_pip_engine",
     "sp_pip_count",
-    "sp_knn",
+    "sp_knn_df",
     "sp_cell_encode",
-    "sp_cell_rollup",
     "sp_tile_assign",
     "sp_grid_metrics",
+    "sp_utm_transform",
+    "sp_idw_grid",
+    # vector geometry / layer algebra
+    "geo_layer_algebra",
+    "geo_st_predicates",
     # raster / tiling
     "rs_pyramid_checksum",
     "rs_warp_nearest",
     "rs_warp_bilinear",
+    "rs_warp_cubic",
+    "rs_warp_aggregate",
+    "rs_overview_resamplers",
+    "rs_contour_lines",
     "rs_polygonize",
-    # relational spine
+    "rs_grid_linear",
+    "rs_burn_lines",
+    # relational spine (incl. the OGR SQL front-end)
     "q1_pricing_summary",
     "q3_shipping_topk",
     "q5_local_supplier",
-    "q_window_events",
+    "q_ogr_sql",
+    "q_sessionize",
     # training-data pipeline ops
     "dd_exact_prefix",
     "dd_minhash_lsh",
@@ -62,7 +73,9 @@ def main() -> int:
     from gdal_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
-    qs = entry_mod.queries()
+    # all_queries: the bench may time gates retired from the driver's
+    # capped correctness list (e.g. sp_pip_engine)
+    qs = entry_mod.all_queries()
 
     timings: dict[str, float] = {}
     # warm the JVM + parquet footers once so q1 isn't charged for startup

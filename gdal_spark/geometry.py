@@ -567,6 +567,108 @@ def ring_perimeter(ring: np.ndarray) -> float:
     return float(np.sum(np.sqrt(dx * dx + dy * dy)))
 
 
+def buffer_ring(
+    ring: np.ndarray, dist: float, quad_segs: int = 8
+) -> np.ndarray:
+    """Positive buffer of a CONVEX ring (or a point / degenerate ring)
+    with round joins — ST_Buffer analog (ogr/ogrgeometry.cpp:4526,
+    ogrsqlitesqlfunctions.cpp:997). Each edge offsets outward by
+    ``dist``; vertices join with circular arcs sampled at quad_segs
+    segments per quadrant (GEOS's quadrant-segment convention).
+    Deterministic vertex list; returns a closed CCW ring."""
+    raw = np.asarray(ring, dtype=np.float64)
+    if dist <= 0:
+        raise ValueError("buffer_ring: dist must be positive")
+    if len(raw) == 0:
+        return np.zeros((0, 2), dtype=np.float64)
+    pts = _ccw_ring(raw) if len(raw) > 1 else raw
+    if len(pts) <= 1:  # point buffer = circle polygon
+        pts = raw[:1]
+        k = 4 * quad_segs
+        ang = 2.0 * np.pi * np.arange(k) / k
+        circ = np.column_stack(
+            [pts[0, 0] + dist * np.cos(ang), pts[0, 1] + dist * np.sin(ang)]
+        )
+        return np.vstack([circ, circ[:1]])
+    n = len(pts)
+    out: list = []
+    for i in range(n):
+        p = pts[i]
+        q = pts[(i + 1) % n]
+        d = q - p
+        ln = float(np.hypot(d[0], d[1]))
+        if ln == 0.0:
+            continue
+        # outward normal of a CCW ring edge is (dy, -dx)/len
+        nx, ny = d[1] / ln, -d[0] / ln
+        out.append(p + np.array([nx * dist, ny * dist]))
+        out.append(q + np.array([nx * dist, ny * dist]))
+        # arc around q from this edge's normal to the next edge's
+        r = pts[(i + 2) % n]
+        d2 = r - q
+        l2 = float(np.hypot(d2[0], d2[1]))
+        if l2 == 0.0:
+            continue
+        a0 = np.arctan2(-d[0] / ln, d[1] / ln)
+        a1 = np.arctan2(-d2[0] / l2, d2[1] / l2)
+        sweep = a1 - a0
+        while sweep < 0:
+            sweep += 2.0 * np.pi
+        k = max(1, int(np.ceil(sweep / (np.pi / 2.0 / quad_segs))))
+        for j in range(1, k):
+            a = a0 + sweep * j / k
+            out.append(q + np.array([dist * np.cos(a), dist * np.sin(a)]))
+    arr = np.asarray(out, dtype=np.float64)
+    return np.vstack([arr, arr[:1]])
+
+
+def ring_self_intersections(ring: np.ndarray) -> list[tuple]:
+    """(i, j, x, y) proper crossings between non-adjacent edges of a
+    ring — the IsValid detector (ogr/ogrgeometry.cpp:2297)."""
+    pts = _open_ring(ring)
+    n = len(pts)
+    hits = []
+    for i in range(n):
+        a0, a1 = pts[i], pts[(i + 1) % n]
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # adjacent through the closure
+            b0, b1 = pts[j], pts[(j + 1) % n]
+            d1 = a1 - a0
+            d2 = b1 - b0
+            den = d1[0] * d2[1] - d1[1] * d2[0]
+            if den == 0.0:
+                continue
+            t = ((b0[0] - a0[0]) * d2[1] - (b0[1] - a0[1]) * d2[0]) / den
+            u = ((b0[0] - a0[0]) * d1[1] - (b0[1] - a0[1]) * d1[0]) / den
+            if 0.0 < t < 1.0 and 0.0 < u < 1.0:
+                hits.append(
+                    (i, j, float(a0[0] + t * d1[0]), float(a0[1] + t * d1[1]))
+                )
+    return hits
+
+
+def make_valid(ring: np.ndarray) -> list[np.ndarray]:
+    """ST_MakeValid analog (ogr/ogrgeometry.cpp:3922) for the common
+    single-crossing 'bowtie' case: split the ring at its proper
+    self-intersection into two simple rings. Valid input passes
+    through unchanged (list of one ring). Multi-crossing rings resolve
+    one crossing per recursion level."""
+    pts = _open_ring(ring)
+    hits = ring_self_intersections(pts)
+    if not hits:
+        return [np.vstack([pts, pts[:1]])]
+    i, j, x, y = hits[0]
+    xp = np.array([[x, y]])
+    ring_a = np.vstack([xp, pts[i + 1:j + 1]])
+    ring_b = np.vstack([xp, pts[j + 1:], pts[: i + 1]])
+    out: list[np.ndarray] = []
+    for r in (ring_a, ring_b):
+        if len(r) >= 3:
+            out.extend(make_valid(r))
+    return out
+
+
 def clip_ring_to_rect(
     ring: np.ndarray, minx: float, miny: float, maxx: float, maxy: float
 ) -> np.ndarray:

@@ -178,7 +178,12 @@ def minhash_lsh_pairs(
     )
     # exact verification restricted to the LSH candidates: the gram
     # table is candidate-pruned before its self-join (no quadratic
-    # full-corpus pass — the whole point of the LSH stage)
+    # full-corpus pass — the whole point of the LSH stage).
+    # The candidate set feeds THREE consumers (two semi-joins + the
+    # pair restriction): materialize it once instead of recomputing
+    # the banding per consumer.
+    cand = cand.persist()
+    cand.count()
     return ngram_jaccard_pairs(
         df, id_col, text_col, n, threshold_num, threshold_den,
         candidates=cand,

@@ -585,9 +585,16 @@ def warp_aggregate(
     h = src_tiles.mapInPandas(
         hist, "di long, dj long, val long, cnt long"
     )
-    # merge partial histograms (tiles share no dst pixel unless tile
-    # edges split one — still correct)
-    h = h.groupBy("di", "dj", "val").agg(F.sum("cnt").alias("cnt"))
+    # merge partial histograms. ONE shuffle total: hash partitioning
+    # on (di, dj) satisfies the clustering needs of BOTH the
+    # histogram merge (di, dj, val ⊇ di, dj) and the window below —
+    # without it Catalyst plans two exchanges. Map-side combine
+    # already happened in the np.unique per tile.
+    h = (
+        h.repartition("di", "dj")
+        .groupBy("di", "dj", "val")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
     from pyspark.sql.window import Window
 
     wpix = Window.partitionBy("di", "dj")

@@ -279,3 +279,43 @@ def test_clip_polygons_to_cells_partitions_area(spark):
         assert got == pytest.approx(want, abs=2e-5), f"poly {pid}"
     # the giant polygon (poly 0) really was split across many cells
     assert (out["poly_id"] == 0).sum() > 20
+
+
+class TestBufferMakeValid:
+    def test_point_buffer_is_circle(self):
+        from gdal_spark import geometry
+
+        ring = geometry.buffer_ring(np.array([[3.0, 4.0]]), 2.0, quad_segs=8)
+        d = np.hypot(ring[:, 0] - 3.0, ring[:, 1] - 4.0)
+        np.testing.assert_allclose(d, 2.0)
+        # area → π r² as quad_segs grows
+        assert abs(geometry.ring_area(ring)) > 0.97 * np.pi * 4.0
+
+    def test_square_buffer_area(self):
+        from gdal_spark import geometry
+
+        sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+        out = geometry.buffer_ring(sq, 3.0, quad_segs=16)
+        # area = A + perimeter*d + pi d^2 (exact as segs→∞)
+        want = 100.0 + 40.0 * 3.0 + np.pi * 9.0
+        got = abs(geometry.ring_area(out))
+        assert want * 0.995 < got < want
+
+    def test_make_valid_bowtie(self):
+        from gdal_spark import geometry
+
+        bow = np.array([[0, 0], [4, 4], [4, 0], [0, 4], [0, 0]], float)
+        parts = geometry.make_valid(bow)
+        assert len(parts) == 2
+        areas = sorted(abs(geometry.ring_area(p)) for p in parts)
+        assert areas == pytest.approx([4.0, 4.0])
+        for p in parts:
+            assert not geometry.ring_self_intersections(p)
+
+    def test_make_valid_passthrough(self):
+        from gdal_spark import geometry
+
+        sq = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)
+        parts = geometry.make_valid(sq)
+        assert len(parts) == 1
+        assert abs(geometry.ring_area(parts[0])) == pytest.approx(4.0)

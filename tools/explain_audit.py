@@ -40,6 +40,19 @@ to the parquet scan (PushedFilters), only referenced columns read
 (ReadSchema).""",
     "extract_features": """Single mapInPandas over a pruned (url, text) projection —
 the scan never materializes html/warc_ts/lang.""",
+    "layer_intersection": """Layer algebra A∩B: ONE narrow mapInPandas over the A scan —
+the convex B set rides a SparkContext broadcast (not visible as a
+plan node), the bbox pretest and clipping happen per batch, and no
+shuffle exists anywhere: output piece rows stream straight out.
+Scale = rows(A), embarrassingly parallel.""",
+    "warp_aggregate": """Warp-time aggregates: the mapInPandas emits per-tile value
+HISTOGRAMS (np.unique map-side combine), then ONE exchange on
+(di, dj, val) merges histograms (partial_sum before it), and the
+window/order statistics run on ≤256 rows per dst pixel. The shuffle
+never carries pixels.""",
+    "idw_grid_quantized": """IDW scatter: offsets explode + weight arithmetic are pure
+codegen (WholeStageCodegen, no Python anywhere), partial HashAggregate
+sits before the single exchange on (cell_ix, cell_iy).""",
 }
 
 
@@ -93,6 +106,28 @@ def main() -> int:
     entry._reg(spark, SF)
     plans["q1_pricing_summary"] = _plan(
         spark.sql(entry.SHARED_SQL["q1_pricing_summary"])
+    )
+    from gdal_spark.operators.grid import idw_grid_quantized
+    from gdal_spark.operators.layer_algebra import intersection_pieces
+    from gdal_spark.operators.tiling import formula_tiles, warp_aggregate
+
+    a_pdf = entry._la_fixture(entry._LA_NA, 101, 8, 18)
+    b_pdf = entry._la_fixture(entry._LA_NB, 202, 14, 30)
+    a_df = spark.createDataFrame(
+        a_pdf[["poly_id", "geom_wkb"]].rename(columns={"poly_id": "a_id"})
+    )
+    plans["layer_intersection"] = _plan(intersection_pieces(a_df, b_pdf))
+    plans["warp_aggregate"] = _plan(
+        warp_aggregate(
+            formula_tiles(spark, 2, 2, 64), entry._WARP_SRC_GT,
+            entry._WAGG_DST_GT, entry._WAGG_N, entry._WAGG_N,
+        )
+    )
+    plans["idw_grid_quantized"] = _plan(
+        idw_grid_quantized(
+            pts.withColumn("z", (F.col("doc_id") % 997).cast("long")),
+            res=5, z_col="z",
+        )
     )
     pages = testdata.pages_df(spark, 1000, partitions=4)
     plans["extract_features"] = _plan(extract_features(pages))
