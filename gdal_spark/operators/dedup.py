@@ -119,8 +119,11 @@ def minhash_signatures(
 
     One shuffle (groupBy id); hashes computed JVM-side (xxhash64)."""
     grams = _gram_table(df, id_col, text_col, n)
+    # single-parse F.expr per column: the Column-DSL form costs ~4
+    # py4j round-trips per permutation (hundreds of ms of pure driver
+    # latency at num_perm=128)
     mins = [
-        F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"h{i}")
+        F.expr(f"min(xxhash64(gram, {i}))").alias(f"h{i}")
         for i in range(num_perm)
     ]
     return grams.groupBy("__id").agg(*mins)
@@ -146,44 +149,52 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_perm)
     band_cols = [
-        F.xxhash64(
-            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-            F.lit(b),
+        F.expr(
+            "xxhash64("
+            + ", ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            )
+            + f", {b})"
         ).alias(f"band{b}")
         for b in range(bands)
     ]
     banded = sig.select(F.col("__id"), *band_cols)
+    stack_expr = "explode(array(" + ", ".join(
+        f"struct({b} AS band, band{b} AS bh)" for b in range(bands)
+    ) + "))"
     stacked = banded.select(
-        "__id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
-                for b in range(bands)
-            ])
-        ).alias("e"),
+        "__id", F.expr(stack_expr).alias("e")
     ).select("__id", "e.band", "e.bh")
-    a = stacked.alias("a")
-    b = stacked.alias("b")
+    # bucket pairs via ONE groupBy shuffle (not a self-join, which
+    # shuffles the stacked table twice): collect each band bucket's
+    # ids, expand pairs in-bucket (buckets are tiny by construction —
+    # that is the LSH premise), canonicalize, dedup
+    buckets = (
+        stacked.groupBy("band", "bh")
+        .agg(F.collect_list("__id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.__id") < F.col("b.__id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> "
+                    "struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b"
+                    "))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b")
-        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     # exact verification restricted to the LSH candidates: the gram
     # table is candidate-pruned before its self-join (no quadratic
     # full-corpus pass — the whole point of the LSH stage).
     # The candidate set feeds THREE consumers (two semi-joins + the
-    # pair restriction): materialize it once instead of recomputing
-    # the banding per consumer.
+    # pair restriction): persist so the banding computes once (the
+    # shared InMemoryRelation is reused inside the single job).
     cand = cand.persist()
-    cand.count()
     return ngram_jaccard_pairs(
         df, id_col, text_col, n, threshold_num, threshold_den,
         candidates=cand,

@@ -380,7 +380,7 @@ def warp_affine(
             (i0, j0), (i0 + bw, j0), (i0, j0 + bh), (i0 + bw, j0 + bh)
         ]
     ]
-    pad = 2.0  # bilinear support + safety
+    pad = 3.0 if method == "lanczos" else 2.0  # kernel support + safety
     sx_lo = F.floor(F.least(*[c[0] for c in corners]) - pad).cast("long")
     sx_hi = F.ceil(F.greatest(*[c[0] for c in corners]) + pad).cast("long")
     sy_lo = F.floor(F.least(*[c[1] for c in corners]) - pad).cast("long")
@@ -494,6 +494,30 @@ def warp_affine(
             okv = np.ones_like(bad)
             for dj in range(-1, 3):
                 for di in range(-1, 3):
+                    okv &= valid[y0w + dj, x0w + di]
+            bad |= ~okv
+            out[bad] = raster.CUBIC_NODATA
+        elif method in ("cubicspline", "lanczos"):
+            sup = 2 if method == "cubicspline" else 3
+            if method == "cubicspline":
+                out = raster.warp_cubicspline_q(win, sxw, syw)
+            else:
+                out = np.floor(
+                    raster.warp_lanczos(win, sxw, syw) * 16384.0 + 0.5
+                ).astype(np.int64)
+            fx = sx - 0.5
+            fy = sy - 0.5
+            x0 = np.floor(fx).astype(np.int64)
+            y0 = np.floor(fy).astype(np.int64)
+            bad = (
+                (x0 - sup + 1 < 0) | (x0 + sup > src_w - 1)
+                | (y0 - sup + 1 < 0) | (y0 + sup > src_h - 1)
+            )
+            x0w = np.clip(x0 - wx0, sup - 1, max(ww_ - sup - 1, sup - 1))
+            y0w = np.clip(y0 - wy0, sup - 1, max(wh_ - sup - 1, sup - 1))
+            okv = np.ones_like(bad)
+            for dj in range(-sup + 1, sup + 1):
+                for di in range(-sup + 1, sup + 1):
                     okv &= valid[y0w + dj, x0w + di]
             bad |= ~okv
             out[bad] = raster.CUBIC_NODATA

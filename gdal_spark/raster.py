@@ -246,6 +246,112 @@ def warp_cubic_q(
     return out
 
 
+def bspline_weights(t: np.ndarray) -> tuple:
+    """Cubic B-spline weights (GWKCubicSpline, alg/gdalwarpkernel.cpp
+    CubicSpline path): smoothing (non-interpolating) kernel; dyadic t
+    → exact dyadic weights (denominator 6·2^9 — factor 6 cancels in
+    the /6 normalization below, kept as *(1/6) exact? 1/6 is NOT
+    dyadic, so weights are computed as integer-numerator/6 at use
+    time: see warp_cubicspline_q)."""
+    t2 = t * t
+    t3 = t2 * t
+    # numerators of the B-spline basis, BEFORE the common /6
+    w0 = -t3 + 3.0 * t2 - 3.0 * t + 1.0
+    w1 = 3.0 * t3 - 6.0 * t2 + 4.0
+    w2 = -3.0 * t3 + 3.0 * t2 + 3.0 * t + 1.0
+    w3 = t3
+    return w0, w1, w2, w3
+
+
+def warp_cubicspline_q(
+    src: np.ndarray,
+    sx: np.ndarray,
+    sy: np.ndarray,
+    scale: int = 1 << 14,
+    nodata: int = CUBIC_NODATA,
+) -> np.ndarray:
+    """Cubic B-spline warp kernel, integer-quantized:
+    round(scale * (Σ wy_j wx_i p_ij) / 36) with the UNNORMALIZED
+    integer-exact basis numerators (the /6 per axis folds into one
+    exact /36). For dyadic source grids the pre-division accumulator
+    is an exact dyadic double, and /36 + rounding is deterministic in
+    both engines."""
+    fx = sx - 0.5
+    fy = sy - 0.5
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    t = fx - x0
+    u = fy - y0
+    h, w = src.shape
+    ok = (x0 - 1 >= 0) & (x0 + 2 <= w - 1) & (y0 - 1 >= 0) & (y0 + 2 <= h - 1)
+    xc = np.clip(x0, 1, max(w - 3, 1))
+    yc = np.clip(y0, 1, max(h - 3, 1))
+    wx = bspline_weights(t)
+    wy = bspline_weights(u)
+    acc = np.zeros(sx.shape, dtype=np.float64)
+    for j in range(4):
+        rowacc = np.zeros(sx.shape, dtype=np.float64)
+        for i in range(4):
+            rowacc += wx[i] * src[yc + j - 1, xc + i - 1]
+        acc += wy[j] * rowacc
+    out = np.floor(acc * scale / 36.0 + 0.5).astype(np.int64)
+    out[~ok] = nodata
+    return out
+
+
+def lanczos_weights(t: np.ndarray, a: int = 3) -> list:
+    """Lanczos-a windowed-sinc weights at taps -a+1..a for fractional
+    offset t (GWKLanczosSinc, alg/gdalwarpkernel.cpp; GDAL uses a=3 →
+    6x6 support), normalized to sum 1. Transcendental — verified
+    against a scalar reference in tests, not oracle-gated."""
+    ws = []
+    for k in range(-a + 1, a + 1):
+        x = t - k
+        w = np.where(
+            np.abs(x) < 1e-12,
+            1.0,
+            a * np.sin(np.pi * x) * np.sin(np.pi * x / a)
+            / (np.pi * np.pi * x * x),
+        )
+        ws.append(np.where(np.abs(x) >= a, 0.0, w))
+    total = np.sum(ws, axis=0)
+    return [w / total for w in ws]
+
+
+def warp_lanczos(
+    src: np.ndarray,
+    sx: np.ndarray,
+    sy: np.ndarray,
+    a: int = 3,
+    nodata: float = float(CUBIC_NODATA),
+) -> np.ndarray:
+    """Lanczos-3 warp (6x6 gather). Float output (quantize at the
+    caller if needed)."""
+    fx = sx - 0.5
+    fy = sy - 0.5
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    t = fx - x0
+    u = fy - y0
+    h, w = src.shape
+    ok = (
+        (x0 - a + 1 >= 0) & (x0 + a <= w - 1)
+        & (y0 - a + 1 >= 0) & (y0 + a <= h - 1)
+    )
+    xc = np.clip(x0, a - 1, max(w - a - 1, a - 1))
+    yc = np.clip(y0, a - 1, max(h - a - 1, a - 1))
+    wx = lanczos_weights(t, a)
+    wy = lanczos_weights(u, a)
+    acc = np.zeros(sx.shape, dtype=np.float64)
+    for j in range(2 * a):
+        rowacc = np.zeros(sx.shape, dtype=np.float64)
+        for i in range(2 * a):
+            rowacc += wx[i] * src[yc + j - a + 1, xc + i - a + 1]
+        acc += wy[j] * rowacc
+    acc[~ok] = nodata
+    return acc
+
+
 def block_reduce_2x2(arr: np.ndarray, method: str = "average") -> np.ndarray:
     """One overview level (factor 2). ``average`` on integers rounds
     half-up exactly like GDAL's (total + n/2) / n (gcore/overview.cpp

@@ -300,3 +300,61 @@ def test_warp_cubic_exact_on_dyadic_grid():
     assert raster.warp_cubic_q(src, sx2, sy2)[0, 0] == (
         src[7, 5] * raster.CUBIC_SCALE
     )
+
+
+def test_warp_cubicspline_partition_of_unity_and_smoothing():
+    # constant raster reproduces the constant exactly (weights sum 36)
+    src = np.full((16, 16), 7, dtype=np.uint8)
+    sx = np.array([[5.125, 8.875]]); sy = np.array([[6.375, 9.625]])
+    out = raster.warp_cubicspline_q(src, sx, sy)
+    np.testing.assert_array_equal(out, 7 * (1 << 14))
+    # B-spline is smoothing: at integer centers it does NOT
+    # interpolate, but stays within the local value range
+    src = raster.formula_block(0, 0, 16, 16)
+    v = raster.warp_cubicspline_q(src, np.array([[7.5]]), np.array([[7.5]]))
+    lo = src[5:10, 5:10].min() * (1 << 14)
+    hi = src[5:10, 5:10].max() * (1 << 14)
+    assert lo <= v[0, 0] <= hi
+
+
+def test_warp_lanczos_matches_scalar_reference():
+    src = raster.formula_block(0, 0, 32, 32)
+    sx = np.array([[10.3, 15.7]]); sy = np.array([[12.1, 20.9]])
+    out = raster.warp_lanczos(src, sx, sy)
+
+    def ref(px, py):
+        fx, fy = px - 0.5, py - 0.5
+        x0, y0 = int(np.floor(fx)), int(np.floor(fy))
+        t, u = fx - x0, fy - y0
+        import math
+
+        def lw(tv):
+            ws = []
+            for k in range(-2, 4):
+                x = tv - k
+                if abs(x) < 1e-12:
+                    ws.append(1.0)
+                elif abs(x) >= 3:
+                    ws.append(0.0)
+                else:
+                    ws.append(
+                        3 * math.sin(math.pi * x)
+                        * math.sin(math.pi * x / 3)
+                        / (math.pi ** 2 * x * x)
+                    )
+            s = sum(ws)
+            return [w / s for w in ws]
+
+        wx, wy = lw(t), lw(u)
+        return sum(
+            wy[j] * sum(
+                wx[i] * src[y0 + j - 2, x0 + i - 2] for i in range(6)
+            )
+            for j in range(6)
+        )
+
+    for (r, c), want in [((0, 0), ref(10.3, 12.1)), ((0, 1), ref(15.7, 20.9))]:
+        assert abs(out[r, c] - want) < 1e-9
+    # integer centers interpolate exactly (sinc property)
+    v = raster.warp_lanczos(src, np.array([[9.5]]), np.array([[11.5]]))
+    assert abs(v[0, 0] - src[11, 9]) < 1e-9

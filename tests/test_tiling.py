@@ -225,3 +225,32 @@ def test_contour_segments_and_polyline_stitch(spark):
     assert len(lines) == 1  # one closed loop
     assert lines[0].n_segments == stats[100].n_segments
     assert lines[0].len_q6 == stats[100].len_q6
+
+
+def test_warp_affine_cubicspline_and_lanczos(spark):
+    """End-to-end warp with the smoothing/sinc kernels: constant
+    raster reproduces the constant; interior pixel counts match."""
+    import pandas as pd
+    from gdal_spark.operators.tiling import TILE_SCHEMA, warp_affine
+
+    ts = 64
+    rows = [
+        (0, tx, ty, ts, ts,
+         np.full((ts, ts), 9, dtype=np.uint8).tobytes())
+        for ty in range(2) for tx in range(2)
+    ]
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["z", "tx", "ty", "w", "h", "data"])
+    )
+    src_gt = (0.0, 1.0, 0.0, 128.0, 0.0, -1.0)
+    dst_gt = (8.0, 1.25, 0.0, 120.0, 0.0, -1.25)
+    for method, scale in [("cubicspline", 1 << 14), ("lanczos", 16384)]:
+        out = warp_affine(
+            tiles, src_gt, 128, 128, dst_gt, 40, 40,
+            method=method, dst_block=20, src_tile_size=ts,
+        ).collect()
+        vals = {r.val for r in out}
+        assert 9 * scale in vals
+        good = [r for r in out if r.val != -(10 ** 9)]
+        for r in good:
+            assert abs(r.val - 9 * scale) <= 1
