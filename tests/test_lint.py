@@ -1,0 +1,59 @@
+"""Static lints promised by SURVEY.md §7.3: the engine must never use
+per-row Python on the hot path — Arrow-batched pandas UDFs only — and
+never drop to RDDs."""
+
+import pathlib
+import re
+
+SRC = pathlib.Path(__file__).resolve().parent.parent / "gdal_spark"
+
+
+def _sources():
+    return list(SRC.rglob("*.py"))
+
+
+def test_no_rdd_usage():
+    offenders = []
+    for p in _sources():
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if re.search(r"\.rdd\b", line) and "sparkContext" not in line:
+                offenders.append(f"{p.name}:{i}")
+    assert not offenders, offenders
+
+
+def test_no_row_at_a_time_udfs():
+    """Only pandas_udf / mapInPandas / applyInPandas are allowed;
+    `F.udf(` registers a per-row Python UDF (the 10-100x slow path)."""
+    offenders = []
+    for p in _sources():
+        txt = p.read_text()
+        for i, line in enumerate(txt.splitlines(), 1):
+            if re.search(r"\bF\.udf\(|\budf\(lambda", line):
+                offenders.append(f"{p.name}:{i}")
+    assert not offenders, offenders
+
+
+def test_iterrows_only_on_tile_cardinality():
+    """`iterrows` is legal ONLY for per-tile loops (a batch holds a
+    handful of tiles); per-POINT or per-PIXEL row loops must be
+    vectorized. Files allowed to iterate rows are the tile/geometry
+    operators whose row unit is a tile/polygon, plus driver-side
+    fixture builders."""
+    allowed = {
+        "tiling.py",        # row = tile
+        "layer_algebra.py", # row = polygon
+        "multimodal.py",    # row = media blob
+        "raster.py",        # kernels (no iterrows expected, guard)
+        "compat.py",
+        "knn.py",           # driver-side probe loop over the SMALL
+                            # broadcast query set (scale path
+                            # knn_join_df has no row loop)
+    }
+    offenders = []
+    for p in _sources():
+        if p.name in allowed:
+            continue
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if "iterrows" in line or "itertuples" in line:
+                offenders.append(f"{p.name}:{i}")
+    assert not offenders, offenders

@@ -254,3 +254,32 @@ def test_warp_affine_cubicspline_and_lanczos(spark):
         good = [r for r in out if r.val != -(10 ** 9)]
         for r in good:
             assert abs(r.val - 9 * scale) <= 1
+
+
+def test_warp_affine_masks_absent_src_tiles(spark):
+    """Sparse raster: dst pixels whose source tile is missing must be
+    nodata, not silently 0 (the mosaic-window fill value)."""
+    import pandas as pd
+    from gdal_spark.operators.tiling import TILE_SCHEMA, warp_affine
+
+    ts = 64
+    # only 3 of the 4 tiles present — (1, 1) missing
+    rows = [
+        (0, tx, ty, ts, ts,
+         np.full((ts, ts), 50, dtype=np.uint8).tobytes())
+        for tx, ty in [(0, 0), (1, 0), (0, 1)]
+    ]
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["z", "tx", "ty", "w", "h", "data"])
+    )
+    gt = (0.0, 1.0, 0.0, 128.0, 0.0, -1.0)
+    out = {
+        (r.di, r.dj): r.val
+        for r in warp_affine(
+            tiles, gt, 128, 128, gt, 128, 128,
+            method="nearest", dst_block=64, src_tile_size=ts,
+        ).collect()
+    }
+    assert out[(10, 10)] == 50          # present tile
+    assert out[(100, 100)] == -1        # absent tile → nodata
+    assert out.get((100, 10), 50) == 50  # tx=1,ty=0 present
