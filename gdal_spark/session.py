@@ -41,6 +41,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate duplicates the generator's full
+        # expression tree into a size(...) > 0 pre-filter. Every
+        # explode in this engine feeds a COMPUTED fixed-length array
+        # (cell covers, ring offsets, band structs) that is never
+        # empty/null, so the inferred filter only doubles the
+        # codegen'd arithmetic per row (observed 2x the cell-cover
+        # math in the PIP join plan).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
