@@ -530,11 +530,8 @@ def polygon_pair_predicates(
     B = _open_ring(ring_b)
     area_a = abs(ring_area(np.vstack([A, A[:1]])))
     area_b = abs(ring_area(np.vstack([B, B[:1]])))
-    inter = clip_poly_convex(A, B)
-    area_i = (
-        abs(ring_area(np.vstack([inter, inter[:1]])))
-        if len(inter) >= 3 else 0.0
-    )
+    # concave-safe: clip by B's convex decomposition, sum piece areas
+    area_i = pieces_area(clip_poly_simple(A, B))
     btouch = rings_boundary_touch(A, B)
     interior = area_i > eps
     intersects = interior or btouch
@@ -565,6 +562,111 @@ def ring_perimeter(ring: np.ndarray) -> float:
     dx = nxt[:, 0] - pts[:, 0]
     dy = nxt[:, 1] - pts[:, 1]
     return float(np.sum(np.sqrt(dx * dx + dy * dy)))
+
+
+def ring_is_convex(ring: np.ndarray) -> bool:
+    """True iff the (CCW-normalized) ring turns the same way at every
+    vertex (collinear allowed)."""
+    pts = _ccw_ring(ring)
+    if len(pts) < 4:
+        return True
+    nxt = np.roll(pts, -1, axis=0)
+    nx2 = np.roll(pts, -2, axis=0)
+    cr = (nxt[:, 0] - pts[:, 0]) * (nx2[:, 1] - pts[:, 1]) - (
+        nxt[:, 1] - pts[:, 1]
+    ) * (nx2[:, 0] - pts[:, 0])
+    return bool((cr >= 0).all())
+
+
+def ear_triangulate(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a simple (possibly CONCAVE,
+    hole-free) ring → list of CCW triangles that tile it exactly.
+    This is how concave METHOD-side polygons enter the layer-algebra
+    kernels: A∩B = Σ A∩Tᵢ over B's disjoint triangles, A∖B =
+    sequential subtraction — both exact because the triangles are
+    disjoint. (The GEOS role of handling arbitrary simple polygons in
+    ogr/ogrlayer.cpp's algebra, decomposed Spark-side.)"""
+    pts = _ccw_ring(ring)
+    n = len(pts)
+    if n < 3:
+        return []
+    if n == 3:
+        return [pts.copy()]
+    idx = list(range(n))
+    out: list[np.ndarray] = []
+
+    def cross_at(i0, i1, i2):
+        a, b, c = pts[i0], pts[i1], pts[i2]
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    guard = 0
+    while len(idx) > 3 and guard < 4 * n * n:
+        guard += 1
+        m = len(idx)
+        clipped = False
+        for k in range(m):
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % m]
+            if cross_at(i0, i1, i2) <= 0:
+                continue  # reflex or degenerate corner
+            # no other remaining vertex strictly inside the candidate ear
+            tri = np.array([pts[i0], pts[i1], pts[i2]])
+            ok = True
+            for j in idx:
+                if j in (i0, i1, i2):
+                    continue
+                p = pts[j]
+                s1 = (tri[1][0] - tri[0][0]) * (p[1] - tri[0][1]) \
+                    - (tri[1][1] - tri[0][1]) * (p[0] - tri[0][0])
+                s2 = (tri[2][0] - tri[1][0]) * (p[1] - tri[1][1]) \
+                    - (tri[2][1] - tri[1][1]) * (p[0] - tri[1][0])
+                s3 = (tri[0][0] - tri[2][0]) * (p[1] - tri[2][1]) \
+                    - (tri[0][1] - tri[2][1]) * (p[0] - tri[2][0])
+                # inside OR on the ear boundary blocks the ear (a
+                # vertex on the diagonal would pinch the remainder
+                # into a non-simple ring)
+                if s1 >= 0 and s2 >= 0 and s3 >= 0:
+                    ok = False
+                    break
+            if ok:
+                out.append(tri)
+                idx.pop(k)
+                clipped = True
+                break
+        if not clipped:  # numerically stuck (collinear runs): fan out
+            break
+    if len(idx) == 3:
+        out.append(np.array([pts[idx[0]], pts[idx[1]], pts[idx[2]]]))
+    else:
+        # fallback fan for a (degenerate/collinear) remainder
+        for k in range(1, len(idx) - 1):
+            out.append(
+                np.array([pts[idx[0]], pts[idx[k]], pts[idx[k + 1]]])
+            )
+    return out
+
+
+def clip_poly_simple(subject: np.ndarray, clip_ring: np.ndarray) -> list[np.ndarray]:
+    """subject ∩ clip for a possibly CONCAVE simple clip ring: clip by
+    each triangle of its ear decomposition (disjoint pieces; areas sum
+    exactly)."""
+    pieces = []
+    for tri in ear_triangulate(clip_ring):
+        p = clip_poly_convex(subject, tri)
+        if len(p) >= 3:
+            pieces.append(p)
+    return pieces
+
+
+def erase_poly_simple(
+    subject: np.ndarray, clip_rings: list[np.ndarray]
+) -> list[np.ndarray]:
+    """subject minus a union of possibly CONCAVE simple rings:
+    sequential subtraction of every clip triangle (disjointness keeps
+    each step exact, overlapping clips included)."""
+    tris: list[np.ndarray] = []
+    for r in clip_rings:
+        tris.extend(ear_triangulate(r))
+    return erase_poly_convex(subject, tris)
 
 
 def buffer_ring(

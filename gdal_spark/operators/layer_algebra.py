@@ -16,9 +16,10 @@ residues come from two numpy kernels:
   A \\ B (per-half-plane residue pieces),
 
 so every mode emits REAL result geometries (WKB), not just row
-semantics. B-side rings must be convex (the fixture/gate guarantee);
-concave method polygons decompose upstream (fan/ear split) — noted in
-COVERAGE.md.
+semantics. Concave method polygons are handled by ear-clipping them
+into disjoint triangles at broadcast build (geometry.ear_triangulate):
+piece areas then sum exactly for every mode; convex rings keep the
+single-clip fast path.
 
 Scale: A never collects; per-pair work is bbox-prefiltered against the
 broadcast B set (envelope pretest, ogrlayer.cpp:3427). The flipped
@@ -50,6 +51,20 @@ def _b_rings(b_pdf: pd.DataFrame, id_col: str = "poly_id"):
     return out
 
 
+def _b_pieces(b_pdf: pd.DataFrame, id_col: str = "poly_id"):
+    """Broadcast side as CONVEX clip pieces: a convex ring stays one
+    piece; a concave ring ear-triangulates into disjoint triangles
+    (exact piece-sum algebra either way)."""
+    out = []
+    for pid, ring, bb in _b_rings(b_pdf, id_col):
+        if geometry.ring_is_convex(ring):
+            pieces = [ring]
+        else:
+            pieces = geometry.ear_triangulate(ring)
+        out.append((pid, pieces, bb))
+    return out
+
+
 def _piece_rows(a_id, b_id, pieces):
     rows = []
     for p in pieces:
@@ -72,9 +87,11 @@ def intersection_pieces(
     """A ∩ B per overlapping pair → (a_id, b_id, piece_wkb, area).
 
     OGRLayer::Intersection / Clip geometry path (Clip keeps only A's
-    attributes — same rows, caller drops b_id)."""
+    attributes — same rows, caller drops b_id). Concave B rings
+    ear-triangulate at broadcast build: a pair's intersection then
+    emits one row per disjoint piece (areas sum exactly)."""
     spark = a_df.sparkSession
-    brc = spark.sparkContext.broadcast(_b_rings(b_pdf, b_id_col))
+    brc = spark.sparkContext.broadcast(_b_pieces(b_pdf, b_id_col))
 
     def run(batches):
         bset = brc.value
@@ -85,11 +102,14 @@ def intersection_pieces(
                     wkb.polygon_rings(bytes(buf))[0][0]
                 )
                 ax0, ay0, ax1, ay1 = geometry.ring_bbox(ring)
-                for bid, bring, (bx0, by0, bx1, by1) in bset:
+                for bid, bpieces, (bx0, by0, bx1, by1) in bset:
                     if bx1 < ax0 or bx0 > ax1 or by1 < ay0 or by0 > ay1:
                         continue  # envelope pretest (ogrlayer.cpp:3427)
-                    inter = geometry.clip_poly_convex(ring, bring)
-                    for row in _piece_rows(int(aid), bid, [inter]):
+                    inters = [
+                        geometry.clip_poly_convex(ring, bp)
+                        for bp in bpieces
+                    ]
+                    for row in _piece_rows(int(aid), bid, inters):
                         if row[3] > min_area:
                             rows.append(row)
             yield pd.DataFrame(
@@ -106,10 +126,11 @@ def erase_pieces(
     b_id_col: str = "poly_id",
 ) -> DataFrame:
     """A \\ union(B) as disjoint pieces → (a_id, b_id = -1, piece_wkb,
-    area). Correct for overlapping B's (sequential subtraction keeps
-    the piece set disjoint). OGRLayer::Erase geometry path."""
+    area). Correct for overlapping AND concave B's (clips decompose to
+    convex pieces; sequential subtraction keeps the piece set
+    disjoint). OGRLayer::Erase geometry path."""
     spark = a_df.sparkSession
-    brc = spark.sparkContext.broadcast(_b_rings(b_pdf, b_id_col))
+    brc = spark.sparkContext.broadcast(_b_pieces(b_pdf, b_id_col))
 
     def run(batches):
         bset = brc.value
@@ -121,10 +142,11 @@ def erase_pieces(
                 )
                 ax0, ay0, ax1, ay1 = geometry.ring_bbox(ring)
                 clips = [
-                    bring
-                    for _, bring, (bx0, by0, bx1, by1) in bset
+                    bp
+                    for _, bpieces, (bx0, by0, bx1, by1) in bset
                     if not (bx1 < ax0 or bx0 > ax1
                             or by1 < ay0 or by0 > ay1)
+                    for bp in bpieces
                 ]
                 pieces = geometry.erase_poly_convex(ring, clips)
                 rows.extend(_piece_rows(int(aid), -1, pieces))
@@ -177,7 +199,8 @@ def erase_b_pieces(
             np.frombuffer(rb, dtype=np.float64).reshape(-1, 2)
             for rb in pdf["a_ring"]
         ]
-        pieces = geometry.erase_poly_convex(ring_by_bid[bid], clips)
+        # erase_poly_simple: concave A rings decompose to triangles
+        pieces = geometry.erase_poly_simple(ring_by_bid[bid], clips)
         return pd.DataFrame(
             _piece_rows(-1, bid, pieces),
             columns=["a_id", "b_id", "piece_wkb", "area"],

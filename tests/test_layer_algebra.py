@@ -157,3 +157,65 @@ class TestPieceOperators:
         # A\B (8 + 4) + B whole (16 + 1)
         assert total == pytest.approx(29.0)
         assert {r.b_id for r in up if r.a_id == -1} == {0, 1}
+
+
+class TestConcave:
+    def L(self):
+        # L-shape: 4x4 square minus its 2x2 top-right quadrant
+        return np.array(
+            [[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4], [0, 0]],
+            dtype=float,
+        )
+
+    def test_ear_triangulate_tiles_exactly(self):
+        tris = geometry.ear_triangulate(self.L())
+        assert sum(area_of(t) for t in tris) == pytest.approx(12.0)
+        assert len(tris) >= 4
+
+    def test_concave_clip_and_erase(self):
+        # unit squares probing the notch
+        probe_in = sq(1, 1, 2, 2)      # fully inside the L
+        probe_notch = sq(3, 3, 4, 4)   # fully inside the notch (outside)
+        probe_half = sq(1, 1, 3, 3)    # overlaps the notch by 1 unit
+        L = self.L()
+        assert geometry.pieces_area(
+            geometry.clip_poly_simple(probe_in, L)
+        ) == pytest.approx(1.0)
+        assert geometry.pieces_area(
+            geometry.clip_poly_simple(probe_notch, L)
+        ) == pytest.approx(0.0)
+        assert geometry.pieces_area(
+            geometry.clip_poly_simple(probe_half, L)
+        ) == pytest.approx(3.0)
+        # erase: probe_half minus L leaves only the notch unit
+        left = geometry.erase_poly_simple(probe_half, [L])
+        assert geometry.pieces_area(left) == pytest.approx(1.0)
+
+    def test_concave_predicates(self):
+        L = self.L()
+        got = geometry.polygon_pair_predicates(sq(3, 3, 4, 4), L)
+        # small square strictly inside the notch: disjoint from the L
+        assert got["disjoint"]
+        # the FULL notch shares the L's re-entrant edges: touches
+        got = geometry.polygon_pair_predicates(sq(2, 2, 4, 4), L)
+        assert got["touches"] and not got["overlaps"]
+        got = geometry.polygon_pair_predicates(sq(1, 1, 2, 2), L)
+        assert got["within"]
+
+    def test_operator_with_concave_b(self, spark):
+        import pandas as pd
+        from gdal_spark.operators.layer_algebra import (
+            erase_pieces, intersection_pieces,
+        )
+
+        a_pdf = pd.DataFrame(
+            {"a_id": [0], "geom_wkb": [wkb.polygon([sq(1, 1, 3, 3)])]}
+        )
+        b_pdf = pd.DataFrame(
+            {"poly_id": [0], "geom_wkb": [wkb.polygon([self.L()])]}
+        )
+        a_df = spark.createDataFrame(a_pdf)
+        inter = intersection_pieces(a_df, b_pdf).collect()
+        assert sum(r.area for r in inter) == pytest.approx(3.0)
+        er = erase_pieces(a_df, b_pdf).collect()
+        assert sum(r.area for r in er) == pytest.approx(1.0)
