@@ -307,6 +307,8 @@ class _Parser:
             return ("cast", e, _CAST_TYPES[ty])
         if t[0] == "ident":
             name = self.next()[1]
+            if name.upper() == "OGR_GEOM_AREA":
+                return ("geom_area",)
             if self.peek() == ("op", "("):  # function or aggregate
                 self.next()
                 fn = name.lower()
@@ -349,6 +351,10 @@ def _compile(ast, strict_fields: set | None = None):
             )
         # backticks: "table.field" output names are literal, not paths
         return F.col(f"`{ast[1]}`" if "." in ast[1] else ast[1])
+    if kind == "geom_area":
+        from .operators.compat import geom_area
+
+        return geom_area(F.col("geom_wkb"))
     if kind == "neg":
         return -_compile(ast[1], strict_fields)
     if kind == "bin":
@@ -464,6 +470,8 @@ def _rename_ast(ast, mapper):
         return ast
     if ast[0] == "col":
         return ("col", mapper(ast[1], ast[2]), None)
+    if ast[0] == "geom_area":
+        return ast
     out = [ast[0]]
     for a in ast[1:]:
         if isinstance(a, tuple):
@@ -480,7 +488,16 @@ def _run_select(sel: _Sel, tables: dict[str, DataFrame]) -> DataFrame:
         raise ValueError(f"OGR SQL: unknown table {sel.table}")
     df = tables[sel.table]
     primary_fields = set(df.columns)
-    mapper = lambda f, t: f  # noqa: E731
+    fid_col = df.columns[0]
+
+    def base_mapper(f, t, _fid=fid_col):
+        # OGR special fields (ogr/ogrfeaturequery.cpp:37, ogr_p.h:168):
+        # FID resolves to the table's row-id column
+        if f.upper() == "FID":
+            return _fid
+        return f
+
+    mapper = base_mapper
 
     if sel.join is not None:
         sec_name, on_ast = sel.join
@@ -497,6 +514,7 @@ def _run_select(sel: _Sel, tables: dict[str, DataFrame]) -> DataFrame:
                 sec2 = sec2.withColumnRenamed(old, new)
 
         def mapper(f, t, _ren=ren, _sec=sec_name):  # noqa: E731
+            f = base_mapper(f, t)
             if t == _sec:
                 return _ren.get(f, f)
             if t is None and f not in primary_fields and f in _ren:
@@ -513,7 +531,12 @@ def _run_select(sel: _Sel, tables: dict[str, DataFrame]) -> DataFrame:
 
     if sel.where is not None:
         # dialect rule: WHERE sees only the primary table's fields
-        df = df.filter(_compile(sel.where, strict_fields=primary_fields))
+        df = df.filter(
+            _compile(
+                _rename_ast(sel.where, base_mapper),
+                strict_fields=primary_fields,
+            )
+        )
 
     agg_mode = any(
         c[0] != ("star",) and _has_agg(c[0]) for c in sel.columns

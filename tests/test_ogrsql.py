@@ -3,6 +3,7 @@ autotest/ogr/ogr_sql_test.py and ogr_join_test.py."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -147,3 +148,30 @@ class TestUnion:
             "UNION ALL SELECT eas_id AS v FROM idlink WHERE eas_id > 169",
         )
         assert df.count() == 2 + 2
+
+
+class TestSpecialFields:
+    def test_fid_resolves_to_row_id(self, tables):
+        rows = run(
+            tables,
+            "SELECT FID AS f, eas_id FROM poly WHERE FID < 3 ORDER BY f",
+        ).collect()
+        assert [r.f for r in rows] == [0, 1, 2]
+
+    def test_ogr_geom_area(self, spark):
+        from gdal_spark import wkb as wkb_mod
+
+        sqring = np.array(
+            [[0, 0], [3, 0], [3, 3], [0, 3], [0, 0]], dtype=float
+        )
+        t = spark.createDataFrame(
+            pd.DataFrame(
+                {"gid": [1], "geom_wkb": [wkb_mod.polygon([sqring])]}
+            )
+        )
+        r = run(
+            {"geoms": t},
+            "SELECT gid, OGR_GEOM_AREA AS a FROM geoms "
+            "WHERE OGR_GEOM_AREA > 5",
+        ).collect()
+        assert len(r) == 1 and r[0].a == 9.0
