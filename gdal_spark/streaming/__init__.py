@@ -73,3 +73,15 @@ def stream_dedup_by_url(
     return stream.withWatermark(ts_col, watermark).dropDuplicates(
         [key_col]
     )
+
+
+def stream_spatial_join(stream_points: DataFrame, polygons_pdf, **kw):
+    """Streaming spatial enrichment: the EXACT batch plan — cell-cover
+    broadcast equi-join + ray-cast PIP — applied to an unbounded point
+    source. All ops are stateless (project/explode/broadcast-join/
+    filter), so Structured Streaming runs the same declarative plan
+    per micro-batch with no watermark or state store; parity with the
+    batch twin is by construction and pinned in tests."""
+    from ..operators.spatial_join import spatial_join
+
+    return spatial_join(stream_points, polygons_pdf, **kw)

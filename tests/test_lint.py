@@ -48,6 +48,7 @@ def test_iterrows_only_on_tile_cardinality():
         "knn.py",           # driver-side probe loop over the SMALL
                             # broadcast query set (scale path
                             # knn_join_df has no row loop)
+        "dem.py",           # row = tile (focal kernels)
     }
     offenders = []
     for p in _sources():

@@ -76,3 +76,49 @@ def test_stream_dedup_keeps_one_per_url(spark, pages_dir):
     assert len(urls) == len(set(urls))  # unique
     batch = spark.read.schema(schema).parquet(pages_dir + "/*")
     assert len(urls) == batch.select("url").distinct().count()
+
+
+def test_stream_spatial_join_matches_batch(spark, tmp_path):
+    """Stateless streaming spatial join: identical rows to the batch
+    operator over the same files."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark import streaming
+    from gdal_spark.operators.spatial_join import spatial_join
+    from gdal_spark.testdata import polygons_pdf
+
+    d = str(tmp_path / "pts")
+    ids = np.arange(2000, dtype=np.int64)
+    pdf = pd.DataFrame({
+        "doc_id": ids,
+        "lon": ((ids * 2654435761) % 360000000) / 1e6 - 180.0,
+        "lat": ((ids * 2246822519 + 7) % 180000000) / 1e6 - 90.0,
+    })
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    polys = polygons_pdf(20)
+
+    stream = spark.readStream.schema(schema).parquet(d)
+    joined = streaming.stream_spatial_join(
+        stream, polys, res_min=2, res_max=6
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sj_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.doc_id, r.poly_id)
+        for r in spark.sql("SELECT doc_id, poly_id FROM sj_stream").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.poly_id)
+        for r in spatial_join(
+            spark.read.parquet(d), polys, res_min=2, res_max=6
+        ).collect()
+    )
+    assert got == want and len(got) > 0
