@@ -1659,7 +1659,7 @@ def _q_geo_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # layer algebra (polygon × polygon) — convex integer-coordinate fixture
 # ---------------------------------------------------------------------------
 
-_LA_NA, _LA_NB = 24, 8
+_LA_NA, _LA_NB = 24, 12
 
 
 def _convex_ring(pid: int, seed: int, r_lo: int, r_hi: int) -> np.ndarray:
@@ -1733,7 +1733,7 @@ def _q_geo_layer_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.operators.layer_algebra import intersection_pieces
 
     a_pdf = _la_fixture(_LA_NA, 101, 8, 18)
-    b_pdf = _la_fixture(_LA_NB, 202, 14, 30)
+    b_pdf = _la_fixture(_LA_NB, 202, 16, 34)
     a_df = spark.createDataFrame(
         a_pdf[["poly_id", "geom_wkb"]].rename(columns={"poly_id": "a_id"})
     )
@@ -1781,7 +1781,7 @@ def _layer_algebra_oracle_sql() -> str:
     = A-verts in B + B-verts in A + edge-pair crossings, angular sort
     around their centroid, shoelace."""
     a_pdf = _la_fixture(_LA_NA, 101, 8, 18)
-    b_pdf = _la_fixture(_LA_NB, 202, 14, 30)
+    b_pdf = _la_fixture(_LA_NB, 202, 16, 34)
     ae = _la_edges_values(a_pdf)
     be = _la_edges_values(b_pdf)
     return f"""

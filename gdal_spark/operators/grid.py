@@ -295,10 +295,29 @@ def tin_grid(
         ],
         dtype=np.float64,
     )
-    bc = spark.sparkContext.broadcast(tri_arr)
+    # bucket triangles by a coarse pixel-cell grid (driver-side bbox
+    # cover — triangles ≪ raster): per-pixel work is then O(triangles
+    # overlapping its cell), not O(all triangles) — the quadtree role
+    # of the reference's per-pixel search, precomputed once
+    bucket = 32  # pixels per bucket side
+    nbx = (width + bucket - 1) // bucket
+    nby = (height + bucket - 1) // bucket
+    cell_tris: dict[int, list] = {}
+    if len(tri_arr):
+        xs = tri_arr[:, [0, 3, 6]]
+        ys = tri_arr[:, [1, 4, 7]]
+        for tid in range(len(tri_arr)):
+            bx0 = int((xs[tid].min() - x0) / step) // bucket
+            bx1 = int((xs[tid].max() - x0) / step) // bucket
+            by0 = int((ys[tid].min() - y0) / step) // bucket
+            by1 = int((ys[tid].max() - y0) / step) // bucket
+            for byi in range(max(by0, 0), min(by1, nby - 1) + 1):
+                for bxi in range(max(bx0, 0), min(bx1, nbx - 1) + 1):
+                    cell_tris.setdefault(byi * nbx + bxi, []).append(tid)
+    bc = spark.sparkContext.broadcast((tri_arr, cell_tris))
 
     def run(batches):
-        T = bc.value
+        T, buckets = bc.value
         for pdf in batches:
             ids = pdf["id"].to_numpy(dtype=np.int64)
             gx = ids % width
@@ -307,23 +326,32 @@ def tin_grid(
             py = y0 + (gy + 0.5) * step
             assigned = np.full(len(ids), -1, dtype=np.int64)
             zout = np.zeros(len(ids), dtype=np.float64)
-            for tid in range(len(T)):
-                ax, ay, az, bx, by, bz, cx, cy, cz = T[tid]
-                det = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-                wa = ((by - cy) * (px - cx) + (cx - bx) * (py - cy)) / det
-                wb = ((cy - ay) * (px - cx) + (ax - cx) * (py - cy)) / det
-                m = (
-                    (assigned < 0) & (wa >= 0) & (wb >= 0)
-                    & (wa + wb <= 1)
-                )
-                if not m.any():
+            cell = (gy // bucket) * nbx + (gx // bucket)
+            for c in np.unique(cell):
+                tids = buckets.get(int(c))
+                if not tids:
                     continue
-                z = (
-                    wa[m] * az + wb[m] * bz
-                    + (1.0 - wa[m] - wb[m]) * cz
-                )
-                zout[m] = z
-                assigned[m] = tid
+                sel = np.nonzero(cell == c)[0]
+                pxs, pys = px[sel], py[sel]
+                done = np.zeros(len(sel), dtype=bool)
+                for tid in tids:
+                    ax, ay, az, bx, by, bz, cx, cy, cz = T[tid]
+                    det = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+                    wa = ((by - cy) * (pxs - cx)
+                          + (cx - bx) * (pys - cy)) / det
+                    wb = ((cy - ay) * (pxs - cx)
+                          + (ax - cx) * (pys - cy)) / det
+                    m = (~done) & (wa >= 0) & (wb >= 0) & (wa + wb <= 1)
+                    if not m.any():
+                        continue
+                    z = (
+                        wa[m] * az + wb[m] * bz
+                        + (1.0 - wa[m] - wb[m]) * cz
+                    )
+                    idxs = sel[m]
+                    zout[idxs] = z
+                    assigned[idxs] = tid
+                    done |= m
             got = assigned >= 0
             yield pd.DataFrame({
                 "gx": gx[got], "gy": gy[got],
