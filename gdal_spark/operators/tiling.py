@@ -1658,7 +1658,7 @@ def _tkey(tx: int, ty: int) -> int:
     return tx * 1_000_003 + ty
 
 
-def _tile_parts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+def _tile_parts_pdf(pdf: pd.DataFrame, connectivity: int = 4) -> pd.DataFrame:
     """Per-tile pass shared by polygonize and sieve: 4-connected
     labeling, then three row kinds — 'region' (stats per local label),
     'border' (every edge pixel, for cross-tile merging), 'adj'
@@ -1671,7 +1671,7 @@ def _tile_parts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(row["tx"]), int(row["ty"])
         tkey = _tkey(tx, ty)
         arr = _tile_array(ts_w, ts_h, row["data"]).astype(np.int64)
-        labels, n = raster.label_components(arr)
+        labels, n = raster.label_components(arr, connectivity)
         gx0, gy0 = tx * ts_w, ty * ts_h
         flat_lab = labels.ravel()
         flat_val = arr.ravel()
@@ -1713,6 +1713,15 @@ def _tile_parts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             pair_codes.append(
                 np.minimum(la[m], lb[m]) * n + np.maximum(la[m], lb[m])
             )
+        if connectivity == 8 and ts_w > 1 and ts_h > 1:
+            for la, lb in (
+                (labels[:-1, :-1].ravel(), labels[1:, 1:].ravel()),
+                (labels[:-1, 1:].ravel(), labels[1:, :-1].ravel()),
+            ):
+                m = la != lb
+                pair_codes.append(
+                    np.minimum(la[m], lb[m]) * n + np.maximum(la[m], lb[m])
+                )
         if pair_codes:
             codes = np.unique(np.concatenate(pair_codes))
             if codes.size:
@@ -1742,16 +1751,22 @@ def _tile_parts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)[cols]
 
 
-def _tile_parts(tiles: DataFrame) -> DataFrame:
-    return tiles.groupBy("tx", "ty").applyInPandas(
-        _tile_parts_pdf, _PART_SCHEMA
-    )
+def _tile_parts(tiles: DataFrame, connectivity: int = 4) -> DataFrame:
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _tile_parts_pdf(pdf, connectivity)
+
+    return tiles.groupBy("tx", "ty").applyInPandas(run, _PART_SCHEMA)
 
 
-def _cross_tile_edges(parts: DataFrame, same_value_only: bool) -> DataFrame:
+def _cross_tile_edges(
+    parts: DataFrame, same_value_only: bool, connectivity: int = 4
+) -> DataFrame:
     """(ta, la, tb, lb) pairs of locally-labeled regions adjacent
     across a tile boundary; optionally only equal-valued pairs
-    (polygonize merging) or all pairs (sieve adjacency)."""
+    (polygonize merging) or all pairs (sieve adjacency). 8-connect
+    adds the diagonal strip pairs (|dy| = 1 across a vertical
+    boundary, |dx| = 1 across a horizontal one — tile-corner contact
+    falls out of the vertical case)."""
     borders = parts.filter(F.col("kind") == "border").select(
         "tkey", "lab", "value", "gx", "gy", "side"
     )
@@ -1763,12 +1778,18 @@ def _cross_tile_edges(parts: DataFrame, same_value_only: bool) -> DataFrame:
         F.col("a.tkey").alias("ta"), F.col("a.lab").alias("la"),
         F.col("b.tkey").alias("tb"), F.col("b.lab").alias("lb"),
     ]
-    h_cond = (F.col("a.gx") + 1 == F.col("b.gx")) & (
-        F.col("a.gy") == F.col("b.gy")
+    h_dy = (
+        F.abs(F.col("a.gy") - F.col("b.gy")) <= 1
+        if connectivity == 8
+        else F.col("a.gy") == F.col("b.gy")
     )
-    v_cond = (F.col("a.gx") == F.col("b.gx")) & (
-        F.col("a.gy") + 1 == F.col("b.gy")
+    v_dx = (
+        F.abs(F.col("a.gx") - F.col("b.gx")) <= 1
+        if connectivity == 8
+        else F.col("a.gx") == F.col("b.gx")
     )
+    h_cond = (F.col("a.gx") + 1 == F.col("b.gx")) & h_dy
+    v_cond = v_dx & (F.col("a.gy") + 1 == F.col("b.gy"))
     if same_value_only:
         h_cond = h_cond & (F.col("a.value") == F.col("b.value"))
         v_cond = v_cond & (F.col("a.value") == F.col("b.value"))
@@ -1788,7 +1809,9 @@ def _make_find(parent: dict):
     return find
 
 
-def polygonize(tiles: DataFrame, nx: int | None = None) -> DataFrame:
+def polygonize(
+    tiles: DataFrame, nx: int | None = None, connectivity: int = 4
+) -> DataFrame:
     """Connected regions of equal-valued pixels (4-connect) across the
     whole tile grid → one row per region with pixel count and bbox.
 
@@ -1801,8 +1824,10 @@ def polygonize(tiles: DataFrame, nx: int | None = None) -> DataFrame:
     alg/polygonize.cpp:73's scanline merge (4-connectedness).
     """
     spark = tiles.sparkSession
-    parts = _tile_parts(tiles).persist()
-    edge_rows = _cross_tile_edges(parts, same_value_only=True).collect()
+    parts = _tile_parts(tiles, connectivity).persist()
+    edge_rows = _cross_tile_edges(
+        parts, same_value_only=True, connectivity=connectivity
+    ).collect()
     parent: dict[tuple, tuple] = {}
     find = _make_find(parent)
     for r in edge_rows:

@@ -414,10 +414,15 @@ def gauss_3x3(padded: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def label_components(arr: np.ndarray) -> tuple[np.ndarray, int]:
-    """4-connected labeling of equal-valued pixels (the per-tile half
-    of alg/polygonize.cpp's scanline merge). Returns (labels, count);
+def label_components(
+    arr: np.ndarray, connectivity: int = 4
+) -> tuple[np.ndarray, int]:
+    """4- or 8-connected labeling of equal-valued pixels (the per-tile
+    half of alg/polygonize.cpp's scanline merge; GDAL's polygonize/
+    sieve both take the connectedness flag). Returns (labels, count);
     labels are 0-based row-major-first-pixel order."""
+    if connectivity not in (4, 8):
+        raise ValueError("connectivity must be 4 or 8")
     h, w = arr.shape
     labels = -np.ones((h, w), dtype=np.int64)
     parent: list[int] = []
@@ -441,15 +446,28 @@ def label_components(arr: np.ndarray) -> tuple[np.ndarray, int]:
         left_same = np.zeros(w, dtype=bool)
         left_same[1:] = row[1:] == row[:-1]
         up_same = (arr[y - 1] == row) if y > 0 else np.zeros(w, dtype=bool)
+        if connectivity == 8 and y > 0:
+            ul_same = np.zeros(w, dtype=bool)
+            ul_same[1:] = arr[y - 1, :-1] == row[1:]
+            ur_same = np.zeros(w, dtype=bool)
+            ur_same[:-1] = arr[y - 1, 1:] == row[:-1]
+        else:
+            ul_same = ur_same = np.zeros(w, dtype=bool)
         for x in range(w):
             lab = -1
-            if left_same[x]:
-                lab = labels[y, x - 1]
-            if up_same[x]:
+            for hit, ny, nx in (
+                (left_same[x], y, x - 1),
+                (up_same[x], y - 1, x),
+                (ul_same[x], y - 1, x - 1),
+                (ur_same[x], y - 1, x + 1),
+            ):
+                if not hit:
+                    continue
+                nlab = labels[ny, nx]
                 if lab == -1:
-                    lab = labels[y - 1, x]
+                    lab = nlab
                 else:
-                    union(int(lab), int(labels[y - 1, x]))
+                    union(int(lab), int(nlab))
             if lab == -1:
                 lab = len(parent)
                 parent.append(lab)

@@ -283,3 +283,30 @@ def test_warp_affine_masks_absent_src_tiles(spark):
     assert out[(10, 10)] == 50          # present tile
     assert out[(100, 100)] == -1        # absent tile → nodata
     assert out.get((100, 10), 50) == 50  # tx=1,ty=0 present
+
+
+def test_polygonize_8_connectivity_merges_tile_corner_diagonal(spark):
+    """Two pixels touching only diagonally ACROSS a tile corner are one
+    region under 8-connectivity, two under 4 (the GDAL -8 flag)."""
+    import pandas as pd
+    from gdal_spark.operators.tiling import polygonize
+
+    ts = 8
+    full = np.zeros((16, 16), dtype=np.uint8)
+    full[7, 7] = 9    # bottom-right corner pixel of tile (0, 0)
+    full[8, 8] = 9    # top-left corner pixel of tile (1, 1)
+    rows = [
+        (0, tx, ty, ts, ts,
+         full[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts].tobytes())
+        for ty in range(2) for tx in range(2)
+    ]
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["z", "tx", "ty", "w", "h", "data"])
+    )
+    r4 = [r for r in polygonize(tiles).collect() if r.value == 9]
+    r8 = [
+        r for r in polygonize(tiles, connectivity=8).collect()
+        if r.value == 9
+    ]
+    assert len(r4) == 2 and all(r.n_pixels == 1 for r in r4)
+    assert len(r8) == 1 and r8[0].n_pixels == 2
