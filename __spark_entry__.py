@@ -1265,11 +1265,13 @@ def _probe_oracle_sql() -> str:
 
 
 def _q_rs_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thresholded formula raster → connected regions across tiles."""
+    """Thresholded formula raster → connected regions across tiles,
+    with REAL boundary-ring geometry (outer + holes, traced from
+    boundary edges — the full GDALPolygonize contract)."""
     import pandas as pd_  # noqa: F811 (worker-side import clarity)
 
     from gdal_spark.operators.tiling import (
-        TILE_SCHEMA, formula_tiles, polygonize,
+        TILE_SCHEMA, formula_tiles, polygonize_rings,
     )
 
     def threshold(batches):
@@ -1288,7 +1290,7 @@ def _q_rs_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     tiles = formula_tiles(spark, 4, 4, 64).mapInPandas(threshold, TILE_SCHEMA)
-    return polygonize(tiles)
+    return polygonize_rings(tiles).select("value", "n_pixels", "n_holes")
 
 
 _PROX_N, _PROX_TS, _PROX_MAXD = 2, 64, 30

@@ -310,3 +310,74 @@ def test_polygonize_8_connectivity_merges_tile_corner_diagonal(spark):
     ]
     assert len(r4) == 2 and all(r.n_pixels == 1 for r in r4)
     assert len(r8) == 1 and r8[0].n_pixels == 2
+
+
+class TestPolygonizeRings:
+    def _tiles(self, spark, full, ts):
+        import pandas as pd
+        h, w = full.shape
+        rows = [
+            (0, tx, ty, ts, ts,
+             full[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+             .astype(np.uint8).tobytes())
+            for ty in range(h // ts) for tx in range(w // ts)
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["z", "tx", "ty", "w", "h", "data"])
+        )
+
+    def test_square_with_hole(self, spark):
+        from gdal_spark import geometry, wkb
+        from gdal_spark.operators.tiling import polygonize_rings
+
+        full = np.zeros((16, 16), dtype=np.uint8)
+        full[2:10, 2:10] = 7
+        full[4:7, 4:7] = 0  # hole of background value inside the 7s
+        out = polygonize_rings(self._tiles(spark, full, 8)).collect()
+        regions = {(r.value, r.n_pixels): r for r in out}
+        seven = regions[(7, 64 - 9)]
+        assert seven.n_holes == 1
+        rings = wkb.polygon_rings(bytes(seven.geom_wkb))[0]
+        assert len(rings) == 2
+        assert abs(geometry.ring_area(rings[0])) == 64.0
+        assert abs(geometry.ring_area(rings[1])) == 9.0
+        # background: one region (8 pixels inside the hole connect out?
+        # no: hole zeros are ENCLOSED -> separate region)
+        zero_regions = [r for r in out if r.value == 0]
+        assert sorted(r.n_pixels for r in zero_regions) == [
+            9, 256 - 64,
+        ]
+
+    def test_cross_tile_region_single_ring(self, spark):
+        from gdal_spark import geometry, wkb
+        from gdal_spark.operators.tiling import polygonize_rings
+
+        full = np.zeros((16, 16), dtype=np.uint8)
+        full[5:12, 5:12] = 3  # spans all four tiles at ts=8
+        out = [
+            r for r in polygonize_rings(
+                self._tiles(spark, full, 8)
+            ).collect() if r.value == 3
+        ]
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_pixels == 49 and r.n_holes == 0
+        ring = wkb.polygon_rings(bytes(r.geom_wkb))[0][0]
+        assert abs(geometry.ring_area(ring)) == 49.0
+        # rectangle boundary compresses to 4 corners (+ closure)
+        assert len(ring) == 5
+
+    def test_diagonal_hole_contact_splits_holes(self, spark):
+        from gdal_spark.operators.tiling import polygonize_rings
+
+        full = np.full((8, 8), 5, dtype=np.uint8)
+        full[2, 2] = 0
+        full[3, 3] = 0  # diagonal holes sharing one vertex
+        out = [
+            r for r in polygonize_rings(
+                self._tiles(spark, full, 8)
+            ).collect() if r.value == 5
+        ]
+        assert len(out) == 1
+        assert out[0].n_holes == 2
+        assert out[0].n_pixels == 62
