@@ -65,6 +65,35 @@ def _b_pieces(b_pdf: pd.DataFrame, id_col: str = "poly_id"):
     return out
 
 
+def _subject_parts(buf: bytes):
+    """Decode a (multi)polygon WKB into [(outer_ring, [hole_rings])]
+    open-ring parts — the full subject geometry, not just the first
+    outer ring."""
+    out = []
+    for part in wkb.polygon_rings(bytes(buf)):
+        outer = geometry._open_ring(part[0])
+        holes = [geometry._open_ring(h) for h in part[1:]]
+        out.append((outer, holes))
+    return out
+
+
+def _clip_part(outer, holes, clip_pieces):
+    """(outer − holes) ∩ clip_pieces as disjoint piece rings: clip the
+    outer by each convex piece, then subtract the holes from every
+    resulting piece (holes lie inside the outer, so piece-wise
+    subtraction stays exact)."""
+    pieces = []
+    for cp in clip_pieces:
+        p = geometry.clip_poly_convex(outer, cp)
+        if len(p) < 3:
+            continue
+        if holes:
+            pieces.extend(geometry.erase_poly_simple(p, holes))
+        else:
+            pieces.append(p)
+    return pieces
+
+
 def _piece_rows(a_id, b_id, pieces):
     rows = []
     for p in pieces:
@@ -98,20 +127,16 @@ def intersection_pieces(
         for pdf in batches:
             rows = []
             for aid, buf in zip(pdf[id_col], pdf["geom_wkb"]):
-                ring = geometry._open_ring(
-                    wkb.polygon_rings(bytes(buf))[0][0]
-                )
-                ax0, ay0, ax1, ay1 = geometry.ring_bbox(ring)
-                for bid, bpieces, (bx0, by0, bx1, by1) in bset:
-                    if bx1 < ax0 or bx0 > ax1 or by1 < ay0 or by0 > ay1:
-                        continue  # envelope pretest (ogrlayer.cpp:3427)
-                    inters = [
-                        geometry.clip_poly_convex(ring, bp)
-                        for bp in bpieces
-                    ]
-                    for row in _piece_rows(int(aid), bid, inters):
-                        if row[3] > min_area:
-                            rows.append(row)
+                for outer, holes in _subject_parts(buf):
+                    ax0, ay0, ax1, ay1 = geometry.ring_bbox(outer)
+                    for bid, bpieces, (bx0, by0, bx1, by1) in bset:
+                        if (bx1 < ax0 or bx0 > ax1
+                                or by1 < ay0 or by0 > ay1):
+                            continue  # envelope pretest (:3427)
+                        inters = _clip_part(outer, holes, bpieces)
+                        for row in _piece_rows(int(aid), bid, inters):
+                            if row[3] > min_area:
+                                rows.append(row)
             yield pd.DataFrame(
                 rows, columns=["a_id", "b_id", "piece_wkb", "area"]
             )
@@ -137,19 +162,22 @@ def erase_pieces(
         for pdf in batches:
             rows = []
             for aid, buf in zip(pdf[id_col], pdf["geom_wkb"]):
-                ring = geometry._open_ring(
-                    wkb.polygon_rings(bytes(buf))[0][0]
-                )
-                ax0, ay0, ax1, ay1 = geometry.ring_bbox(ring)
-                clips = [
-                    bp
-                    for _, bpieces, (bx0, by0, bx1, by1) in bset
-                    if not (bx1 < ax0 or bx0 > ax1
-                            or by1 < ay0 or by0 > ay1)
-                    for bp in bpieces
-                ]
-                pieces = geometry.erase_poly_convex(ring, clips)
-                rows.extend(_piece_rows(int(aid), -1, pieces))
+                for outer, holes in _subject_parts(buf):
+                    ax0, ay0, ax1, ay1 = geometry.ring_bbox(outer)
+                    clips = [
+                        bp
+                        for _, bpieces, (bx0, by0, bx1, by1) in bset
+                        if not (bx1 < ax0 or bx0 > ax1
+                                or by1 < ay0 or by0 > ay1)
+                        for bp in bpieces
+                    ]
+                    # subject holes subtract exactly like clips
+                    pieces = geometry.erase_poly_simple(
+                        outer, holes + clips
+                    ) if holes else geometry.erase_poly_convex(
+                        outer, clips
+                    )
+                    rows.extend(_piece_rows(int(aid), -1, pieces))
             yield pd.DataFrame(
                 rows, columns=["a_id", "b_id", "piece_wkb", "area"]
             )

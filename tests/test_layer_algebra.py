@@ -219,3 +219,55 @@ class TestConcave:
         assert sum(r.area for r in inter) == pytest.approx(3.0)
         er = erase_pieces(a_df, b_pdf).collect()
         assert sum(r.area for r in er) == pytest.approx(1.0)
+
+
+class TestHoledSubject:
+    def donut_wkb(self):
+        outer = sq(0, 0, 10, 10)
+        hole = sq(3, 3, 7, 7)
+        return wkb.polygon([outer, hole])  # area 100 - 16 = 84
+
+    def test_intersection_respects_holes(self, spark):
+        from gdal_spark.operators.layer_algebra import intersection_pieces
+
+        a_df = spark.createDataFrame(
+            pd.DataFrame({"a_id": [0], "geom_wkb": [self.donut_wkb()]})
+        )
+        # probe covering part of the ring and part of the hole
+        b_pdf = pd.DataFrame(
+            {"poly_id": [0], "geom_wkb": [wkb.polygon([sq(2, 2, 8, 8)])]}
+        )
+        rows = intersection_pieces(a_df, b_pdf).collect()
+        # probe 36 sq units minus the 16-unit hole = 20
+        assert sum(r.area for r in rows) == pytest.approx(20.0)
+
+    def test_erase_respects_holes(self, spark):
+        from gdal_spark.operators.layer_algebra import erase_pieces
+
+        a_df = spark.createDataFrame(
+            pd.DataFrame({"a_id": [0], "geom_wkb": [self.donut_wkb()]})
+        )
+        b_pdf = pd.DataFrame(
+            {"poly_id": [0], "geom_wkb": [wkb.polygon([sq(-1, -1, 5, 11)])]}
+        )
+        rows = erase_pieces(a_df, b_pdf).collect()
+        # donut (84) minus left slab x<5: remaining = x in [5,10] band
+        # minus hole part x in [5,7]: 5*10 - 2*4 = 42
+        assert sum(r.area for r in rows) == pytest.approx(42.0)
+
+    def test_multipolygon_subject(self, spark):
+        from gdal_spark.operators.layer_algebra import intersection_pieces
+
+        mp = wkb.multipolygon([
+            [sq(0, 0, 2, 2)], [sq(10, 10, 14, 14)],
+        ])
+        a_df = spark.createDataFrame(
+            pd.DataFrame({"a_id": [7], "geom_wkb": [mp]})
+        )
+        b_pdf = pd.DataFrame(
+            {"poly_id": [0],
+             "geom_wkb": [wkb.polygon([sq(1, 1, 12, 12)])]}
+        )
+        rows = intersection_pieces(a_df, b_pdf).collect()
+        # 1x1 from the first part + 2x2 from the second
+        assert sum(r.area for r in rows) == pytest.approx(1.0 + 4.0)
