@@ -399,6 +399,8 @@ def clip_poly_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
     m = len(C)
     for i in range(m):
         a, b = C[i], C[(i + 1) % m]
+        if a[0] == b[0] and a[1] == b[1]:
+            continue  # zero-length edge: no half-plane
         P = clip_poly_halfplane(P, a[0], a[1], b[0], b[1])
         if len(P) == 0:
             break
@@ -423,6 +425,11 @@ def split_poly_convex(
         if len(remaining) == 0:
             break
         a, b = C[i], C[(i + 1) % m]
+        if a[0] == b[0] and a[1] == b[1]:
+            # zero-length edge defines no half-plane: clipping by it
+            # would put the WHOLE remaining region on both sides and
+            # double-count area
+            continue
         # outside of left(a→b) == left of the reversed line b→a
         piece = clip_poly_halfplane(remaining, b[0], b[1], a[0], a[1])
         if len(piece) >= 3:
@@ -439,6 +446,11 @@ def erase_poly_convex(
     each subtraction is exact)."""
     pieces = [_open_ring(subject)]
     for clip in clip_rings:
+        opened = _open_ring(clip)
+        if len(opened) < 3 or abs(
+            ring_area(np.vstack([opened, opened[:1]]))
+        ) == 0.0:
+            continue  # degenerate clip subtracts nothing
         nxt: list[np.ndarray] = []
         for p in pieces:
             _, outs = split_poly_convex(p, clip)
@@ -587,6 +599,15 @@ def ear_triangulate(ring: np.ndarray) -> list[np.ndarray]:
     disjoint. (The GEOS role of handling arbitrary simple polygons in
     ogr/ogrlayer.cpp's algebra, decomposed Spark-side.)"""
     pts = _ccw_ring(ring)
+    # drop consecutive duplicate vertices (SH output artifacts)
+    if len(pts) > 1:
+        keep = np.ones(len(pts), dtype=bool)
+        keep[1:] = (np.diff(pts, axis=0) != 0).any(axis=1)
+        # also first-vs-last duplicate
+        if keep.sum() > 1 and (pts[0] == pts[keep][-1]).all():
+            idx = np.nonzero(keep)[0]
+            keep[idx[-1]] = False
+        pts = pts[keep]
     n = len(pts)
     if n < 3:
         return []
@@ -642,7 +663,11 @@ def ear_triangulate(ring: np.ndarray) -> list[np.ndarray]:
             out.append(
                 np.array([pts[idx[0]], pts[idx[k]], pts[idx[k + 1]]])
             )
-    return out
+    # zero-area triangles define no half-planes downstream — drop
+    return [
+        t for t in out
+        if abs(ring_area(np.vstack([t, t[:1]]))) > 0.0
+    ]
 
 
 def clip_poly_simple(subject: np.ndarray, clip_ring: np.ndarray) -> list[np.ndarray]:

@@ -206,14 +206,22 @@ def erase_b_pieces(
         for pdf in batches:
             rows = []
             for buf in pdf["geom_wkb"]:
-                ring = geometry._open_ring(
-                    wkb.polygon_rings(bytes(buf))[0][0]
-                )
-                ax0, ay0, ax1, ay1 = geometry.ring_bbox(ring)
-                for bid, _, (bx0, by0, bx1, by1) in bs:
-                    if bx1 < ax0 or bx0 > ax1 or by1 < ay0 or by0 > ay1:
-                        continue
-                    rows.append((bid, ring.tobytes()))
+                for outer, holes in _subject_parts(buf):
+                    # holed part → disjoint SIMPLE pieces, so the
+                    # flipped subtraction never erases hole interiors
+                    pieces = (
+                        geometry.erase_poly_simple(outer, holes)
+                        if holes else [outer]
+                    )
+                    for ring in pieces:
+                        ax0, ay0, ax1, ay1 = geometry.ring_bbox(ring)
+                        for bid, _, (bx0, by0, bx1, by1) in bs:
+                            if (bx1 < ax0 or bx0 > ax1
+                                    or by1 < ay0 or by0 > ay1):
+                                continue
+                            rows.append(
+                                (bid, np.ascontiguousarray(ring).tobytes())
+                            )
             yield pd.DataFrame(rows, columns=["b_id", "a_ring"])
 
     cands = a_df.select("geom_wkb").mapInPandas(

@@ -271,3 +271,17 @@ class TestHoledSubject:
         rows = intersection_pieces(a_df, b_pdf).collect()
         # 1x1 from the first part + 2x2 from the second
         assert sum(r.area for r in rows) == pytest.approx(1.0 + 4.0)
+
+    def test_flipped_erase_respects_subject_holes(self, spark):
+        from gdal_spark.operators.layer_algebra import erase_b_pieces
+
+        a_df = spark.createDataFrame(
+            pd.DataFrame({"a_id": [0], "geom_wkb": [self.donut_wkb()]})
+        )
+        # B inside the donut's footprint: B \ A keeps the hole overlap
+        b_pdf = pd.DataFrame(
+            {"poly_id": [0], "geom_wkb": [wkb.polygon([sq(2, 2, 8, 8)])]}
+        )
+        rows = erase_b_pieces(a_df, b_pdf).collect()
+        # B area 36; A covers 36 - 16(hole) = 20 → residue = 16
+        assert sum(r.area for r in rows) == pytest.approx(16.0)
