@@ -117,3 +117,20 @@ def test_raycast_and_winding_agree_off_boundary(poly, pts):
     rc = geometry.points_in_ring(px, py, poly)
     wn = geometry.winding_number(px, py, poly) != 0
     assert (rc[off] == wn[off]).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(convex_polys(), convex_polys(), convex_polys())
+def test_piece_feedback_conserves_area(a, b, c):
+    """Pieces produced by one decomposition (with SH's duplicate/
+    collinear vertices) must behave exactly when fed back as clips —
+    the degenerate-edge double-count regression."""
+    pieces = geometry.erase_poly_simple(a[:-1], [b[:-1]])
+    want_c = area_of(c[:-1])
+    rest = geometry.pieces_area(geometry.erase_poly_simple(c[:-1], pieces))
+    inter = sum(
+        geometry.pieces_area(geometry.clip_poly_simple(c[:-1], p))
+        for p in pieces
+    )
+    assert rest <= want_c + 1e-6
+    assert abs(rest + inter - want_c) < 1e-6 * max(1.0, want_c)
