@@ -174,6 +174,18 @@ class _Parser:
 
     def select_item(self):
         if self.accept("op", "*"):
+            # OGR's `* EXCEPT (a, b)` column exclusion
+            # (swq PushExcludeField, ogr/ogr_swq.h:470-476)
+            if self.peek()[0] == "ident" and self.peek()[1].upper() in (
+                "EXCEPT", "EXCLUDE"
+            ):
+                self.next()
+                self.expect("op", "(")
+                drop = [self.expect("ident")[1]]
+                while self.accept("op", ","):
+                    drop.append(self.expect("ident")[1])
+                self.expect("op", ")")
+                return (("star_except", drop), None)
             return (("star",), None)
         e = self.expr()
         alias = None
@@ -557,11 +569,13 @@ def _run_select(sel: _Sel, tables: dict[str, DataFrame]) -> DataFrame:
     else:
         cols = []
         for i, (ast, alias) in enumerate(sel.columns):
-            if ast == ("star",):
+            if ast == ("star",) or ast[0] == "star_except":
+                drop = set(ast[1]) if ast[0] == "star_except" else set()
+                kept = [c for c in df.columns if c not in drop]
                 cols.extend(
-                    F.col(f"`{c}`" if "." in c else c) for c in df.columns
+                    F.col(f"`{c}`" if "." in c else c) for c in kept
                 )
-                names.extend(df.columns)
+                names.extend(kept)
                 continue
             name = alias or _default_name(ast, i)
             cols.append(_compile(_rename_ast(ast, mapper)).alias(name))

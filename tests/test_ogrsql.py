@@ -175,3 +175,10 @@ class TestSpecialFields:
             "WHERE OGR_GEOM_AREA > 5",
         ).collect()
         assert len(r) == 1 and r[0].a == 9.0
+
+    def test_star_except_exclusion(self, tables):
+        df = run(tables, "SELECT * EXCEPT (prfedea, area) FROM poly")
+        assert df.columns == ["fid", "eas_id"]
+        df = run(tables, "SELECT * EXCLUDE (fid) FROM poly LIMIT 2")
+        assert df.columns == ["eas_id", "prfedea", "area"]
+        assert df.count() == 2
