@@ -1664,11 +1664,14 @@ def _q_geo_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LA_NA, _LA_NB = 24, 12
 
 
-def _convex_ring(pid: int, seed: int, r_lo: int, r_hi: int) -> np.ndarray:
+def _convex_ring_at(
+    pid: int, seed: int, r_lo: int, r_hi: int, cx: int, cy: int
+) -> np.ndarray:
     """Deterministic convex polygon with INTEGER vertex coordinates
-    (closed CCW ring): jittered radial points → convex hull. Integer
-    coords keep every shoelace term exact in float64, so engine and
-    oracle agree bit-for-bit on vertex-derived areas."""
+    (closed CCW ring) around an explicit center: jittered radial
+    points → convex hull. Integer coords keep every shoelace term
+    exact in float64, so engine and oracle agree bit-for-bit on
+    vertex-derived areas."""
     import math
 
     from gdal_spark import geometry
@@ -1677,8 +1680,6 @@ def _convex_ring(pid: int, seed: int, r_lo: int, r_hi: int) -> np.ndarray:
         return (pid * 2654435761 + k * 40503 + seed * 69069) % 2147483647
 
     nv = 6 + h(0) % 4
-    cx = -140 + (h(1) % 280)
-    cy = -60 + (h(2) % 120)
     pts = []
     for k in range(nv):
         ang = 2 * math.pi * k / nv + (h(3 + k) % 97) / 97.0 * (
@@ -1689,6 +1690,15 @@ def _convex_ring(pid: int, seed: int, r_lo: int, r_hi: int) -> np.ndarray:
             (round(cx + r * math.cos(ang)), round(cy + r * math.sin(ang)))
         )
     return geometry.convex_hull(np.array(pts, dtype=np.float64))
+
+
+def _convex_ring(pid: int, seed: int, r_lo: int, r_hi: int) -> np.ndarray:
+    def h(k: int) -> int:
+        return (pid * 2654435761 + k * 40503 + seed * 69069) % 2147483647
+
+    cx = -140 + (h(1) % 280)
+    cy = -60 + (h(2) % 120)
+    return _convex_ring_at(pid, seed, r_lo, r_hi, cx, cy)
 
 
 def _la_fixture(n: int, seed: int, r_lo: int, r_hi: int) -> pd.DataFrame:
@@ -1707,6 +1717,77 @@ def _la_fixture(n: int, seed: int, r_lo: int, r_hi: int) -> pd.DataFrame:
                 "bbox_maxy": float(ring[:, 1].max()),
             }
         )
+    return pd.DataFrame(rows)
+
+
+def _la_b_components() -> list[tuple[int, int, int, np.ndarray]]:
+    """The method (B) layer as SIGNED CONVEX components: (bid, comp,
+    sgn, closed CCW ring). The convex base set is one +1 component
+    each; 4 donut B's add a −1 convex hole; 2 multipart B's carry two
+    +1 parts. Any area against a B is then the signed sum of
+    convex∩convex areas — which keeps the DuckDB oracle expressible
+    in pure SQL while gating full holed/multipart method geometries
+    (ogr/ogrlayer.cpp:3489-3503 semantics)."""
+    from gdal_spark import wkb
+
+    comps: list[tuple[int, int, int, np.ndarray]] = []
+    base = _la_fixture(_LA_NB, 202, 16, 34)
+    for pid, buf in zip(base["poly_id"], base["geom_wkb"]):
+        comps.append(
+            (int(pid), 0, 1, wkb.polygon_rings(bytes(buf))[0][0])
+        )
+    # donuts: convex outer (min radius 22 → inradius ≳ 19) with a
+    # strictly interior convex hole (extent ≤ 7) at the center
+    for j in range(4):
+        bid = _LA_NB + j
+
+        def h(k: int, _j=j) -> int:
+            return (_j * 2654435761 + k * 40503 + 303 * 69069) % 2147483647
+
+        cx = -120 + (h(1) % 240)
+        cy = -50 + (h(2) % 100)
+        outer = _convex_ring_at(1000 + j, 303, 22, 34, cx, cy)
+        hole = _convex_ring_at(2000 + j, 404, 3, 7, cx, cy)
+        comps.append((bid, 0, 1, outer))
+        comps.append((bid, 1, -1, hole))
+    # multiparts: two convex parts 120 apart (radii ≤ 18 → disjoint)
+    for j in range(2):
+        bid = _LA_NB + 4 + j
+
+        def h(k: int, _j=j) -> int:
+            return (_j * 2654435761 + k * 40503 + 505 * 69069) % 2147483647
+
+        cx = -60 + (h(1) % 120)
+        cy = -40 + (h(2) % 80)
+        p1 = _convex_ring_at(3000 + j, 505, 8, 18, cx - 60, cy)
+        p2 = _convex_ring_at(4000 + j, 606, 8, 18, cx + 60, cy)
+        comps.append((bid, 0, 1, p1))
+        comps.append((bid, 1, 1, p2))
+    return comps
+
+
+def _la_fixture_b() -> pd.DataFrame:
+    """B fixture pdf (poly_id, geom_wkb) assembled from the signed
+    component list: donuts become polygons with a hole ring, multipart
+    entries a MULTIPOLYGON."""
+    from gdal_spark import wkb
+
+    comps = _la_b_components()
+    by_bid: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for bid, comp, sgn, ring in comps:
+        by_bid.setdefault(bid, []).append((sgn, ring))
+    rows = []
+    for bid in sorted(by_bid):
+        parts = by_bid[bid]
+        if len(parts) == 1:
+            buf = wkb.polygon([parts[0][1]])
+        elif any(s < 0 for s, _ in parts):
+            outer = next(r for s, r in parts if s > 0)
+            holes = [r for s, r in parts if s < 0]
+            buf = wkb.polygon([outer, *holes])
+        else:
+            buf = wkb.multipolygon([[r] for _, r in parts])
+        rows.append({"poly_id": bid, "geom_wkb": buf})
     return pd.DataFrame(rows)
 
 
@@ -1730,47 +1811,64 @@ def _la_edges_values(pdf: pd.DataFrame) -> str:
 def _q_geo_layer_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pair Intersection/Union/SymDifference areas with REAL
     geometric output (clipped-piece WKB upstream) — the layer-algebra
-    family (ogr/ogrlayer.cpp:3345,3763,4300)."""
+    family (ogr/ogrlayer.cpp:3345,3763,4300). The method layer now
+    includes donut (holed) and multipart B's: piece areas per pair sum
+    over the disjoint decomposition, so hole interiors are excluded
+    exactly (ogrlayer.cpp:3489-3503 full-geometry semantics)."""
     from gdal_spark import geometry, wkb
     from gdal_spark.operators.layer_algebra import intersection_pieces
 
     a_pdf = _la_fixture(_LA_NA, 101, 8, 18)
-    b_pdf = _la_fixture(_LA_NB, 202, 16, 34)
+    b_pdf = _la_fixture_b()
     a_df = spark.createDataFrame(
         a_pdf[["poly_id", "geom_wkb"]].rename(columns={"poly_id": "a_id"})
     )
     pieces = intersection_pieces(a_df, b_pdf)
+    pair = pieces.groupBy("a_id", "b_id").agg(
+        F.sum("area").alias("inter")
+    )
 
-    def areas(pdf, idc):
-        return pd.DataFrame(
+    aa = spark.createDataFrame(
+        pd.DataFrame(
             {
-                idc: pdf["poly_id"].astype("int64"),
-                f"__area_{idc}": [
+                "a_id": a_pdf["poly_id"].astype("int64"),
+                "__area_a": [
                     abs(
                         geometry.ring_area(
                             wkb.polygon_rings(bytes(b))[0][0]
                         )
                     )
-                    for b in pdf["geom_wkb"]
+                    for b in a_pdf["geom_wkb"]
                 ],
             }
         )
-
-    aa = spark.createDataFrame(areas(a_pdf, "a_id"))
-    ab = spark.createDataFrame(areas(b_pdf, "b_id"))
+    )
+    b_area: dict[int, float] = {}
+    for bid, comp, sgn, ring in _la_b_components():
+        b_area[bid] = b_area.get(bid, 0.0) + sgn * abs(
+            geometry.ring_area(ring)
+        )
+    ab = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "b_id": sorted(b_area),
+                "__area_b": [b_area[k] for k in sorted(b_area)],
+            }
+        )
+    )
     out = (
-        pieces.join(F.broadcast(aa), "a_id")
+        pair.join(F.broadcast(aa), "a_id")
         .join(F.broadcast(ab), "b_id")
         .select(
             "a_id", "b_id",
-            F.round(F.col("area") * 100).cast("long").alias("inter_q2"),
+            F.round(F.col("inter") * 100).cast("long").alias("inter_q2"),
             F.round(
-                (F.col("__area_a_id") + F.col("__area_b_id")
-                 - F.col("area")) * 100
+                (F.col("__area_a") + F.col("__area_b")
+                 - F.col("inter")) * 100
             ).cast("long").alias("union_q2"),
             F.round(
-                (F.col("__area_a_id") + F.col("__area_b_id")
-                 - 2 * F.col("area")) * 100
+                (F.col("__area_a") + F.col("__area_b")
+                 - 2 * F.col("inter")) * 100
             ).cast("long").alias("sym_q2"),
         )
         .filter(F.col("inter_q2") >= 1)
@@ -1778,39 +1876,56 @@ def _q_geo_layer_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _la_comp_edges_values() -> str:
+    """Signed-component ring edges as SQL VALUES:
+    (bid, comp, sgn, x1, y1, x2, y2)."""
+    vals = []
+    for bid, comp, sgn, ring in _la_b_components():
+        for k in range(len(ring) - 1):
+            x1, y1 = ring[k]
+            x2, y2 = ring[k + 1]
+            vals.append(
+                f"({bid}, {comp}, {sgn}, {x1:.0f}e0, {y1:.0f}e0,"
+                f" {x2:.0f}e0, {y2:.0f}e0)"
+            )
+    return ", ".join(vals)
+
+
 def _layer_algebra_oracle_sql() -> str:
-    """Convex∩convex intersection area in pure SQL: candidate vertices
-    = A-verts in B + B-verts in A + edge-pair crossings, angular sort
-    around their centroid, shoelace."""
+    """Convex∩convex intersection area in pure SQL, extended to holed
+    and multipart method layers via SIGNED components: per (A, B
+    component) candidate vertices = A-verts in comp + comp-verts in A
+    + edge-pair crossings, angular sort around their centroid,
+    shoelace; then inter(A, B) = Σ sgn × inter(A, comp). B's true
+    area is the same signed sum of component areas."""
     a_pdf = _la_fixture(_LA_NA, 101, 8, 18)
-    b_pdf = _la_fixture(_LA_NB, 202, 16, 34)
     ae = _la_edges_values(a_pdf)
-    be = _la_edges_values(b_pdf)
+    be = _la_comp_edges_values()
     return f"""
         WITH ae(aid, x1, y1, x2, y2) AS (VALUES {ae}),
-        be(bid, x1, y1, x2, y2) AS (VALUES {be}),
-        -- A vertices (edge starts) inside-or-on convex B (CCW: all
-        -- edge crosses >= 0)
+        be(bid, comp, sgn, x1, y1, x2, y2) AS (VALUES {be}),
+        -- A vertices (edge starts) inside-or-on convex component
+        -- (CCW: all edge crosses >= 0)
         va AS (
-          SELECT ae.aid, be.bid, ae.x1 AS x, ae.y1 AS y
+          SELECT ae.aid, be.bid, be.comp, ae.x1 AS x, ae.y1 AS y
           FROM ae CROSS JOIN be
-          GROUP BY ae.aid, be.bid, ae.x1, ae.y1
+          GROUP BY ae.aid, be.bid, be.comp, ae.x1, ae.y1
           HAVING BOOL_AND(
             (be.x2 - be.x1) * (ae.y1 - be.y1)
             - (be.y2 - be.y1) * (ae.x1 - be.x1) >= 0)),
         vb AS (
-          SELECT ae.aid, be.bid, be.x1 AS x, be.y1 AS y
+          SELECT ae.aid, be.bid, be.comp, be.x1 AS x, be.y1 AS y
           FROM be CROSS JOIN ae
-          GROUP BY be.bid, ae.aid, be.x1, be.y1
+          GROUP BY be.bid, be.comp, ae.aid, be.x1, be.y1
           HAVING BOOL_AND(
             (ae.x2 - ae.x1) * (be.y1 - ae.y1)
             - (ae.y2 - ae.y1) * (be.x1 - ae.x1) >= 0)),
         vx AS (
-          SELECT aid, bid,
+          SELECT aid, bid, comp,
                  ax1 + t * (ax2 - ax1) AS x,
                  ay1 + t * (ay2 - ay1) AS y
           FROM (
-            SELECT ae.aid, be.bid,
+            SELECT ae.aid, be.bid, be.comp,
                    ae.x1 AS ax1, ae.y1 AS ay1, ae.x2 AS ax2, ae.y2 AS ay2,
                    ((be.x1 - ae.x1) * (be.y2 - be.y1)
                     - (be.y1 - ae.y1) * (be.x2 - be.x1))
@@ -1825,30 +1940,40 @@ def _layer_algebra_oracle_sql() -> str:
                   - (ae.y2 - ae.y1) * (be.x2 - be.x1) <> 0) s
           WHERE t >= 0 AND t <= 1 AND u >= 0 AND u <= 1),
         pts AS (
-          SELECT DISTINCT aid, bid, x, y FROM (
+          SELECT DISTINCT aid, bid, comp, x, y FROM (
             SELECT * FROM va UNION ALL SELECT * FROM vb
             UNION ALL SELECT * FROM vx) u),
         c AS (
-          SELECT aid, bid, AVG(x) AS cx, AVG(y) AS cy
-          FROM pts GROUP BY aid, bid HAVING COUNT(*) >= 3),
+          SELECT aid, bid, comp, AVG(x) AS cx, AVG(y) AS cy
+          FROM pts GROUP BY aid, bid, comp HAVING COUNT(*) >= 3),
         o AS (
-          SELECT p.aid, p.bid, p.x, p.y,
+          SELECT p.aid, p.bid, p.comp, p.x, p.y,
                  ROW_NUMBER() OVER w AS rn
           FROM pts p JOIN c ON p.aid = c.aid AND p.bid = c.bid
-          WINDOW w AS (PARTITION BY p.aid, p.bid
+                            AND p.comp = c.comp
+          WINDOW w AS (PARTITION BY p.aid, p.bid, p.comp
                        ORDER BY ATAN2(p.y - c.cy, p.x - c.cx), p.x, p.y)),
         eo AS (
-          SELECT aid, bid, x, y,
+          SELECT aid, bid, comp, x, y,
                  COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w) AS nx,
                  COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w) AS ny
-          FROM o WINDOW w AS (PARTITION BY aid, bid ORDER BY rn)),
+          FROM o WINDOW w AS (PARTITION BY aid, bid, comp ORDER BY rn)),
+        iac AS (
+          SELECT aid, bid, comp,
+                 ABS(SUM(x * ny - nx * y)) / 2e0 AS inter_c
+          FROM eo GROUP BY aid, bid, comp),
+        sgns AS (SELECT DISTINCT bid, comp, sgn FROM be),
         ia AS (
-          SELECT aid, bid, ABS(SUM(x * ny - nx * y)) / 2e0 AS inter_a
-          FROM eo GROUP BY aid, bid),
+          SELECT aid, iac.bid, SUM(sgns.sgn * inter_c) AS inter_a
+          FROM iac JOIN sgns ON sgns.bid = iac.bid
+                            AND sgns.comp = iac.comp
+          GROUP BY aid, iac.bid),
         aaq AS (SELECT aid, ABS(SUM(x1 * y2 - x2 * y1)) / 2e0 AS aa
                 FROM ae GROUP BY aid),
-        abq AS (SELECT bid, ABS(SUM(x1 * y2 - x2 * y1)) / 2e0 AS ab
-                FROM be GROUP BY bid)
+        abc AS (SELECT bid, comp,
+                       MAX(sgn) * ABS(SUM(x1 * y2 - x2 * y1)) / 2e0 AS sca
+                FROM be GROUP BY bid, comp),
+        abq AS (SELECT bid, SUM(sca) AS ab FROM abc GROUP BY bid)
         SELECT ia.aid AS a_id, ia.bid AS b_id,
                CAST(ROUND(inter_a * 100) AS BIGINT) AS inter_q2,
                CAST(ROUND((aa + ab - inter_a) * 100) AS BIGINT) AS union_q2,

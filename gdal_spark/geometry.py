@@ -432,7 +432,12 @@ def split_poly_convex(
             continue
         # outside of left(a→b) == left of the reversed line b→a
         piece = clip_poly_halfplane(remaining, b[0], b[1], a[0], a[1])
-        if len(piece) >= 3:
+        # a zero-area sliver is not a piece — and downstream it would
+        # act as a DEGENERATE clip window (no constraining halfplanes
+        # → clips to the whole subject), double-counting area
+        if len(piece) >= 3 and abs(
+            ring_area(np.vstack([piece, piece[:1]]))
+        ) > 0.0:
             outside.append(piece)
         remaining = clip_poly_halfplane(remaining, a[0], a[1], b[0], b[1])
     return remaining, outside

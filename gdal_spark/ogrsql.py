@@ -389,8 +389,10 @@ def _compile(ast, strict_fields: set | None = None):
     if kind == "not":
         return ~_compile(ast[1], strict_fields)
     if kind == "in":
+        # compile every list element — column refs / arithmetic in the
+        # IN list are legal expressions, not bare literals
         return _compile(ast[1], strict_fields).isin(
-            *[a[1] for a in ast[2]]
+            *[_compile(a, strict_fields) for a in ast[2]]
         )
     if kind == "between":
         e = _compile(ast[1], strict_fields)
@@ -469,9 +471,11 @@ def execute(
         tables = spark_or_tables  # allow execute(tables, sql)
     sel = _Parser(_tokenize(sql)).parse_select()
     out = _run_select(sel, tables)
-    if sel.union is not None:
-        right = _run_select(sel.union, tables)
-        out = out.unionByName(right, allowMissingColumns=False)
+    # walk the whole UNION ALL chain (swq_parser.y:840 allows repeats)
+    while sel.union is not None:
+        sel = sel.union
+        out = out.unionByName(_run_select(sel, tables),
+                              allowMissingColumns=False)
     return out
 
 
@@ -595,25 +599,12 @@ def _run_select(sel: _Sel, tables: dict[str, DataFrame]) -> DataFrame:
             sort_cols.append(c.asc() if asc else c.desc())
         df = df.orderBy(*sort_cols)
 
-    if sel.offset and sel.limit is not None:
-        from pyspark.sql.window import Window
-
+    if sel.offset:
         if not sel.order:
             raise ValueError("OGR SQL: OFFSET needs ORDER BY")
-        w = Window.orderBy(
-            *[
-                (_compile(a).asc() if asc else _compile(a).desc())
-                for a, asc in sel.order
-            ]
-        )
-        df = (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(
-                (F.col("__rn") > sel.offset)
-                & (F.col("__rn") <= sel.offset + sel.limit)
-            )
-            .drop("__rn")
-        )
-    elif sel.limit is not None:
+        # DataFrame.offset (Spark >= 3.4) plans GlobalLimit/Offset over
+        # the existing sort — no single-partition row_number window
+        df = df.offset(sel.offset)
+    if sel.limit is not None:
         df = df.limit(sel.limit)
     return df

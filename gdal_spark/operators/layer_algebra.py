@@ -36,12 +36,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import geometry, wkb
+from ..strtree import STRtree
 
 PIECE_SCHEMA = "a_id long, b_id long, piece_wkb binary, area double"
 
 
 def _b_rings(b_pdf: pd.DataFrame, id_col: str = "poly_id"):
-    """Decode the broadcast side once: [(b_id, open_ring, bbox)]."""
+    """Decode the broadcast side once: [(b_id, open_ring, bbox)] —
+    FIRST outer ring only (predicate_pairs' single-ring contract)."""
     out = []
     for pid, buf in zip(b_pdf[id_col], b_pdf["geom_wkb"]):
         ring = wkb.polygon_rings(bytes(buf))[0][0]
@@ -51,18 +53,70 @@ def _b_rings(b_pdf: pd.DataFrame, id_col: str = "poly_id"):
     return out
 
 
-def _b_pieces(b_pdf: pd.DataFrame, id_col: str = "poly_id"):
-    """Broadcast side as CONVEX clip pieces: a convex ring stays one
-    piece; a concave ring ear-triangulates into disjoint triangles
-    (exact piece-sum algebra either way)."""
-    out = []
-    for pid, ring, bb in _b_rings(b_pdf, id_col):
-        if geometry.ring_is_convex(ring):
-            pieces = [ring]
+def _decompose_full(buf: bytes):
+    """Full (multi)polygon WKB → (simple_pieces, convex_pieces, bbox,
+    area): simple_pieces are disjoint hole-free rings tiling
+    (outer − holes) over every part; convex_pieces further split the
+    concave ones for use as Sutherland-Hodgman clip windows. Piece
+    areas sum exactly to the polygon area either way."""
+    simple: list[np.ndarray] = []
+    bb = None
+    for outer, holes in _subject_parts(buf):
+        pieces = (
+            geometry.erase_poly_simple(outer, holes) if holes else [outer]
+        )
+        simple.extend(
+            p for p in pieces
+            if len(p) >= 3
+            and abs(geometry.ring_area(np.vstack([p, p[:1]]))) > 0.0
+        )
+        ob = geometry.ring_bbox(outer)
+        bb = ob if bb is None else (
+            min(bb[0], ob[0]), min(bb[1], ob[1]),
+            max(bb[2], ob[2]), max(bb[3], ob[3]),
+        )
+    convex: list[np.ndarray] = []
+    for r in simple:
+        if geometry.ring_is_convex(r):
+            convex.append(r)
         else:
-            pieces = geometry.ear_triangulate(ring)
-        out.append((pid, pieces, bb))
-    return out
+            convex.extend(geometry.ear_triangulate(r))
+    area = geometry.pieces_area(simple)
+    return simple, convex, bb, area
+
+
+class _BSet:
+    """Broadcast payload for the method (B) layer: full geometries —
+    holes and multiparts included (the r02 gap: only the first outer
+    ring was decoded, so donut B's clipped as if solid; reference
+    handles arbitrary geometries via GEOS, ogr/ogrlayer.cpp:3489-3503)
+    — indexed by an STR-packed bbox R-tree so per-A candidate lookup
+    is O(log |B|), not a linear scan (reference analog: per-feature
+    spatial-index pushdown, ogrlayer.cpp:3427)."""
+
+    def __init__(self, b_pdf: pd.DataFrame, id_col: str = "poly_id"):
+        self.ids: list[int] = []
+        self.simple: list[list[np.ndarray]] = []
+        self.convex: list[list[np.ndarray]] = []
+        self.wkbs: list[bytes] = []
+        self.areas: list[float] = []
+        boxes = []
+        for pid, buf in zip(b_pdf[id_col], b_pdf["geom_wkb"]):
+            s, c, bb, area = _decompose_full(bytes(buf))
+            if bb is None:
+                continue
+            self.ids.append(int(pid))
+            self.simple.append(s)
+            self.convex.append(c)
+            self.wkbs.append(bytes(buf))
+            self.areas.append(area)
+            boxes.append(bb)
+        self.boxes = np.array(boxes, dtype=np.float64).reshape(-1, 4)
+        self.tree = STRtree(self.boxes)
+
+    def candidates(self, bb) -> np.ndarray:
+        """Indices of B features whose bbox meets ``bb``."""
+        return self.tree.query(bb[0], bb[1], bb[2], bb[3])
 
 
 def _subject_parts(buf: bytes):
@@ -116,11 +170,14 @@ def intersection_pieces(
     """A ∩ B per overlapping pair → (a_id, b_id, piece_wkb, area).
 
     OGRLayer::Intersection / Clip geometry path (Clip keeps only A's
-    attributes — same rows, caller drops b_id). Concave B rings
-    ear-triangulate at broadcast build: a pair's intersection then
-    emits one row per disjoint piece (areas sum exactly)."""
+    attributes — same rows, caller drops b_id). B geometries are full:
+    concave rings, holes, and multiparts all decompose to disjoint
+    convex clip pieces at broadcast build — a pair's intersection
+    emits one row per disjoint piece (areas sum exactly), and a donut
+    B's hole interiors are correctly excluded. Candidate B's come from
+    the broadcast STRtree (O(log |B|) per A part)."""
     spark = a_df.sparkSession
-    brc = spark.sparkContext.broadcast(_b_pieces(b_pdf, b_id_col))
+    brc = spark.sparkContext.broadcast(_BSet(b_pdf, b_id_col))
 
     def run(batches):
         bset = brc.value
@@ -128,13 +185,12 @@ def intersection_pieces(
             rows = []
             for aid, buf in zip(pdf[id_col], pdf["geom_wkb"]):
                 for outer, holes in _subject_parts(buf):
-                    ax0, ay0, ax1, ay1 = geometry.ring_bbox(outer)
-                    for bid, bpieces, (bx0, by0, bx1, by1) in bset:
-                        if (bx1 < ax0 or bx0 > ax1
-                                or by1 < ay0 or by0 > ay1):
-                            continue  # envelope pretest (:3427)
-                        inters = _clip_part(outer, holes, bpieces)
-                        for row in _piece_rows(int(aid), bid, inters):
+                    bb = geometry.ring_bbox(outer)
+                    for bi in bset.candidates(bb):
+                        inters = _clip_part(outer, holes, bset.convex[bi])
+                        for row in _piece_rows(
+                            int(aid), bset.ids[bi], inters
+                        ):
                             if row[3] > min_area:
                                 rows.append(row)
             yield pd.DataFrame(
@@ -151,11 +207,13 @@ def erase_pieces(
     b_id_col: str = "poly_id",
 ) -> DataFrame:
     """A \\ union(B) as disjoint pieces → (a_id, b_id = -1, piece_wkb,
-    area). Correct for overlapping AND concave B's (clips decompose to
-    convex pieces; sequential subtraction keeps the piece set
-    disjoint). OGRLayer::Erase geometry path."""
+    area). Correct for overlapping, concave, HOLED and multi-part B's:
+    every B decomposes to disjoint convex pieces of (outer − holes),
+    so a donut B's hole interiors are NOT erased from A; sequential
+    piece subtraction keeps the result disjoint. OGRLayer::Erase
+    geometry path."""
     spark = a_df.sparkSession
-    brc = spark.sparkContext.broadcast(_b_pieces(b_pdf, b_id_col))
+    brc = spark.sparkContext.broadcast(_BSet(b_pdf, b_id_col))
 
     def run(batches):
         bset = brc.value
@@ -163,13 +221,11 @@ def erase_pieces(
             rows = []
             for aid, buf in zip(pdf[id_col], pdf["geom_wkb"]):
                 for outer, holes in _subject_parts(buf):
-                    ax0, ay0, ax1, ay1 = geometry.ring_bbox(outer)
+                    bb = geometry.ring_bbox(outer)
                     clips = [
                         bp
-                        for _, bpieces, (bx0, by0, bx1, by1) in bset
-                        if not (bx1 < ax0 or bx0 > ax1
-                                or by1 < ay0 or by0 > ay1)
-                        for bp in bpieces
+                        for bi in bset.candidates(bb)
+                        for bp in bset.convex[bi]
                     ]
                     # subject holes subtract exactly like clips
                     pieces = geometry.erase_poly_simple(
@@ -195,10 +251,13 @@ def erase_b_pieces(
     area) — the flipped residue needed by Union/SymDifference.
 
     Distribution: each A row emits (b_id, its ring) for every B whose
-    bbox it meets; a groupBy(b_id) task subtracts that B's candidate
-    A's sequentially. A's ring ships only to the B's it can affect."""
+    bbox it meets (STRtree lookup); a groupBy(b_id) task subtracts
+    that B's candidate A's sequentially from each of B's disjoint
+    simple pieces — so holed/multi-part B subjects subtract exactly
+    (hole area never counted, every part processed). A's ring ships
+    only to the B's it can affect."""
     spark = a_df.sparkSession
-    bset = _b_rings(b_pdf, b_id_col)
+    bset = _BSet(b_pdf, b_id_col)
     brc = spark.sparkContext.broadcast(bset)
 
     def emit(batches):
@@ -214,20 +273,26 @@ def erase_b_pieces(
                         if holes else [outer]
                     )
                     for ring in pieces:
-                        ax0, ay0, ax1, ay1 = geometry.ring_bbox(ring)
-                        for bid, _, (bx0, by0, bx1, by1) in bs:
-                            if (bx1 < ax0 or bx0 > ax1
-                                    or by1 < ay0 or by0 > ay1):
-                                continue
+                        bb = geometry.ring_bbox(ring)
+                        for bi in bs.candidates(bb):
                             rows.append(
-                                (bid, np.ascontiguousarray(ring).tobytes())
+                                (bs.ids[bi],
+                                 np.ascontiguousarray(ring).tobytes())
                             )
             yield pd.DataFrame(rows, columns=["b_id", "a_ring"])
 
+    # the candidate set feeds TWO jobs (the touched-ids collect below
+    # runs now; the groupBy subtraction runs when the caller acts):
+    # persist so a nondeterministic A source cannot make the whole-B
+    # passthrough set inconsistent with the subtracted set. Stays
+    # cached until the session drops it — the returned plan still
+    # reads it, so there is no safe earlier unpersist point.
     cands = a_df.select("geom_wkb").mapInPandas(
         emit, "b_id long, a_ring binary"
-    )
-    ring_by_bid = {bid: bring for bid, bring, _ in bset}
+    ).persist()
+    subject_by_bid = {
+        bid: pieces for bid, pieces in zip(bset.ids, bset.simple)
+    }
 
     def subtract(pdf: pd.DataFrame) -> pd.DataFrame:
         bid = int(pdf["b_id"].iloc[0])
@@ -235,22 +300,27 @@ def erase_b_pieces(
             np.frombuffer(rb, dtype=np.float64).reshape(-1, 2)
             for rb in pdf["a_ring"]
         ]
-        # erase_poly_simple: concave A rings decompose to triangles
-        pieces = geometry.erase_poly_simple(ring_by_bid[bid], clips)
+        # subtract from every disjoint simple piece of B (full
+        # geometry); erase_poly_simple triangulates concave A rings
+        pieces = [
+            out
+            for subj in subject_by_bid[bid]
+            for out in geometry.erase_poly_simple(subj, clips)
+        ]
         return pd.DataFrame(
             _piece_rows(-1, bid, pieces),
             columns=["a_id", "b_id", "piece_wkb", "area"],
         )
 
     touched = cands.groupBy("b_id").applyInPandas(subtract, PIECE_SCHEMA)
-    # B's untouched by any A pass through whole
+    # B's untouched by any A pass through whole — ORIGINAL geometry
+    # (holes and all parts intact), exact (outer − holes) area
     touched_ids = {
         int(r.b_id) for r in cands.select("b_id").distinct().collect()
     }
     whole = [
-        (-1, bid, wkb.polygon([np.vstack([r, r[:1]])]),
-         abs(geometry.ring_area(np.vstack([r, r[:1]]))))
-        for bid, r, _ in bset
+        (-1, bid, bw, area)
+        for bid, bw, area in zip(bset.ids, bset.wkbs, bset.areas)
         if bid not in touched_ids
     ]
     if whole:
@@ -286,17 +356,16 @@ def sym_difference_pieces(a_df, b_pdf, **kw) -> DataFrame:
 
 
 def update_pieces(a_df, b_pdf, **kw) -> DataFrame:
-    """Update(A, B): A\\B pieces plus B originals (ogr/ogrlayer.cpp
-    :5148)."""
+    """Update(A, B): A\\B pieces plus B originals — full geometry
+    (holes/multiparts intact), exact (outer − holes) area
+    (ogr/ogrlayer.cpp:5148)."""
     spark = a_df.sparkSession
     b_id_col = kw.get("b_id_col", "poly_id")
-    rows = []
-    for bid, ring, _ in _b_rings(b_pdf, b_id_col):
-        closed = np.vstack([ring, ring[:1]])
-        rows.append(
-            (-1, bid, wkb.polygon([closed]),
-             abs(geometry.ring_area(closed)))
-        )
+    bset = _BSet(b_pdf, b_id_col)
+    rows = [
+        (-1, bid, bw, area)
+        for bid, bw, area in zip(bset.ids, bset.wkbs, bset.areas)
+    ]
     b_df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["a_id", "b_id", "piece_wkb", "area"])
     )
@@ -323,6 +392,9 @@ def predicate_pairs(
         f"{c} long" for c in cols
     )
 
+    # predicate vector of a bbox-disjoint pair — no kernel needed
+    disjoint_row = tuple(int(p == "disjoint") for p in preds)
+
     def run(batches):
         bset = brc.value
         for pdf in batches:
@@ -331,7 +403,15 @@ def predicate_pairs(
                 ring = geometry._open_ring(
                     wkb.polygon_rings(bytes(buf))[0][0]
                 )
-                for bid, bring, _ in bset:
+                ax0, ay0, ax1, ay1 = geometry.ring_bbox(ring)
+                for bid, bring, (bx0, by0, bx1, by1) in bset:
+                    # envelope pretest (ogrlayer.cpp:3427): the full
+                    # matrix still emits, but disjoint-bbox pairs skip
+                    # the clip/contact kernels entirely
+                    if (bx1 < ax0 or bx0 > ax1
+                            or by1 < ay0 or by0 > ay1):
+                        rows.append((int(aid), bid, *disjoint_row))
+                        continue
                     d = geometry.polygon_pair_predicates(ring, bring)
                     rows.append(
                         (int(aid), bid, *[int(d[p]) for p in preds])

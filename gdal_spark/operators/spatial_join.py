@@ -56,27 +56,58 @@ def broadcast_polygon_rings(spark: SparkSession, polygons_pdf: pd.DataFrame):
     return spark.sparkContext.broadcast(rings)
 
 
+def _pip_kernel(
+    lon_np: np.ndarray,
+    lat_np: np.ndarray,
+    pid_np: np.ndarray,
+    full_np: np.ndarray,
+    rings_by_pid: dict,
+    boundary_is_inside: bool,
+) -> np.ndarray:
+    """Vectorized PIP with the full-cover shortcut INSIDE the kernel:
+    rows whose cover cell lies fully inside the polygon are accepted
+    by a mask copy and never reach the ray-cast (nor the ring
+    lookup). Catalyst extracts Python UDFs and evaluates them on
+    every row regardless of surrounding CASE WHEN (the r02 finding:
+    `Filter CASE WHEN full THEN true ELSE pythonUDF0 END` still ran
+    the UDF on 100% of candidates), so the masking must happen here
+    — the prepared-geometry-Contains analog, ogrlayer.cpp:3489-3503."""
+    out = np.zeros(len(lon_np), dtype=bool)
+    out[full_np] = True
+    need = np.nonzero(~full_np)[0]
+    if need.size == 0:
+        return out
+    pid_need = pid_np[need]
+    for pid in np.unique(pid_need):
+        m = need[pid_need == pid]
+        px, py = lon_np[m], lat_np[m]
+        inside = np.zeros(px.shape, dtype=bool)
+        for part in rings_by_pid[int(pid)]:  # multipolygon = any part
+            inside |= geometry.points_in_polygon(
+                px, py, part, boundary_is_inside=boundary_is_inside
+            )
+        out[m] = inside
+    return out
+
+
 def _pip_udf(rings_bc, boundary_is_inside: bool):
-    """Vectorized pandas UDF: (lon, lat, poly_id) → bool."""
+    """Vectorized pandas UDF: (lon, lat, poly_id, full) → bool."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
-    def pip(lon: pd.Series, lat: pd.Series, poly_id: pd.Series) -> pd.Series:
-        out = np.zeros(len(lon), dtype=bool)
-        lon_np = lon.to_numpy(dtype=np.float64)
-        lat_np = lat.to_numpy(dtype=np.float64)
-        pid_np = poly_id.to_numpy(dtype=np.int64)
-        rings_by_pid = rings_bc.value
-        for pid in np.unique(pid_np):
-            m = pid_np == pid
-            px, py = lon_np[m], lat_np[m]
-            inside = np.zeros(px.shape, dtype=bool)
-            for part in rings_by_pid[int(pid)]:  # multipolygon = any part
-                inside |= geometry.points_in_polygon(
-                    px, py, part, boundary_is_inside=boundary_is_inside
-                )
-            out[m] = inside
-        return pd.Series(out)
+    def pip(
+        lon: pd.Series, lat: pd.Series, poly_id: pd.Series, full: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            _pip_kernel(
+                lon.to_numpy(dtype=np.float64),
+                lat.to_numpy(dtype=np.float64),
+                poly_id.to_numpy(dtype=np.int64),
+                full.to_numpy(dtype=bool),
+                rings_bc.value,
+                boundary_is_inside,
+            )
+        )
 
     return pip
 
@@ -119,20 +150,20 @@ def spatial_join(
 
     cand = pts.join(F.broadcast(cover_df), "cell_id", "inner")
 
-    # single pass: full-cover pairs accept outright; boundary-cell
-    # pairs go through the exact PIP UDF. One plan, no union — the
-    # upstream (scan/extract) executes exactly once. (An earlier
-    # two-branch union recomputed the whole upstream per branch.)
+    # single pass: one plan, no union — the upstream (scan/extract)
+    # executes exactly once. ``full`` rides INTO the UDF as a mask
+    # argument: full-cover pairs resolve to a vectorized copy inside
+    # the kernel (the interior bulk at scale pays Arrow transfer but
+    # zero ray-cast work), boundary pairs get the exact test.
     pip = _pip_udf(rings_bc, boundary_is_inside)
     return (
-        cand.withColumn(
-            "__in",
-            F.when(F.col("full"), F.lit(True)).otherwise(
-                pip(F.col(lon_col), F.col(lat_col), F.col("poly_id"))
-            ),
+        cand.filter(
+            pip(
+                F.col(lon_col), F.col(lat_col),
+                F.col("poly_id"), F.col("full"),
+            )
         )
-        .filter(F.col("__in"))
-        .drop("cell_id", "res", "full", "__in")
+        .drop("cell_id", "res", "full")
     )
 
 

@@ -344,61 +344,122 @@ def warp_affine(
     dst_block: int = 32,
     src_tile_size: int = 64,
     bilinear_scale: int = 64,
+    transform=None,
 ) -> DataFrame:
-    """Affine warp src → dst grid, emitting (di, dj, val) dst pixels
+    """Warp src → dst grid, emitting (di, dj, val) dst pixels
     (val = nodata -1 outside src; bilinear values are
     round(bilinear_scale * v) for integer exactness).
+
+    ``transform=None`` is the pure-affine path; otherwise a picklable
+    ``transform(gx, gy) -> (X, Y)`` numpy callable reprojects DST
+    georef coords into SRC georef space per pixel — the general
+    OGRCoordinateTransformation warp (ogr/ogrct.cpp:2254; e.g.
+    proj.utm warp, the reference's own benchmark warp
+    autotest/benchmark/test_gdalwarp.py:31-80).
 
     Distribution: dst blocks enumerated JVM-side via spark.range (a
     100 TB raster has billions of blocks — never a driver Python
     list); each block's src-tile cover is four affine corner
-    expressions + a sequence() explode, then an equi-join ships
-    exactly the needed src tiles to each block's gather task
-    (CollectChunkList analog, alg/gdalwarpoperation.cpp:930).
+    expressions + a sequence() explode (affine path) or a 3×3
+    sampled-point bbox per block inside mapInPandas (transform path —
+    GDALSuggestedWarpOutput's edge-sampling analog,
+    alg/gdaltransformer.cpp), then an equi-join ships exactly the
+    needed src tiles to each block's gather task (CollectChunkList
+    analog, alg/gdalwarpoperation.cpp:930).
     """
     spark = src_tiles.sparkSession
     igt = raster.inv_gt(src_gt)
     nbx = (dst_w + dst_block - 1) // dst_block
     nby = (dst_h + dst_block - 1) // dst_block
-
-    i0 = (F.col("id") % nbx) * dst_block
-    j0 = F.expr(f"id DIV {nbx}") * dst_block
-    bw = F.least(F.lit(dst_block), F.lit(dst_w) - i0)
-    bh = F.least(F.lit(dst_block), F.lit(dst_h) - j0)
-
-    def src_xy(ci, cj):
-        gx = F.lit(dst_gt[0]) + ci * dst_gt[1] + cj * dst_gt[2]
-        gy = F.lit(dst_gt[3]) + ci * dst_gt[4] + cj * dst_gt[5]
-        return (
-            F.lit(igt[0]) + gx * igt[1] + gy * igt[2],
-            F.lit(igt[3]) + gx * igt[4] + gy * igt[5],
-        )
-
-    corners = [
-        src_xy(ci.cast("double"), cj.cast("double"))
-        for ci, cj in [
-            (i0, j0), (i0 + bw, j0), (i0, j0 + bh), (i0 + bw, j0 + bh)
-        ]
-    ]
     pad = 3.0 if method == "lanczos" else 2.0  # kernel support + safety
-    sx_lo = F.floor(F.least(*[c[0] for c in corners]) - pad).cast("long")
-    sx_hi = F.ceil(F.greatest(*[c[0] for c in corners]) + pad).cast("long")
-    sy_lo = F.floor(F.least(*[c[1] for c in corners]) - pad).cast("long")
-    sy_hi = F.ceil(F.greatest(*[c[1] for c in corners]) + pad).cast("long")
 
-    blocks = (
-        spark.range(nbx * nby)
-        .select(
-            i0.alias("i0"), j0.alias("j0"), bw.alias("bw"), bh.alias("bh"),
-            F.greatest(sx_lo, F.lit(0)).alias("sx0"),
-            F.least(sx_hi, F.lit(src_w - 1)).alias("sx1"),
-            F.greatest(sy_lo, F.lit(0)).alias("sy0"),
-            F.least(sy_hi, F.lit(src_h - 1)).alias("sy1"),
+    if transform is None:
+        i0 = (F.col("id") % nbx) * dst_block
+        j0 = F.expr(f"id DIV {nbx}") * dst_block
+        bw = F.least(F.lit(dst_block), F.lit(dst_w) - i0)
+        bh = F.least(F.lit(dst_block), F.lit(dst_h) - j0)
+
+        def src_xy(ci, cj):
+            gx = F.lit(dst_gt[0]) + ci * dst_gt[1] + cj * dst_gt[2]
+            gy = F.lit(dst_gt[3]) + ci * dst_gt[4] + cj * dst_gt[5]
+            return (
+                F.lit(igt[0]) + gx * igt[1] + gy * igt[2],
+                F.lit(igt[3]) + gx * igt[4] + gy * igt[5],
+            )
+
+        corners = [
+            src_xy(ci.cast("double"), cj.cast("double"))
+            for ci, cj in [
+                (i0, j0), (i0 + bw, j0), (i0, j0 + bh), (i0 + bw, j0 + bh)
+            ]
+        ]
+        sx_lo = F.floor(F.least(*[c[0] for c in corners]) - pad).cast("long")
+        sx_hi = F.ceil(F.greatest(*[c[0] for c in corners]) + pad).cast("long")
+        sy_lo = F.floor(F.least(*[c[1] for c in corners]) - pad).cast("long")
+        sy_hi = F.ceil(F.greatest(*[c[1] for c in corners]) + pad).cast("long")
+
+        blocks = (
+            spark.range(nbx * nby)
+            .select(
+                i0.alias("i0"), j0.alias("j0"),
+                bw.alias("bw"), bh.alias("bh"),
+                F.greatest(sx_lo, F.lit(0)).alias("sx0"),
+                F.least(sx_hi, F.lit(src_w - 1)).alias("sx1"),
+                F.greatest(sy_lo, F.lit(0)).alias("sy0"),
+                F.least(sy_hi, F.lit(src_h - 1)).alias("sy1"),
+            )
         )
-        .filter(
-            (F.col("sx1") >= 0) & (F.col("sy1") >= 0)
-            & (F.col("sx0") <= src_w - 1) & (F.col("sy0") <= src_h - 1)
+    else:
+        _tf = transform
+
+        def block_bounds(batches):
+            for pdf in batches:
+                rows = []
+                for bid in pdf["id"].to_numpy():
+                    bi0 = int(bid % nbx) * dst_block
+                    bj0 = int(bid // nbx) * dst_block
+                    bbw = min(dst_block, dst_w - bi0)
+                    bbh = min(dst_block, dst_h - bj0)
+                    gi = bi0 + np.array([0.0, bbw / 2.0, float(bbw)])
+                    gj = bj0 + np.array([0.0, bbh / 2.0, float(bbh)])
+                    GI, GJ = np.meshgrid(gi, gj)
+                    gx = dst_gt[0] + GI * dst_gt[1] + GJ * dst_gt[2]
+                    gy = dst_gt[3] + GI * dst_gt[4] + GJ * dst_gt[5]
+                    X, Y = _tf(gx, gy)
+                    sx = igt[0] + X * igt[1] + Y * igt[2]
+                    sy = igt[3] + X * igt[4] + Y * igt[5]
+                    rows.append((
+                        bi0, bj0, bbw, bbh,
+                        int(np.floor(sx.min() - pad)),
+                        int(np.ceil(sx.max() + pad)),
+                        int(np.floor(sy.min() - pad)),
+                        int(np.ceil(sy.max() + pad)),
+                    ))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["i0", "j0", "bw", "bh",
+                             "sx0", "sx1", "sy0", "sy1"],
+                )
+
+        blocks = (
+            spark.range(0, nbx * nby, 1, min(nbx * nby, 32))
+            .mapInPandas(
+                block_bounds,
+                "i0 long, j0 long, bw long, bh long, "
+                "sx0 long, sx1 long, sy0 long, sy1 long",
+            )
+            .select(
+                "i0", "j0", "bw", "bh",
+                F.greatest(F.col("sx0"), F.lit(0)).alias("sx0"),
+                F.least(F.col("sx1"), F.lit(src_w - 1)).alias("sx1"),
+                F.greatest(F.col("sy0"), F.lit(0)).alias("sy0"),
+                F.least(F.col("sy1"), F.lit(src_h - 1)).alias("sy1"),
+            )
         )
+
+    blocks = blocks.filter(
+        (F.col("sx1") >= 0) & (F.col("sy1") >= 0)
+        & (F.col("sx0") <= src_w - 1) & (F.col("sy0") <= src_h - 1)
     )
     ts_ = src_tile_size
     pairs_df = (
@@ -447,7 +508,18 @@ def warp_affine(
             arr = _tile_array(int(row["w"]), int(row["h"]), row["data"])
             win[oy : oy + ts, ox : ox + ts] = arr
             valid[oy : oy + ts, ox : ox + ts] = True
-        sx, sy = raster.dst_to_src_coords(dst_gt, src_gt, bw, bh, i0, j0)
+        if transform is None:
+            sx, sy = raster.dst_to_src_coords(
+                dst_gt, src_gt, bw, bh, i0, j0
+            )
+        else:
+            di = i0 + np.arange(bw, dtype=np.float64)[None, :] + 0.5
+            dj = j0 + np.arange(bh, dtype=np.float64)[:, None] + 0.5
+            gx, gy = raster.apply_gt(dst_gt, di, dj)
+            X, Y = transform(gx, gy)
+            igt_ = raster.inv_gt(src_gt)
+            sx = igt_[0] + X * igt_[1] + Y * igt_[2]
+            sy = igt_[3] + X * igt_[4] + Y * igt_[5]
         # shift to window coords; clip handled by kernels via window size
         sxw, syw = sx - wx0, sy - wy0
         wh_, ww_ = valid.shape
@@ -1483,27 +1555,13 @@ def sieve(tiles: DataFrame, threshold: int) -> DataFrame:
     tiles = tiles.persist()
     parts = _tile_parts(tiles).persist()
 
-    # 1. same-value cross-tile merge → root map (edges are O(tile
-    # perimeter), the only full collect in the operator)
-    parent: dict[tuple, tuple] = {}
-    find = _make_find(parent)
-    for r in _cross_tile_edges(parts, same_value_only=True).collect():
-        ra, rb = find((r.ta, r.la)), find((r.tb, r.lb))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    map_items = [
-        (int(k[0]), int(k[1]), int(v[0]), int(v[1]))
-        for k in list(parent)
-        for v in [find(k)]
-        if k != v
-    ]
-    map_df = spark.createDataFrame(
-        map_items or [], "tkey long, lab long, rtkey long, rlab long"
-    )
+    # 1. same-value cross-tile merge → root map, fully distributed
+    # (hash-min label propagation; no edge list on the driver)
+    map_df = _root_map_df(parts, same_value_only=True).persist()
 
     regions = parts.filter(F.col("kind") == "region")
     rooted = (
-        regions.join(F.broadcast(map_df), ["tkey", "lab"], "left")
+        regions.join(map_df, ["tkey", "lab"], "left")
         .withColumn("rtkey", F.coalesce("rtkey", "tkey"))
         .withColumn("rlab", F.coalesce("rlab", "lab"))
         .select("tkey", "lab", "rtkey", "rlab", "value", "n_pixels")
@@ -1533,8 +1591,8 @@ def sieve(tiles: DataFrame, threshold: int) -> DataFrame:
         F.col("rtkey").alias("rtb"), F.col("rlab").alias("rlb"),
     )
     redges = (
-        edges.join(F.broadcast(ma), ["ta", "la"], "left")
-        .join(F.broadcast(mb), ["tb", "lb"], "left")
+        edges.join(ma, ["ta", "la"], "left")
+        .join(mb, ["tb", "lb"], "left")
         .select(
             F.coalesce("rta", "ta").alias("at"),
             F.coalesce("rla", "la").alias("al"),
@@ -1809,6 +1867,128 @@ def _make_find(parent: dict):
     return find
 
 
+# (tkey, lab) packs into one long: lab < 2^20 (tiles ≤ 1024×1024
+# pixels → local label count < 2^20), tkey < 2^42 — fits int64.
+_LAB_PACK = 1 << 20
+
+
+def _cc_contract_pdf(batches):
+    """Per-partition union-find over whatever edges landed in this
+    task → (node, root) rows with root = partition-local min. O(batch)
+    memory per task, never the whole graph anywhere."""
+    for pdf in batches:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = set(pdf["a"]) | set(pdf["b"])
+        yield pd.DataFrame(
+            {"node": list(nodes), "root": [find(int(n)) for n in nodes]}
+        )
+
+
+def _root_map_df(
+    parts: DataFrame, same_value_only: bool, connectivity: int = 4,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Distributed connected components over the cross-tile region
+    graph → (tkey, lab, rtkey, rlab) rows for every region whose root
+    differs from itself. Replaces the former driver-side union-find
+    (the r02 scale-killer: border-region count ~ pixels/tile_size on
+    noisy rasters, so collecting the edge list is O(perimeter) driver
+    memory).
+
+    Algorithm: iterative distributed union-find CONTRACTION. Each
+    round runs a partition-local union-find inside mapInPandas (each
+    task sees only its hash-random slice of the edges), then rebuilds
+    the graph over the round's representatives: a node assigned
+    different local roots by different tasks yields a (root, root)
+    edge in the contracted graph. Components collapse by roughly the
+    partition count per round (hash mixing), so even path-shaped
+    region graphs (the hash-min worst case: rounds ~ graph diameter)
+    converge in O(log_P E) rounds — 2-3 in practice. The cumulative
+    node→representative map is itself a DataFrame, remapped per round;
+    the driver only sees an is-converged flag (no edge data). Model:
+    Kiveris et al., "Connected Components in MapReduce and Beyond"
+    (SoCC'14) — alternating contraction rounds."""
+    spark = parts.sparkSession
+    edges = _cross_tile_edges(parts, same_value_only, connectivity)
+    cur = edges.select(
+        (F.col("ta") * _LAB_PACK + F.col("la")).alias("a"),
+        (F.col("tb") * _LAB_PACK + F.col("lb")).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    # cumulative original-node → representative map
+    mapping = None
+    for _ in range(max_rounds):
+        # materialize the round's edge list once (distributed), so the
+        # emptiness probe and the contraction don't recompute it
+        cur = cur.localCheckpoint(eager=True)
+        if cur.isEmpty():
+            break
+        local = cur.mapInPandas(
+            _cc_contract_pdf, "node long, root long"
+        )
+        # global representative per node this round = min local root;
+        # extra local roots become contracted-graph edges
+        agg = local.groupBy("node").agg(
+            F.min("root").alias("gmin"),
+            F.collect_set("root").alias("roots"),
+        ).localCheckpoint(eager=True)
+        round_map = agg.select("node", F.col("gmin").alias("root"))
+        if mapping is None:
+            mapping = round_map
+        else:
+            # remap existing representatives through this round
+            mapping = (
+                mapping.join(
+                    round_map.select(
+                        F.col("node").alias("root"),
+                        F.col("root").alias("newroot"),
+                    ),
+                    "root",
+                    "left",
+                )
+                .select(
+                    "node",
+                    F.coalesce("newroot", "root").alias("root"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        cur = (
+            agg.select(
+                F.col("gmin").alias("a"),
+                F.explode("roots").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+    if mapping is None:
+        return spark.createDataFrame(
+            [], "tkey long, lab long, rtkey long, rlab long"
+        )
+    # unpack with integer ops only (doubles lose bits past 2^53)
+    return (
+        mapping.filter(F.col("root") != F.col("node"))
+        .select(
+            F.shiftright("node", 20).alias("tkey"),
+            (F.col("node") % _LAB_PACK).alias("lab"),
+            F.shiftright("root", 20).alias("rtkey"),
+            (F.col("root") % _LAB_PACK).alias("rlab"),
+        )
+    )
+
+
 def polygonize(
     tiles: DataFrame, nx: int | None = None, connectivity: int = 4
 ) -> DataFrame:
@@ -1819,40 +1999,18 @@ def polygonize(
     on border pixels only: every tile emits its edge pixels, adjacent
     pixels of equal value across a tile boundary become union edges,
     and the resulting component graph (size O(total perimeter), orders
-    of magnitude smaller than the raster) is union-found on the driver
-    and broadcast back for the final aggregation. Semantics match
+    of magnitude smaller than the raster) resolves to per-component
+    roots by DISTRIBUTED hash-min label propagation (_root_map_df) —
+    no edge ever reaches the driver. Semantics match
     alg/polygonize.cpp:73's scanline merge (4-connectedness).
     """
-    spark = tiles.sparkSession
     parts = _tile_parts(tiles, connectivity).persist()
-    edge_rows = _cross_tile_edges(
+    map_df = _root_map_df(
         parts, same_value_only=True, connectivity=connectivity
-    ).collect()
-    parent: dict[tuple, tuple] = {}
-    find = _make_find(parent)
-    for r in edge_rows:
-        ra, rb = find((r.ta, r.la)), find((r.tb, r.lb))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    root_map = {k: find(k) for k in list(parent)}
-    map_items = [
-        (int(k[0]), int(k[1]), int(v[0]), int(v[1]))
-        for k, v in root_map.items()
-        if k != v
-    ]
-    if map_items:
-        map_df = spark.createDataFrame(
-            map_items, "tkey long, lab long, rtkey long, rlab long"
-        )
-    else:
-        map_df = spark.createDataFrame(
-            [], "tkey long, lab long, rtkey long, rlab long"
-        )
-
+    )
     regions = parts.filter(F.col("kind") == "region")
     merged = (
-        regions.join(F.broadcast(map_df), ["tkey", "lab"], "left")
+        regions.join(map_df, ["tkey", "lab"], "left")
         .withColumn("rtkey", F.coalesce("rtkey", "tkey"))
         .withColumn("rlab", F.coalesce("rlab", "lab"))
         .groupBy("rtkey", "rlab")
@@ -1951,24 +2109,8 @@ def polygonize_rings(tiles: DataFrame, nodata: int | None = None) -> DataFrame:
     edges into rings (work = that region's perimeter). Shuffle volume
     = total boundary length, never area. ``nodata`` masks a value out
     entirely (GDALPolygonize's mask band)."""
-    spark = tiles.sparkSession
     parts = _tile_parts(tiles).persist()
-    edge_rows = _cross_tile_edges(parts, same_value_only=True).collect()
-    parent: dict[tuple, tuple] = {}
-    find = _make_find(parent)
-    for r in edge_rows:
-        ra, rb = find((r.ta, r.la)), find((r.tb, r.lb))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    map_items = [
-        (int(k[0]), int(k[1]), int(v[0]), int(v[1]))
-        for k in list(parent)
-        for v in [find(k)]
-        if k != v
-    ]
-    map_df = spark.createDataFrame(
-        map_items or [], "tkey long, lab long, rtkey long, rlab long"
-    )
+    map_df = _root_map_df(parts, same_value_only=True)
 
     # halo fill 255 = "outside the raster" sentinel (every boundary
     # edge against it is a real region edge); tile values must stay
@@ -2026,7 +2168,7 @@ def polygonize_rings(tiles: DataFrame, nodata: int | None = None) -> DataFrame:
     if nodata is not None:
         segs = segs.filter(F.col("value") != nodata)
     rooted = (
-        segs.join(F.broadcast(map_df), ["tkey", "lab"], "left")
+        segs.join(map_df, ["tkey", "lab"], "left")
         .withColumn("rtkey", F.coalesce("rtkey", "tkey"))
         .withColumn("rlab", F.coalesce("rlab", "lab"))
     )

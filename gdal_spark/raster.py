@@ -307,11 +307,13 @@ def lanczos_weights(t: np.ndarray, a: int = 3) -> list:
     ws = []
     for k in range(-a + 1, a + 1):
         x = t - k
+        sing = np.abs(x) < 1e-12
+        xd = np.where(sing, 1.0, x)  # masked denominator: no 0/0 warn
         w = np.where(
-            np.abs(x) < 1e-12,
+            sing,
             1.0,
             a * np.sin(np.pi * x) * np.sin(np.pi * x / a)
-            / (np.pi * np.pi * x * x),
+            / (np.pi * np.pi * xd * xd),
         )
         ws.append(np.where(np.abs(x) >= a, 0.0, w))
     total = np.sum(ws, axis=0)

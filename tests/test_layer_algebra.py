@@ -285,3 +285,109 @@ class TestHoledSubject:
         rows = erase_b_pieces(a_df, b_pdf).collect()
         # B area 36; A covers 36 - 16(hole) = 20 → residue = 16
         assert sum(r.area for r in rows) == pytest.approx(16.0)
+
+
+class TestHoledMethod:
+    """Method-side (B) holes and multiparts — the r02 gap: _b_pieces
+    decoded only B's first outer ring, so a donut B clipped as if
+    solid. Reference semantics: arbitrary geometries via GEOS
+    (ogr/ogrlayer.cpp:3489-3503); corpus autotest/ogr/
+    ogr_layer_algebra.py. All coords integral → exact areas."""
+
+    def _donut_b(self):
+        # B: outer (2,2)-(8,8) with hole (4,4)-(6,6) → area 36-4 = 32
+        return pd.DataFrame({
+            "poly_id": [0],
+            "geom_wkb": [wkb.polygon([sq(2, 2, 8, 8), sq(4, 4, 6, 6)])],
+        })
+
+    def _a_df(self, spark, x0, y0, x1, y1):
+        return spark.createDataFrame(pd.DataFrame({
+            "a_id": [0], "geom_wkb": [wkb.polygon([sq(x0, y0, x1, y1)])],
+        }))
+
+    def test_intersection_excludes_b_hole(self, spark):
+        from gdal_spark.operators.layer_algebra import intersection_pieces
+
+        out = intersection_pieces(
+            self._a_df(spark, 0, 0, 10, 10), self._donut_b(),
+        ).collect()
+        assert sum(r.area for r in out) == pytest.approx(32.0)
+
+    def test_erase_keeps_b_hole_interior(self, spark):
+        from gdal_spark.operators.layer_algebra import erase_pieces
+
+        # A \ donut keeps the 2x2 hole interior: 100 - 32 = 68
+        out = erase_pieces(
+            self._a_df(spark, 0, 0, 10, 10), self._donut_b(),
+        ).collect()
+        assert sum(r.area for r in out) == pytest.approx(68.0)
+
+    def test_partial_overlap_all_six_modes_conserve(self, spark):
+        from gdal_spark.operators import layer_algebra as la
+
+        # A = (0,0)-(5,5); B = donut. A∩B: outer∩A 9 − hole∩A 1 = 8
+        a_df = self._a_df(spark, 0, 0, 5, 5)
+        b = self._donut_b()
+        area_a, area_b, area_i = 25.0, 32.0, 8.0
+        inter = sum(r.area for r in la.intersection_pieces(a_df, b).collect())
+        assert inter == pytest.approx(area_i)
+        a_minus = sum(r.area for r in la.erase_pieces(a_df, b).collect())
+        assert a_minus == pytest.approx(area_a - area_i)
+        b_minus = sum(r.area for r in la.erase_b_pieces(a_df, b).collect())
+        assert b_minus == pytest.approx(area_b - area_i)
+        ident = sum(r.area for r in la.identity_pieces(a_df, b).collect())
+        assert ident == pytest.approx(area_a)
+        uni = sum(r.area for r in la.union_pieces(a_df, b).collect())
+        assert uni == pytest.approx(area_a + area_b - area_i)
+        sym = sum(r.area for r in la.sym_difference_pieces(a_df, b).collect())
+        assert sym == pytest.approx(area_a + area_b - 2 * area_i)
+        upd = sum(r.area for r in la.update_pieces(a_df, b).collect())
+        assert upd == pytest.approx((area_a - area_i) + area_b)
+
+    def test_untouched_donut_passes_through_with_hole_area(self, spark):
+        from gdal_spark.operators.layer_algebra import erase_b_pieces
+
+        # A far away: B\A must return B whole at its TRUE area (32,
+        # not the solid 36) with the original holed WKB
+        out = erase_b_pieces(
+            self._a_df(spark, 100, 100, 101, 101), self._donut_b(),
+        ).collect()
+        assert len(out) == 1
+        assert out[0].area == pytest.approx(32.0)
+        rings = wkb.polygon_rings(bytes(out[0].piece_wkb))
+        assert len(rings[0]) == 2  # outer + hole intact
+
+    def test_multipart_b(self, spark):
+        from gdal_spark.operators import layer_algebra as la
+
+        # B: two disjoint unit-4 squares as ONE multipolygon feature
+        b = pd.DataFrame({
+            "poly_id": [0],
+            "geom_wkb": [wkb.multipolygon([
+                [sq(1, 1, 3, 3)], [sq(6, 6, 8, 8)],
+            ])],
+        })
+        a_df = self._a_df(spark, 0, 0, 10, 10)
+        inter = sum(r.area for r in la.intersection_pieces(a_df, b).collect())
+        assert inter == pytest.approx(8.0)  # both parts, not just the first
+        a_minus = sum(r.area for r in la.erase_pieces(a_df, b).collect())
+        assert a_minus == pytest.approx(92.0)
+        b_minus = sum(r.area for r in la.erase_b_pieces(a_df, b).collect())
+        assert b_minus == pytest.approx(0.0)
+
+    def test_strtree_candidate_lookup_sublinear(self):
+        """The broadcast B index answers bbox probes from the STRtree
+        (not a linear scan): probe hits only the overlapping B."""
+        from gdal_spark.operators.layer_algebra import _BSet
+
+        n = 200
+        b = pd.DataFrame({
+            "poly_id": list(range(n)),
+            "geom_wkb": [
+                wkb.polygon([sq(3 * i, 0, 3 * i + 2, 2)]) for i in range(n)
+            ],
+        })
+        bset = _BSet(b)
+        hits = bset.candidates((3 * 7 + 0.5, 0.5, 3 * 7 + 1.0, 1.0))
+        assert [bset.ids[i] for i in hits] == [7]

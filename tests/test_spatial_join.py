@@ -118,3 +118,37 @@ def test_spatial_join_plan_is_broadcast(spark, pages_pdf, polygons):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_full_cover_rows_skip_raycast_kernel():
+    """The full-cover shortcut works INSIDE the UDF kernel (Catalyst
+    evaluates extracted Python UDFs on every row, so a CASE WHEN
+    around the UDF saves nothing — r02 finding). Proof: full rows
+    never touch the rings dict — a poison poly_id that would KeyError
+    on lookup sails through as True."""
+    import numpy as np
+
+    from gdal_spark.operators.spatial_join import _pip_kernel
+
+    lon = np.array([0.5, 99.0, 0.2])
+    lat = np.array([0.5, 99.0, 0.7])
+    ring = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+    rings = {7: [[ring]]}
+    # row 1 is full-cover with poly_id=999 (absent): must NOT raise
+    out = _pip_kernel(
+        lon, lat,
+        np.array([7, 999, 7]),
+        np.array([False, True, False]),
+        rings,
+        boundary_is_inside=False,
+    )
+    assert out.tolist() == [True, True, True]
+    # and all-full short-circuits entirely
+    out = _pip_kernel(
+        lon, lat,
+        np.array([999, 999, 999]),
+        np.array([True, True, True]),
+        rings,
+        boundary_is_inside=False,
+    )
+    assert out.tolist() == [True, True, True]

@@ -381,3 +381,38 @@ class TestPolygonizeRings:
         assert len(out) == 1
         assert out[0].n_holes == 2
         assert out[0].n_pixels == 62
+
+
+def test_distributed_root_map_long_snake_component(spark):
+    """The cross-tile merge is fully distributed (hash-min + pointer
+    jumping, no driver edge collect): a boustrophedon snake threading
+    every tile of a 16x16 tile grid forms ONE component whose
+    tile-graph diameter (~32 hops) exercises multi-round convergence;
+    the background forms a second serpentine component."""
+    n, ts = 128, 8
+    full = np.zeros((n, n), dtype=np.uint8)
+    for i, y in enumerate(range(0, n, 16)):
+        full[y, :] = 1
+        if y + 16 < n:
+            xcol = n - 1 if i % 2 == 0 else 0
+            full[y:y + 16, xcol] = 1
+    rows = []
+    for ty in range(n // ts):
+        for tx in range(n // ts):
+            rows.append(
+                (0, tx, ty, ts, ts,
+                 full[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+                 .tobytes())
+            )
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["z", "tx", "ty", "w", "h", "data"])
+    )
+    got = sorted(
+        (int(r["value"]), int(r["n_pixels"]))
+        for r in tiling.polygonize(tiles).collect()
+    )
+    expect = sorted(
+        (v, c) for v, c, *_ in _flood_fill_regions(full)
+    )
+    assert got == expect
+    assert len([g for g in got if g[0] == 1]) == 1  # one snake component
