@@ -759,6 +759,105 @@ def _warp_query(method: str):
     return run
 
 
+# --- UTM→4326 warp: the reference's own headline warp direction
+# (autotest/benchmark/test_gdalwarp.py:31-80). Source raster lives on
+# a UTM zone-32 grid; destination is a geographic (EPSG:4326) grid
+# whose per-pixel source position needs the FORWARD Krüger projection.
+# All dst-grid constants dyadic → exact in both engines; the dst
+# window sits strictly inside the src footprint so every pixel is
+# valid (no mask-boundary ambiguity in the oracle).
+_WUTM_ZONE = 32
+_WUTM_SRC_WH = 256
+_WUTM_SRC_GT = (487200.0, 100.0, 0.0, 5000000.0, 0.0, -100.0)
+_WUTM_DST_WH = 64
+_WUTM_DST_GT = (8.875, 0.00390625, 0.0, 45.046875, 0.0, -0.001953125)
+
+
+def _q_rs_warp_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-transform warp UTM 32N → EPSG:4326 (nearest): the
+    per-dst-pixel projection runs through proj.utm_forward inside the
+    distributed gather (ogr/ogrct.cpp:2254 composition; warp engine
+    alg/gdalwarpoperation.cpp)."""
+    from gdal_spark import proj
+    from gdal_spark.operators.tiling import formula_tiles, warp_affine
+
+    ts = 64
+    tiles = formula_tiles(
+        spark, _WUTM_SRC_WH // ts, _WUTM_SRC_WH // ts, ts
+    )
+    return warp_affine(
+        tiles, _WUTM_SRC_GT, _WUTM_SRC_WH, _WUTM_SRC_WH,
+        _WUTM_DST_GT, _WUTM_DST_WH, _WUTM_DST_WH,
+        method="nearest", dst_block=32, src_tile_size=ts,
+        transform=proj.UTMForwardTransform(_WUTM_ZONE),
+    )
+
+
+def _warp_utm_oracle_sql() -> str:
+    """Per dst pixel: exact dyadic lon/lat → forward Krüger series
+    (fixed zone 32, same CTE chain as sp_utm_transform) → src pixel
+    floor → formula value. Pixel-boundary floor slips would need the
+    transcendental E/N to land within ~1e-9 px of an integer edge —
+    far beyond the few-ulp libm spread."""
+    from gdal_spark import proj
+
+    c = proj.series_constants()
+    s2n, k0a = c["e"], c["k0a"]
+    a1, a2, a3, a4 = c["alpha"]
+    series_xi = " + ".join(
+        f"{cf!r} * SIN({2 * j}e0 * xip)"
+        f" * ((EXP({2 * j}e0 * etap) + EXP(-{2 * j}e0 * etap)) / 2e0)"
+        for j, cf in zip((1, 2, 3, 4), (a1, a2, a3, a4))
+    )
+    series_eta = " + ".join(
+        f"{cf!r} * COS({2 * j}e0 * xip)"
+        f" * ((EXP({2 * j}e0 * etap) - EXP(-{2 * j}e0 * etap)) / 2e0)"
+        for j, cf in zip((1, 2, 3, 4), (a1, a2, a3, a4))
+    )
+    g = _WUTM_DST_GT
+    sg = _WUTM_SRC_GT
+    return f"""
+        WITH dij AS (
+          SELECT di.i AS di, dj.j AS dj
+          FROM generate_series(0, {_WUTM_DST_WH - 1}) AS di(i)
+          CROSS JOIN generate_series(0, {_WUTM_DST_WH - 1}) AS dj(j)),
+        ll AS (
+          SELECT di, dj,
+                 {g[0]!r} + (di + 0.5e0) * {g[1]!r} AS lon,
+                 {g[3]!r} + (dj + 0.5e0) * {g[5]!r} AS lat
+          FROM dij),
+        pr AS (SELECT di, dj,
+                      RADIANS(LEAST(GREATEST(lat, -84e0), 84e0)) AS phi,
+                      RADIANS(lon - {_WUTM_ZONE * 6 - 183}) AS dlam
+               FROM ll),
+        s1 AS (SELECT *, SIN(phi) AS sphi FROM pr),
+        s2 AS (SELECT *,
+                      0.5e0 * LN((1e0 + sphi) / (1e0 - sphi))
+                      - {s2n!r} * (0.5e0 * LN((1e0 + {s2n!r} * sphi)
+                                              / (1e0 - {s2n!r} * sphi)))
+                        AS u FROM s1),
+        s3 AS (SELECT *, (EXP(u) - EXP(-u)) / 2e0 AS t FROM s2),
+        s4 AS (SELECT *, ATAN2(t, COS(dlam)) AS xip,
+                      0.5e0 * LN((1e0 + SIN(dlam) / SQRT(1e0 + t * t))
+                                 / (1e0 - SIN(dlam) / SQRT(1e0 + t * t)))
+                        AS etap FROM s3),
+        en AS (SELECT di, dj,
+                      500000e0 + {k0a!r} * (etap + {series_eta}) AS e,
+                      {k0a!r} * (xip + {series_xi}) AS n
+               FROM s4),
+        px AS (SELECT di, dj,
+                      CAST(FLOOR(({sg[0]!r} * -0.01e0)
+                                 + e * 0.01e0) AS BIGINT) AS ix,
+                      CAST(FLOOR(({sg[3]!r} * 0.01e0)
+                                 + n * -0.01e0) AS BIGINT) AS iy
+               FROM en)
+        SELECT di, dj,
+               CASE WHEN ix >= 0 AND ix < {_WUTM_SRC_WH}
+                     AND iy >= 0 AND iy < {_WUTM_SRC_WH}
+                    THEN (ix * 7 + iy * 13) % 251 ELSE -1 END AS val
+        FROM px"""
+
+
 _CONTOUR_N, _CONTOUR_TS, _CONTOUR_THR = 4, 64, 100
 # 0.5 deg/pixel: every inverse-geotransform coefficient is an exactly
 # representable double (2.0, 360.0, ...) — DuckDB's decimal-literal
@@ -1208,6 +1307,99 @@ def _contour_lines_oracle_sql() -> str:
                                    * 1000000e0 + 0.5) AS BIGINT))
                     AS BIGINT) AS len_q6
         FROM s WHERE x1 IS NOT NULL
+        GROUP BY level"""
+
+
+_CPOLY_LEVELS = (40, 100, 160, 220)
+
+
+def _q_rs_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contour POLYGON mode (gdal_contour -p, alg/contour.cpp +
+    marching_squares/polygon_ring_appender.h): interpolated area of
+    {surface >= level} per level, assembled from per-cell band
+    polygons; quantized per cell → summation-order-free exact."""
+    from gdal_spark.operators.tiling import (
+        contour_polygon_areas, formula_tiles,
+    )
+
+    n, ts = _CONTOUR_N, _CONTOUR_TS
+    tiles = formula_tiles(spark, n, n, ts)
+    return contour_polygon_areas(
+        tiles, n * ts, n * ts, list(_CPOLY_LEVELS)
+    )
+
+
+def _contour_polygons_oracle_sql() -> str:
+    """Per-cell band-polygon shoelace with the identical coordinate
+    and term expressions as the engine kernel (bit-for-bit doubles →
+    identical per-cell quantized areas)."""
+    from gdal_spark.operators.tiling import _BAND_CASES, _BAND_SADDLE
+
+    n = _CONTOUR_N * _CONTOUR_TS
+    levels = ", ".join(f"({lv})" for lv in _CPOLY_LEVELS)
+    E = {
+        "C0": ("CAST(x AS DOUBLE)", "CAST(y AS DOUBLE)"),
+        "C1": ("(x + 1e0)", "CAST(y AS DOUBLE)"),
+        "C2": ("(x + 1e0)", "(y + 1e0)"),
+        "C3": ("CAST(x AS DOUBLE)", "(y + 1e0)"),
+        "B": ("(x + (level - v00) / (v10 - v00))", "CAST(y AS DOUBLE)"),
+        "R": ("(x + 1e0)", "(y + (level - v10) / (v11 - v10))"),
+        "T": ("(x + (level - v01) / (v11 - v01))", "(y + 1e0)"),
+        "L": ("CAST(x AS DOUBLE)", "(y + (level - v00) / (v01 - v00))"),
+    }
+
+    def ring_q(ring):
+        terms = []
+        m = len(ring)
+        for i in range(m):
+            xi, yi = E[ring[i]]
+            xj, yj = E[ring[(i + 1) % m]]
+            terms.append(f"({xi} * {yj} - {xj} * {yi})")
+        s = " + ".join(terms)
+        return (
+            f"CAST(FLOOR(ABS({s}) * 0.5e0 * 1e8 + 0.5) AS BIGINT)"
+        )
+
+    whens = []
+    for c, rings in _BAND_CASES.items():
+        for slot, ring in enumerate(rings):
+            whens.append(
+                f"WHEN slot = {slot} AND cc = {c} THEN {ring_q(ring)}"
+            )
+    for (c, hi), rings in _BAND_SADDLE.items():
+        hc = "hi" if hi else "NOT hi"
+        for slot, ring in enumerate(rings):
+            whens.append(
+                f"WHEN slot = {slot} AND cc = {c} AND {hc}"
+                f" THEN {ring_q(ring)}"
+            )
+    area_case = "CASE " + " ".join(whens) + " ELSE NULL END"
+    bit = "CASE WHEN {v} >= level THEN 1 ELSE 0 END"
+    return f"""
+        WITH cl(level) AS (VALUES {levels}),
+        g AS (
+          SELECT CAST(a.x AS BIGINT) AS x, CAST(b.y AS BIGINT) AS y
+          FROM generate_series(0, {n - 2}) a(x)
+          CROSS JOIN generate_series(0, {n - 2}) b(y)),
+        c AS (
+          SELECT level, x, y,
+                 (x * 7 + y * 13) % 251 AS v00,
+                 ((x + 1) * 7 + y * 13) % 251 AS v10,
+                 ((x + 1) * 7 + (y + 1) * 13) % 251 AS v11,
+                 (x * 7 + (y + 1) * 13) % 251 AS v01
+          FROM g CROSS JOIN cl),
+        d AS (
+          SELECT *,
+                 {bit.format(v='v00')} + 2 * {bit.format(v='v10')}
+                 + 4 * {bit.format(v='v11')} + 8 * {bit.format(v='v01')}
+                   AS cc,
+                 (v00 + v10 + v11 + v01 >= 4 * level) AS hi
+          FROM c),
+        s AS (
+          SELECT level, {area_case} AS aq
+          FROM d CROSS JOIN (VALUES (0), (1)) sl(slot))
+        SELECT level, CAST(SUM(aq) AS BIGINT) AS area_q8
+        FROM s WHERE aq IS NOT NULL
         GROUP BY level"""
 
 
@@ -1891,6 +2083,74 @@ def _la_comp_edges_values() -> str:
     return ", ".join(vals)
 
 
+def _q_geo_layer_algebra_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer algebra at DataFrame × DataFrame scale: the SAME pair
+    areas as geo_layer_algebra, but with the method layer as a Spark
+    DataFrame run through intersection_join (cell-cover equi-join
+    prefilter → per-pair clip kernel; no driver-resident B, no cross
+    join) — OGRLayer::Intersection on two arbitrary layers
+    (ogr/ogrlayer.cpp:3345, :3450 filter pushdown)."""
+    from gdal_spark import geometry, wkb
+    from gdal_spark.operators.layer_algebra import intersection_join
+
+    a_pdf = _la_fixture(_LA_NA, 101, 8, 18)
+    a_df = spark.createDataFrame(
+        a_pdf[["poly_id", "geom_wkb"]].rename(columns={"poly_id": "a_id"})
+    )
+    b_df = spark.createDataFrame(
+        _la_fixture_b().rename(columns={"poly_id": "b_id"})
+    )
+    pieces = intersection_join(a_df, b_df, cell=32.0)
+    pair = pieces.groupBy("a_id", "b_id").agg(
+        F.sum("area").alias("inter")
+    )
+    aa = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a_id": a_pdf["poly_id"].astype("int64"),
+                "__area_a": [
+                    abs(
+                        geometry.ring_area(
+                            wkb.polygon_rings(bytes(b))[0][0]
+                        )
+                    )
+                    for b in a_pdf["geom_wkb"]
+                ],
+            }
+        )
+    )
+    b_area: dict[int, float] = {}
+    for bid, comp, sgn, ring in _la_b_components():
+        b_area[bid] = b_area.get(bid, 0.0) + sgn * abs(
+            geometry.ring_area(ring)
+        )
+    ab = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "b_id": sorted(b_area),
+                "__area_b": [b_area[k] for k in sorted(b_area)],
+            }
+        )
+    )
+    return (
+        pair.join(F.broadcast(aa), "a_id")
+        .join(F.broadcast(ab), "b_id")
+        .select(
+            "a_id", "b_id",
+            F.round(F.col("inter") * 100).cast("long").alias("inter_q2"),
+            F.round(
+                (F.col("__area_a") + F.col("__area_b")
+                 - F.col("inter")) * 100
+            ).cast("long").alias("union_q2"),
+            F.round(
+                (F.col("__area_a") + F.col("__area_b")
+                 - 2 * F.col("inter")) * 100
+            ).cast("long").alias("sym_q2"),
+        )
+        .filter(F.col("inter_q2") >= 1)
+    )
+
+
 def _layer_algebra_oracle_sql() -> str:
     """Convex∩convex intersection area in pure SQL, extended to holed
     and multipart method layers via SIGNED components: per (A, B
@@ -1982,6 +2242,403 @@ def _layer_algebra_oracle_sql() -> str:
         JOIN aaq ON aaq.aid = ia.aid
         JOIN abq ON abq.bid = ia.bid
         WHERE CAST(ROUND(inter_a * 100) AS BIGINT) >= 1"""
+
+
+# ---------------------------------------------------------------------------
+# UTM inverse transform (E, N, zone → lat/lon; Krüger inverse series)
+# ---------------------------------------------------------------------------
+
+
+def _q_sp_utm_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM → WGS84 inverse (the direction r02 lacked): synthetic
+    integer E/N per doc, proj.utm_inverse (β/δ series) vectorized in
+    mapInPandas; µ-degree quantization absorbs libm ulp spread
+    (ogr/ogrct.cpp:2254 inverse path)."""
+    from gdal_spark import proj
+
+    src = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (200000 + (F.col("doc_id") * 2654435761) % 600001).alias("e"),
+        ((F.col("doc_id") * 2246822519 + 7) % 9000001).alias("n"),
+        (1 + F.col("doc_id") % 60).alias("zone"),
+    )
+
+    def run(batches):
+        for b in batches:
+            lat, lon = proj.utm_inverse(
+                b["e"].to_numpy(dtype=np.float64),
+                b["n"].to_numpy(dtype=np.float64),
+                b["zone"].to_numpy(dtype=np.int64),
+                northern=True,
+            )
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "lat_q6": np.floor(lat * 1e6 + 0.5).astype(np.int64),
+                "lon_q6": np.floor(lon * 1e6 + 0.5).astype(np.int64),
+            })
+
+    return src.mapInPandas(
+        run, "doc_id long, lat_q6 long, lon_q6 long"
+    )
+
+
+def _utm_inverse_oracle_sql() -> str:
+    """The inverse series in SQL, mirroring the numpy kernel's
+    SEQUENTIAL term subtraction/addition order; hyperbolics as
+    EXP-forms; constants repr'd from the kernel's floats."""
+    from gdal_spark import proj
+
+    c = proj.series_constants()
+    k0a = repr(0.9996 * c["big_a"])
+    b1, b2, b3, b4 = (repr(v) for v in c["beta"])
+    d1, d2, d3, d4 = (repr(v) for v in c["delta"])
+
+    def cosh(x):
+        return f"((EXP({x}) + EXP(-({x}))) / 2e0)"
+
+    def sinh(x):
+        return f"((EXP({x}) - EXP(-({x}))) / 2e0)"
+
+    xip_terms = " - ".join(
+        f"{bc} * SIN({2 * j}e0 * xi) * {cosh(f'{2 * j}e0 * eta')}"
+        for j, bc in zip((1, 2, 3, 4), (b1, b2, b3, b4))
+    )
+    etap_terms = " - ".join(
+        f"{bc} * COS({2 * j}e0 * xi) * {sinh(f'{2 * j}e0 * eta')}"
+        for j, bc in zip((1, 2, 3, 4), (b1, b2, b3, b4))
+    )
+    phi_terms = " + ".join(
+        f"{dc} * SIN({2 * j}e0 * chi)"
+        for j, dc in zip((1, 2, 3, 4), (d1, d2, d3, d4))
+    )
+    return f"""
+        WITH src AS (
+          SELECT doc_id,
+                 200000 + (doc_id * 2654435761) % 600001 AS e,
+                 (doc_id * 2246822519 + 7) % 9000001 AS n,
+                 1 + doc_id % 60 AS zone
+          FROM documents),
+        s1 AS (SELECT doc_id, zone,
+                      n / {k0a} AS xi,
+                      (e - 500000e0) / {k0a} AS eta
+               FROM src),
+        s2 AS (SELECT doc_id, zone, xi, eta,
+                      xi - {xip_terms} AS xip,
+                      eta - {etap_terms} AS etap
+               FROM s1),
+        s3 AS (SELECT doc_id, zone, xip, etap,
+                      ASIN(SIN(xip) / {cosh('etap')}) AS chi
+               FROM s2),
+        s4 AS (SELECT doc_id, zone, xip, etap, chi,
+                      chi + {phi_terms} AS phi,
+                      ATAN2({sinh('etap')}, COS(xip)) AS lam
+               FROM s3)
+        SELECT doc_id,
+               CAST(FLOOR(DEGREES(phi) * 1e6 + 0.5) AS BIGINT) AS lat_q6,
+               CAST(FLOOR((zone * 6 - 183 + DEGREES(lam)) * 1e6 + 0.5)
+                    AS BIGINT) AS lon_q6
+        FROM s4"""
+
+
+# ---------------------------------------------------------------------------
+# ellipsoidal geodesic area + perimeter (gate on the A polygon fixture
+# read as lon/lat = 0.1 × integer coords)
+# ---------------------------------------------------------------------------
+
+
+def _q_geo_area_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ellipsoid-true ST_Area/ST_Length(use_ellipsoid) analog
+    (ogr/ogrsqlitesqlfunctions.cpp:630,675): per polygon the authalic
+    Chamberlain-Duquette area term-sum (q14 ints, order-free) and the
+    Vincenty perimeter (per-edge mm ints)."""
+    from gdal_spark import geodesy, wkb
+
+    pdf = _la_fixture(_LA_NA, 101, 8, 18)
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for pid, buf in zip(b["poly_id"], b["geom_wkb"]):
+                ring = wkb.polygon_rings(bytes(buf))[0][0]  # closed
+                opened = ring[:-1]
+                lon = opened[:, 0] * 0.1
+                lat = opened[:, 1] * 0.1
+                cd = int(
+                    abs(geodesy.authalic_cd_terms_q14(lat, lon).sum())
+                )
+                d = geodesy.vincenty_distance(
+                    ring[:-1, 1] * 0.1, ring[:-1, 0] * 0.1,
+                    ring[1:, 1] * 0.1, ring[1:, 0] * 0.1,
+                )
+                mm = int(
+                    np.floor(d * 1000.0 + 0.5).astype(np.int64).sum()
+                )
+                rows.append((int(pid), cd, mm))
+            yield pd.DataFrame(
+                rows, columns=["poly_id", "cd_q14", "perim_mm"]
+            )
+
+    return spark.createDataFrame(pdf[["poly_id", "geom_wkb"]]).mapInPandas(
+        run, "poly_id long, cd_q14 long, perim_mm long"
+    )
+
+
+def _geodesic_oracle_sql() -> str:
+    """The identical kernels in SQL: CD terms per vertex (LEAD/LAG
+    wraparound over the ring), Vincenty with the engine's fixed
+    iteration unroll (7 λ-updates + final compute — the loop's last
+    λ-update is dead in the engine too). All ellipsoid constants are
+    repr'd from the very Python floats the numpy kernel uses."""
+    from gdal_spark import geodesy as gd
+    from gdal_spark import wkb
+
+    # vertex VALUES
+    vrows = []
+    for _, row in _la_fixture(_LA_NA, 101, 8, 18).iterrows():
+        ring = wkb.polygon_rings(bytes(row["geom_wkb"]))[0][0][:-1]
+        for i, (x, y) in enumerate(ring):
+            vrows.append(
+                f"({int(row['poly_id'])}, {i}, {x:.0f}e0, {y:.0f}e0)"
+            )
+    vv = ", ".join(vrows)
+    ae = _la_edges_values(_la_fixture(_LA_NA, 101, 8, 18))
+    e = repr(float(gd._E))
+    e2 = repr(float(gd._E2))
+    ome2 = repr(1.0 - float(gd._E2))
+    inv2e = repr(1.0 / (2.0 * float(gd._E)))
+    qp = repr(float(gd._QP))
+    omf = repr(1.0 - gd._F)
+    f = repr(gd._F)
+    f16 = repr(gd._F / 16.0)
+    u2c = repr((gd._A * gd._A - gd._B * gd._B) / (gd._B * gd._B))
+    bb = repr(float(gd._B))
+    # one Vincenty iteration, FULLY EXPANDED in terms of `lam` and the
+    # carried constants — no same-SELECT alias references (DuckDB
+    # resolves input columns over lateral aliases, so alias-chained
+    # iterations silently read the PREVIOUS round's values)
+    sl = "SIN(lam)"
+    cl = "COS(lam)"
+    t1 = f"(cu2 * {sl})"
+    t2 = f"(cu1 * su2 - su1 * cu2 * {cl})"
+    sin_s = f"SQRT({t1} * {t1} + {t2} * {t2})"
+    cos_s = f"(su1 * su2 + cu1 * cu2 * {cl})"
+    sigma = f"ATAN2({sin_s}, {cos_s})"
+    sin_a = (
+        f"(CASE WHEN {sin_s} = 0 THEN 0e0"
+        f" ELSE cu1 * cu2 * {sl} / {sin_s} END)"
+    )
+    cos2a = f"(1e0 - {sin_a} * {sin_a})"
+    cos2sm = (
+        f"(CASE WHEN {cos2a} = 0 THEN 0e0"
+        f" ELSE {cos_s} - 2e0 * su1 * su2 / {cos2a} END)"
+    )
+    cc = f"({f16} * {cos2a} * (4e0 + {f} * (4e0 - 3e0 * {cos2a})))"
+    lam_new = (
+        f"(L + (1e0 - {cc}) * {f} * {sin_a} * ({sigma}"
+        f" + {cc} * {sin_s} * ({cos2sm} + {cc} * {cos_s}"
+        f" * (-1e0 + 2e0 * {cos2sm} * {cos2sm}))))"
+    )
+    carry = "pid, sid, L, su1, cu1, su2, cu2"
+    its = []
+    prev = "v0"
+    for k in range(1, 8):
+        its.append(
+            f"v{k} AS (SELECT {carry}, {lam_new} AS lam FROM {prev})"
+        )
+        prev = f"v{k}"
+    iters_sql = ",\n        ".join(its)
+    return f"""
+        WITH vv(pid, idx, x, y) AS (VALUES {vv}),
+        vert AS (
+          SELECT pid, idx,
+                 RADIANS(x * 0.1e0) AS lam,
+                 SIN(RADIANS(y * 0.1e0)) AS sphi
+          FROM vv),
+        cdq AS (
+          SELECT pid,
+                 (COALESCE(LEAD(lam) OVER w, FIRST_VALUE(lam) OVER w)
+                  - COALESCE(LAG(lam) OVER w, LAST_VALUE(lam) OVER w))
+                 * (({ome2} * (sphi / (1e0 - {e2} * sphi * sphi)
+                      - {inv2e} * LN((1e0 - {e} * sphi)
+                                     / (1e0 + {e} * sphi)))) / {qp})
+                   AS term
+          FROM vert
+          WINDOW w AS (PARTITION BY pid ORDER BY idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)),
+        cd AS (
+          SELECT pid,
+                 ABS(CAST(SUM(CAST(FLOOR(term * 1e14 + 0.5) AS BIGINT))
+                          AS BIGINT)) AS cd_q14
+          FROM cdq GROUP BY pid),
+        ed(pid, x1, y1, x2, y2) AS (VALUES {ae}),
+        base AS (
+          SELECT pid,
+                 ROW_NUMBER() OVER (PARTITION BY pid
+                                    ORDER BY x1, y1, x2, y2) AS sid,
+                 RADIANS(x2 * 0.1e0 - x1 * 0.1e0) AS L,
+                 ATAN({omf} * TAN(RADIANS(y1 * 0.1e0))) AS u1a,
+                 ATAN({omf} * TAN(RADIANS(y2 * 0.1e0))) AS u2a,
+                 0e0 AS slen0
+          FROM ed),
+        v0 AS (
+          SELECT pid, sid, L,
+                 SIN(u1a) AS su1, COS(u1a) AS cu1,
+                 SIN(u2a) AS su2, COS(u2a) AS cu2,
+                 L AS lam
+          FROM base),
+        {iters_sql},
+        fin AS (
+          SELECT {carry},
+                 {sin_s} AS sin_s, {cos_s} AS cos_s,
+                 {sigma} AS sigma, {cos2a} AS cos2a,
+                 {cos2sm} AS cos2sm
+          FROM v7),
+        dist AS (
+          SELECT pid, sin_s, sigma,
+                 cos2a * {u2c} AS u2,
+                 1e0 + u2 / 16384e0 * (4096e0 + u2
+                     * (-768e0 + u2 * (320e0 - 175e0 * u2))) AS big_a,
+                 u2 / 1024e0 * (256e0 + u2
+                     * (-128e0 + u2 * (74e0 - 47e0 * u2))) AS big_b,
+                 big_b * sin_s * (cos2sm + big_b / 4e0
+                     * (cos_s * (-1e0 + 2e0 * cos2sm * cos2sm)
+                        - big_b / 6e0 * cos2sm
+                          * (-3e0 + 4e0 * sin_s * sin_s)
+                          * (-3e0 + 4e0 * cos2sm * cos2sm))) AS dsig,
+                 CASE WHEN sin_s = 0 THEN 0e0
+                      ELSE {bb} * big_a * (sigma - dsig) END AS s
+          FROM fin),
+        pm AS (
+          SELECT pid,
+                 CAST(SUM(CAST(FLOOR(s * 1000e0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS perim_mm
+          FROM dist GROUP BY pid)
+        SELECT cd.pid AS poly_id, cd.cd_q14, pm.perim_mm
+        FROM cd JOIN pm ON pm.pid = cd.pid"""
+
+
+# ---------------------------------------------------------------------------
+# line × polygon clip — integer polyline fixture vs the B component set
+# ---------------------------------------------------------------------------
+
+_LN_N = 40
+
+
+def _line_fixture() -> pd.DataFrame:
+    """Deterministic integer-coordinate 2-segment polylines spanning
+    the layer-algebra domain."""
+    from gdal_spark import wkb
+
+    rows = []
+    for lid in range(_LN_N):
+        def h(k: int) -> int:
+            return (lid * 2654435761 + k * 40503 + 707 * 69069) % 2147483647
+
+        pts = []
+        for k in range(3):
+            pts.append((
+                -150 + h(2 * k + 1) % 300,
+                -70 + h(2 * k + 2) % 140,
+            ))
+        # no zero-length segments
+        if pts[1] == pts[0]:
+            pts[1] = (pts[1][0] + 1, pts[1][1])
+        if pts[2] == pts[1]:
+            pts[2] = (pts[2][0], pts[2][1] + 1)
+        rows.append({
+            "line_id": lid,
+            "geom_wkb": wkb.linestring(
+                np.array(pts, dtype=np.float64)
+            ),
+        })
+    return pd.DataFrame(rows)
+
+
+def _line_edges_values() -> str:
+    """(lid, x1, y1, x2, y2) segment VALUES of the line fixture."""
+    from gdal_spark import wkb
+
+    vals = []
+    for _, row in _line_fixture().iterrows():
+        v = wkb.parse(bytes(row["geom_wkb"]))[1]
+        for k in range(len(v) - 1):
+            vals.append(
+                f"({int(row['line_id'])}, {v[k][0]:.0f}e0,"
+                f" {v[k][1]:.0f}e0, {v[k + 1][0]:.0f}e0,"
+                f" {v[k + 1][1]:.0f}e0)"
+            )
+    return ", ".join(vals)
+
+
+def _q_geo_clip_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-layer ∩ polygon-layer with KEEP_LOWER_DIMENSION_GEOMETRIES
+    (ogr/ogrlayer.cpp:3514-3541): per-pair clipped length (µm-exact)
+    over the full method set — donuts and multiparts included (hole
+    interiors clip away)."""
+    from gdal_spark.operators.layer_algebra import clip_line_pieces
+
+    lines_df = spark.createDataFrame(_line_fixture())
+    pieces = clip_line_pieces(lines_df, _la_fixture_b())
+    return (
+        pieces.groupBy("line_id", "b_id")
+        .agg(F.sum("length").alias("len"))
+        .select(
+            "line_id", "b_id",
+            F.round(F.col("len") * 1e6).cast("long").alias("len_q6"),
+        )
+        .filter(F.col("len_q6") >= 1)
+    )
+
+
+def _clip_lines_oracle_sql() -> str:
+    """Cyrus-Beck in SQL: per (segment, convex component) the
+    parametric interval from per-edge half-plane bounds; pair length
+    = Σ sgn × interval × |segment| over signed components (donut hole
+    runs subtract — hole ⊂ outer keeps it exact)."""
+    le = _line_edges_values()
+    be = _la_comp_edges_values()
+    return f"""
+        WITH le(lid, x1, y1, x2, y2) AS (VALUES {le}),
+        seg AS (SELECT lid, x1, y1, x2, y2,
+                       ROW_NUMBER() OVER (PARTITION BY lid
+                                          ORDER BY x1, y1, x2, y2) AS sid,
+                       SQRT((x2 - x1) * (x2 - x1)
+                            + (y2 - y1) * (y2 - y1)) AS slen
+                FROM le),
+        be(bid, comp, sgn, ex1, ey1, ex2, ey2) AS (VALUES {be}),
+        cons AS (
+          SELECT s.lid, s.sid, b.bid, b.comp,
+                 -(b.ey2 - b.ey1) * (s.x1 - b.ex1)
+                 + (b.ex2 - b.ex1) * (s.y1 - b.ey1) AS c0,
+                 -(b.ey2 - b.ey1) * (s.x2 - s.x1)
+                 + (b.ex2 - b.ex1) * (s.y2 - s.y1) AS md
+          FROM seg s CROSS JOIN be b),
+        iv AS (
+          SELECT lid, sid, bid, comp,
+                 BOOL_OR(md = 0 AND c0 < 0) AS infeasible,
+                 GREATEST(COALESCE(MAX(CASE WHEN md > 0
+                                            THEN -c0 / md END), 0e0),
+                          0e0) AS tlo,
+                 LEAST(COALESCE(MIN(CASE WHEN md < 0
+                                         THEN -c0 / md END), 1e0),
+                       1e0) AS thi
+          FROM cons GROUP BY lid, sid, bid, comp),
+        sgns AS (SELECT DISTINCT bid, comp, sgn FROM be),
+        pair AS (
+          SELECT iv.lid, iv.bid,
+                 SUM(sgns.sgn
+                     * CASE WHEN iv.infeasible THEN 0e0
+                            ELSE GREATEST(iv.thi - iv.tlo, 0e0) END
+                     * s.slen) AS len
+          FROM iv
+          JOIN sgns ON sgns.bid = iv.bid AND sgns.comp = iv.comp
+          JOIN seg s ON s.lid = iv.lid AND s.sid = iv.sid
+          GROUP BY iv.lid, iv.bid)
+        SELECT lid AS line_id, bid AS b_id,
+               CAST(ROUND(len * 1e6) AS BIGINT) AS len_q6
+        FROM pair
+        WHERE CAST(ROUND(len * 1e6) AS BIGINT) >= 1"""
 
 
 # ---------------------------------------------------------------------------
@@ -2160,6 +2817,11 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_warp_nearest": _warp_query("nearest"),
     "rs_warp_bilinear": _warp_query("bilinear"),
     "rs_warp_cubic": _warp_query("cubic"),
+    "rs_warp_utm": _q_rs_warp_utm,
+    "geo_clip_lines": _q_geo_clip_lines,
+    "sp_utm_inverse": _q_sp_utm_inverse,
+    "geo_area_geodesic": _q_geo_area_geodesic,
+    "geo_layer_algebra_big": _q_geo_layer_algebra_big,
     "rs_warp_aggregate": _q_rs_warp_aggregate,
     "rs_overview_resamplers": _q_rs_overview_resamplers,
     "sp_idw_grid": _q_sp_idw_grid,
@@ -2167,6 +2829,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_burn_lines": _q_rs_burn_lines,
     "rs_contour_census": _q_rs_contour,
     "rs_contour_lines": _q_rs_contour_lines,
+    "rs_contour_polygons": _q_rs_contour_polygons,
     "rs_point_probe": _q_rs_point_probe,
     "rs_polygonize": _q_rs_polygonize,
     "rs_sieve_checksum": _q_rs_sieve,
@@ -2193,6 +2856,11 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ENGINE_ORACLES: dict[str, str] = {
+    "rs_warp_utm": _warp_utm_oracle_sql(),
+    "geo_clip_lines": _clip_lines_oracle_sql(),
+    "sp_utm_inverse": _utm_inverse_oracle_sql(),
+    "geo_area_geodesic": _geodesic_oracle_sql(),
+    "geo_layer_algebra_big": _layer_algebra_oracle_sql(),
     "geo_layer_algebra": _layer_algebra_oracle_sql(),
     "geo_st_predicates": _st_predicates_oracle_sql(),
     "sp_pip_full_fixture": PIP_ORACLE_SQL.format(
@@ -2234,6 +2902,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "rs_burn_lines": _burn_lines_oracle_sql(),
     "rs_contour_census": _contour_oracle_sql(),
     "rs_contour_lines": _contour_lines_oracle_sql(),
+    "rs_contour_polygons": _contour_polygons_oracle_sql(),
     "rs_proximity": _proximity_oracle_sql(),
     "rs_point_probe": _probe_oracle_sql(),
     "rs_fill_polygons": _fill_oracle_sql(),
@@ -2394,6 +3063,18 @@ RETIRED_GATES: dict[str, str] = {
     "sp_pip_engine": "sp_pip_full_fixture (harder fixture) + sp_pip_count",
     "q_first_match_join": "q_ogr_sql_join (same op through the parser)",
     "rs_contour_census": "rs_contour_lines (census ⊂ segment geometry)",
+    # --- retired in r03 (each green in CORRECTNESS_r02) ---
+    "rs_contour_lines": "rs_contour_polygons (same cell classification "
+                        "+ interpolation, richer geometry)",
+    "rs_warp_nearest": "rs_warp_utm (same gather; harder transform)",
+    "dd_ngram_jaccard": "dd_minhash_lsh (runs the same verify kernel "
+                        "candidate-restricted)",
+    "sp_utm_transform": "rs_warp_utm (forward series per dst pixel) + "
+                        "sp_utm_inverse",
+    "geo_haversine_knn": "sp_knn_df (distributed kNN) + "
+                         "geo_area_geodesic (ellipsoidal arithmetic)",
+    "tx_quality": "tx_lang_id (same marker-count REPLACE arithmetic) + "
+                  "tx_token_count",
 }
 
 

@@ -1,0 +1,142 @@
+"""Ellipsoidal geodesic length and area (WGS84).
+
+The r02 engine had planar area/length plus haversine distance; the
+reference's SQL dialect exposes ellipsoid-true ST_Length/ST_Area
+(ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:630,675, backed by
+PROJ's Karney geodesics). This module supplies:
+
+* ``vincenty_distance`` — Vincenty inverse with a FIXED 8-iteration
+  unroll (deterministic; converges ≤6 iterations for non-antipodal
+  pairs; mm-level agreement with Karney there). The fixed unroll is
+  what makes a DuckDB oracle expressible: both engines evaluate the
+  identical iteration tree.
+* ``authalic_cd_area`` — polygon area via Chamberlain–Duquette (1989,
+  JPL) spherical excess evaluated on the AUTHALIC sphere (equal-area
+  latitude remap), the standard first-order ellipsoidal area method.
+  The reference's geod_polygonarea (Karney) agrees to ~1e-6 relative
+  for sub-degree polygons; exactness here is engine↔oracle parity of
+  the identical formula, pinned at 1 m².
+
+All kernels are vectorized numpy, written to MIRROR the SQL oracle's
+expression order term for term.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_B = _A * (1.0 - _F)
+_E2 = _F * (2.0 - _F)
+_E = np.sqrt(_E2)
+
+VINCENTY_ITERS = 8
+_U2C = (_A * _A - _B * _B) / (_B * _B)
+
+
+def vincenty_distance(
+    lat1: np.ndarray, lon1: np.ndarray,
+    lat2: np.ndarray, lon2: np.ndarray,
+) -> np.ndarray:
+    """Ellipsoidal inverse distance (metres), fixed 8-iteration
+    Vincenty; coincident points → 0. Inputs in degrees."""
+    phi1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    phi2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    L = np.radians(
+        np.asarray(lon2, dtype=np.float64)
+        - np.asarray(lon1, dtype=np.float64)
+    )
+    U1 = np.arctan((1.0 - _F) * np.tan(phi1))
+    U2 = np.arctan((1.0 - _F) * np.tan(phi2))
+    sU1, cU1 = np.sin(U1), np.cos(U1)
+    sU2, cU2 = np.sin(U2), np.cos(U2)
+    lam = L.copy()
+    sin_s = np.zeros_like(lam)
+    cos_s = np.ones_like(lam)
+    sigma = np.zeros_like(lam)
+    cos2a = np.ones_like(lam)
+    cos2sm = np.zeros_like(lam)
+    for _ in range(VINCENTY_ITERS):
+        sl, cl = np.sin(lam), np.cos(lam)
+        t1 = cU2 * sl
+        t2 = cU1 * sU2 - sU1 * cU2 * cl
+        sin_s = np.sqrt(t1 * t1 + t2 * t2)
+        cos_s = sU1 * sU2 + cU1 * cU2 * cl
+        sigma = np.arctan2(sin_s, cos_s)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_a = np.where(
+                sin_s == 0.0, 0.0, cU1 * cU2 * sl / sin_s
+            )
+        cos2a = 1.0 - sin_a * sin_a
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos2sm = np.where(
+                cos2a == 0.0, 0.0, cos_s - 2.0 * sU1 * sU2 / cos2a
+            )
+        C = _F / 16.0 * cos2a * (4.0 + _F * (4.0 - 3.0 * cos2a))
+        lam = L + (1.0 - C) * _F * sin_a * (
+            sigma + C * sin_s * (
+                cos2sm + C * cos_s * (-1.0 + 2.0 * cos2sm * cos2sm)
+            )
+        )
+    # single precomputed constant (mirrors the SQL oracle's
+    # `cos2a * u2c` association exactly)
+    u2 = cos2a * _U2C
+    big_a = 1.0 + u2 / 16384.0 * (
+        4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2))
+    )
+    big_b = u2 / 1024.0 * (
+        256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2))
+    )
+    dsig = big_b * sin_s * (
+        cos2sm + big_b / 4.0 * (
+            cos_s * (-1.0 + 2.0 * cos2sm * cos2sm)
+            - big_b / 6.0 * cos2sm
+            * (-3.0 + 4.0 * sin_s * sin_s)
+            * (-3.0 + 4.0 * cos2sm * cos2sm)
+        )
+    )
+    s = _B * big_a * (sigma - dsig)
+    return np.where(sin_s == 0.0, 0.0, s)
+
+
+def _authalic_q(sphi: np.ndarray) -> np.ndarray:
+    """q(φ) of the authalic-latitude map (Snyder eq 3-12)."""
+    return (1.0 - _E2) * (
+        sphi / (1.0 - _E2 * sphi * sphi)
+        - (1.0 / (2.0 * _E))
+        * np.log((1.0 - _E * sphi) / (1.0 + _E * sphi))
+    )
+
+
+_QP = float(_authalic_q(np.array([1.0]))[0])
+AUTHALIC_R = _A * np.sqrt(_QP / 2.0)
+
+
+def authalic_cd_terms_q14(
+    lats: np.ndarray, lons: np.ndarray
+) -> np.ndarray:
+    """Per-vertex Chamberlain–Duquette terms
+    (λ_{i+1} − λ_{i−1}) · sin ξ_i (ξ = authalic latitude), each
+    quantized to 1e-14 — an INTEGER per vertex, so the polygon total
+    is an order-free integer sum identical across engines (the
+    float-agg-order trap: SQL SUM over doubles has no defined order).
+    ``lats``/``lons`` = OPEN ring vertices in degrees."""
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    sphi = np.sin(np.radians(lats))
+    xi_sin = _authalic_q(sphi) / _QP  # = sin ξ
+    lam = np.radians(lons)
+    nxt = np.roll(lam, -1)
+    prv = np.roll(lam, 1)
+    terms = (nxt - prv) * xi_sin
+    return np.floor(terms * 1e14 + 0.5).astype(np.int64)
+
+
+def authalic_cd_area(lats: np.ndarray, lons: np.ndarray) -> float:
+    """Ellipsoidal polygon area (m²): authalic spherical excess
+    A = R²/2 · |Σ terms| from the quantized term sum (quantization
+    bias < n·0.5e-14·R²/2 ≈ 0.1 m² per vertex — below the method's
+    own first-order error)."""
+    s = int(authalic_cd_terms_q14(lats, lons).sum())
+    return abs(s) / 1e14 * (AUTHALIC_R * AUTHALIC_R) / 2.0

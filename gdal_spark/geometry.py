@@ -699,6 +699,42 @@ def erase_poly_simple(
     return erase_poly_convex(subject, tris)
 
 
+def clip_segments_convex(
+    p1s: np.ndarray, p2s: np.ndarray, clip_ring: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parametric (Cyrus-Beck) clip of N segments p1→p2 against one
+    CONVEX CCW ring → (t_lo, t_hi, valid) arrays; segment k intersects
+    the ring on p1+t·(p2−p1), t ∈ [t_lo[k], t_hi[k]], iff valid[k].
+    The line×polygon primitive behind Intersection/Clip with
+    KEEP_LOWER_DIMENSION_GEOMETRIES (ogr/ogrlayer.cpp:3514-3541)."""
+    C = _ccw_ring(clip_ring)
+    p1s = np.asarray(p1s, dtype=np.float64).reshape(-1, 2)
+    d = np.asarray(p2s, dtype=np.float64).reshape(-1, 2) - p1s
+    n = len(p1s)
+    t_lo = np.zeros(n)
+    t_hi = np.ones(n)
+    valid = np.ones(n, dtype=bool)
+    m = len(C)
+    for i in range(m):
+        a, b = C[i], C[(i + 1) % m]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        if ex == 0.0 and ey == 0.0:
+            continue
+        # inside = left of a→b; f(t) = c0 + t*md >= 0
+        c0 = -ey * (p1s[:, 0] - a[0]) + ex * (p1s[:, 1] - a[1])
+        md = -ey * d[:, 0] + ex * d[:, 1]
+        para = md == 0.0
+        valid &= ~(para & (c0 < 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = -c0 / md
+        ent = (md > 0.0) & valid
+        t_lo[ent] = np.maximum(t_lo[ent], t[ent])
+        ext = (md < 0.0) & valid
+        t_hi[ext] = np.minimum(t_hi[ext], t[ext])
+    valid &= t_lo <= t_hi
+    return t_lo, t_hi, valid
+
+
 def buffer_ring(
     ring: np.ndarray, dist: float, quad_segs: int = 8
 ) -> np.ndarray:

@@ -98,6 +98,7 @@ class _BSet:
         self.ids: list[int] = []
         self.simple: list[list[np.ndarray]] = []
         self.convex: list[list[np.ndarray]] = []
+        self.rings: list[list[np.ndarray]] = []  # true boundary rings
         self.wkbs: list[bytes] = []
         self.areas: list[float] = []
         boxes = []
@@ -108,6 +109,11 @@ class _BSet:
             self.ids.append(int(pid))
             self.simple.append(s)
             self.convex.append(c)
+            self.rings.append([
+                geometry._open_ring(r)
+                for part in wkb.polygon_rings(bytes(buf))
+                for r in part
+            ])
             self.wkbs.append(bytes(buf))
             self.areas.append(area)
             boxes.append(bb)
@@ -421,3 +427,413 @@ def predicate_pairs(
             )
 
     return a_df.select(id_col, "geom_wkb").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# line × polygon (KEEP_LOWER_DIMENSION_GEOMETRIES family)
+# ---------------------------------------------------------------------------
+
+LINE_PIECE_SCHEMA = "line_id long, b_id long, piece_wkb binary, length double"
+
+
+def _line_parts(buf: bytes) -> list[np.ndarray]:
+    """LINESTRING / MULTILINESTRING WKB → list of (M, 2) vertex arrays."""
+    gtype, payload = wkb.parse(bytes(buf))
+    if gtype == wkb.LINESTRING:
+        return [payload]
+    if gtype == wkb.MULTILINESTRING:
+        return list(payload)
+    raise ValueError(f"not a line geometry: type {gtype}")
+
+
+def _seg_arrays(parts: list[np.ndarray]):
+    """Polyline parts → stacked (p1s, p2s) segment endpoint arrays."""
+    p1, p2 = [], []
+    for v in parts:
+        if len(v) < 2:
+            continue
+        p1.append(v[:-1])
+        p2.append(v[1:])
+    if not p1:
+        return np.empty((0, 2)), np.empty((0, 2))
+    return np.vstack(p1), np.vstack(p2)
+
+
+def _pair_intervals(p1s, p2s, pieces) -> list[list[tuple]]:
+    """Per segment: [(t0, t1)] intervals inside the union of the
+    DISJOINT convex pieces (piece interiors are disjoint, so interval
+    interiors are too — lengths sum exactly)."""
+    out: list[list[tuple]] = [[] for _ in range(len(p1s))]
+    for cp in pieces:
+        t0, t1, ok = geometry.clip_segments_convex(p1s, p2s, cp)
+        for k in np.nonzero(ok & (t1 > t0))[0]:
+            out[int(k)].append((float(t0[k]), float(t1[k])))
+    return out
+
+
+def clip_line_pieces(
+    lines_df: DataFrame,
+    b_pdf: pd.DataFrame,
+    id_col: str = "line_id",
+    b_id_col: str = "poly_id",
+) -> DataFrame:
+    """Line-layer ∩ polygon-layer with KEEP_LOWER_DIMENSION_GEOMETRIES
+    (ogr/ogrlayer.cpp:3514-3541): per overlapping (line, B) pair the
+    clipped sub-segments as LINESTRING WKB + exact length → (line_id,
+    b_id, piece_wkb, length). Holed/multipart B handled through the
+    disjoint convex decomposition (a donut's hole interior clips
+    AWAY). Candidates from the broadcast STRtree."""
+    spark = lines_df.sparkSession
+    brc = spark.sparkContext.broadcast(_BSet(b_pdf, b_id_col))
+
+    def run(batches):
+        bset = brc.value
+        for pdf in batches:
+            rows = []
+            for lid, buf in zip(pdf[id_col], pdf["geom_wkb"]):
+                p1s, p2s = _seg_arrays(_line_parts(buf))
+                if not len(p1s):
+                    continue
+                bb = (
+                    min(p1s[:, 0].min(), p2s[:, 0].min()),
+                    min(p1s[:, 1].min(), p2s[:, 1].min()),
+                    max(p1s[:, 0].max(), p2s[:, 0].max()),
+                    max(p1s[:, 1].max(), p2s[:, 1].max()),
+                )
+                d = p2s - p1s
+                seg_len = np.sqrt((d * d).sum(axis=1))
+                for bi in bset.candidates(bb):
+                    for k, ivs in enumerate(
+                        _pair_intervals(p1s, p2s, bset.convex[bi])
+                    ):
+                        for t0, t1 in ivs:
+                            a = p1s[k] + t0 * d[k]
+                            b = p1s[k] + t1 * d[k]
+                            rows.append((
+                                int(lid), bset.ids[bi],
+                                wkb.linestring([a, b]),
+                                (t1 - t0) * float(seg_len[k]),
+                            ))
+            yield pd.DataFrame(
+                rows,
+                columns=["line_id", "b_id", "piece_wkb", "length"],
+            )
+
+    return lines_df.select(id_col, "geom_wkb").mapInPandas(
+        run, LINE_PIECE_SCHEMA
+    )
+
+
+def erase_line_pieces(
+    lines_df: DataFrame,
+    b_pdf: pd.DataFrame,
+    id_col: str = "line_id",
+    b_id_col: str = "poly_id",
+) -> DataFrame:
+    """Line-layer \\ union(polygon-layer) (Erase row semantics at
+    line dimension): the complement intervals per segment →
+    (line_id, b_id = -1, piece_wkb, length)."""
+    spark = lines_df.sparkSession
+    brc = spark.sparkContext.broadcast(_BSet(b_pdf, b_id_col))
+
+    def run(batches):
+        bset = brc.value
+        for pdf in batches:
+            rows = []
+            for lid, buf in zip(pdf[id_col], pdf["geom_wkb"]):
+                p1s, p2s = _seg_arrays(_line_parts(buf))
+                if not len(p1s):
+                    continue
+                bb = (
+                    min(p1s[:, 0].min(), p2s[:, 0].min()),
+                    min(p1s[:, 1].min(), p2s[:, 1].min()),
+                    max(p1s[:, 0].max(), p2s[:, 0].max()),
+                    max(p1s[:, 1].max(), p2s[:, 1].max()),
+                )
+                d = p2s - p1s
+                seg_len = np.sqrt((d * d).sum(axis=1))
+                covered: list[list[tuple]] = [[] for _ in range(len(p1s))]
+                for bi in bset.candidates(bb):
+                    for k, ivs in enumerate(
+                        _pair_intervals(p1s, p2s, bset.convex[bi])
+                    ):
+                        covered[k].extend(ivs)
+                for k, ivs in enumerate(covered):
+                    # complement of the merged intervals in [0, 1]
+                    t = 0.0
+                    for t0, t1 in sorted(ivs):
+                        if t0 > t:
+                            a = p1s[k] + t * d[k]
+                            b = p1s[k] + t0 * d[k]
+                            rows.append((
+                                int(lid), -1, wkb.linestring([a, b]),
+                                (t0 - t) * float(seg_len[k]),
+                            ))
+                        t = max(t, t1)
+                    if t < 1.0:
+                        a = p1s[k] + t * d[k]
+                        rows.append((
+                            int(lid), -1, wkb.linestring([a, p2s[k]]),
+                            (1.0 - t) * float(seg_len[k]),
+                        ))
+            yield pd.DataFrame(
+                rows,
+                columns=["line_id", "b_id", "piece_wkb", "length"],
+            )
+
+    return lines_df.select(id_col, "geom_wkb").mapInPandas(
+        run, LINE_PIECE_SCHEMA
+    )
+
+
+def _collinear_boundary_intervals(
+    p1: np.ndarray, d: np.ndarray, rings: list[np.ndarray]
+) -> list[tuple]:
+    """[t0, t1] sub-intervals of segment p1+t·d (t ∈ [0,1]) that run
+    collinearly ALONG a boundary ring edge."""
+    out: list[tuple] = []
+    dd = float(d[0] * d[0] + d[1] * d[1])
+    if dd == 0.0:
+        return out
+    for ring in rings:
+        e1 = ring
+        e2 = np.roll(ring, -1, axis=0)
+        ed = e2 - e1
+        cr = d[0] * ed[:, 1] - d[1] * ed[:, 0]          # parallel?
+        off = (e1[:, 0] - p1[0]) * d[1] - (e1[:, 1] - p1[1]) * d[0]
+        col = (cr == 0.0) & (off == 0.0)
+        for i in np.nonzero(col)[0]:
+            ta = ((e1[i, 0] - p1[0]) * d[0]
+                  + (e1[i, 1] - p1[1]) * d[1]) / dd
+            tb = ((e2[i, 0] - p1[0]) * d[0]
+                  + (e2[i, 1] - p1[1]) * d[1]) / dd
+            lo, hi = (ta, tb) if ta <= tb else (tb, ta)
+            lo, hi = max(lo, 0.0), min(hi, 1.0)
+            if hi > lo:
+                out.append((lo, hi))
+    return out
+
+
+def _overlap_measure(a: list[tuple], b: list[tuple]) -> float:
+    """Measure of union(a) ∩ union(b) for small interval lists."""
+
+    def merged(ivs):
+        out = []
+        for lo, hi in sorted(ivs):
+            if out and lo <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], hi))
+            else:
+                out.append((lo, hi))
+        return out
+
+    tot = 0.0
+    for a0, a1 in merged(a):
+        for b0, b1 in merged(b):
+            tot += max(0.0, min(a1, b1) - max(a0, b0))
+    return tot
+
+
+def line_polygon_predicates(
+    lines_df: DataFrame,
+    b_pdf: pd.DataFrame,
+    id_col: str = "line_id",
+    b_id_col: str = "poly_id",
+    eps: float = 1e-12,
+) -> DataFrame:
+    """DE-9IM predicates for line × polygon pairs (the mixed-dimension
+    half the r02 engine lacked; reference: OGRGeometry::Crosses
+    ogr/ogrgeometry.cpp:5734 — line/area crosses iff the line has
+    points both inside and outside): (line_id, b_id, st_intersects,
+    st_disjoint, st_within, st_crosses, st_touches) as 0/1 longs,
+    full matrix."""
+    spark = lines_df.sparkSession
+    brc = spark.sparkContext.broadcast(_BSet(b_pdf, b_id_col))
+    schema = (
+        "line_id long, b_id long, st_intersects long, st_disjoint long,"
+        " st_within long, st_crosses long, st_touches long"
+    )
+
+    def run(batches):
+        bset = brc.value
+        for pdf in batches:
+            rows = []
+            for lid, buf in zip(pdf[id_col], pdf["geom_wkb"]):
+                p1s, p2s = _seg_arrays(_line_parts(buf))
+                d = p2s - p1s
+                seg_len = np.sqrt((d * d).sum(axis=1))
+                total = float(seg_len.sum())
+                for bi in range(len(bset.ids)):
+                    inside = 0.0
+                    pair_ivs = _pair_intervals(
+                        p1s, p2s, bset.convex[bi]
+                    )
+                    for k, ivs in enumerate(pair_ivs):
+                        # DE-9IM: a run collinear WITH a boundary edge
+                        # is boundary contact, not interior — subtract
+                        # it from the interior measure
+                        bnd = _collinear_boundary_intervals(
+                            p1s[k], d[k], bset.rings[bi]
+                        )
+                        inter = sum(t1 - t0 for t0, t1 in ivs)
+                        if bnd:
+                            inter -= _overlap_measure(ivs, bnd)
+                        inside += inter * float(seg_len[k])
+                    # boundary contact: any line segment meets any
+                    # TRUE boundary ring edge (outer or hole)
+                    btouch = False
+                    for ring in bset.rings[bi]:
+                        e1 = ring
+                        e2 = np.roll(ring, -1, axis=0)
+                        hit = geometry.segments_intersect(
+                            p1s[:, 0][:, None], p1s[:, 1][:, None],
+                            p2s[:, 0][:, None], p2s[:, 1][:, None],
+                            e1[:, 0][None, :], e1[:, 1][None, :],
+                            e2[:, 0][None, :], e2[:, 1][None, :],
+                        )
+                        if bool(hit.any()):
+                            btouch = True
+                            break
+                    interior = inside > eps * max(total, 1.0)
+                    intersects = interior or btouch
+                    within = interior and inside >= total - eps * max(
+                        total, 1.0
+                    )
+                    crosses = interior and not within
+                    touches = btouch and not interior
+                    rows.append((
+                        int(lid), bset.ids[bi], int(intersects),
+                        int(not intersects), int(within), int(crosses),
+                        int(touches),
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["line_id", "b_id", "st_intersects",
+                         "st_disjoint", "st_within", "st_crosses",
+                         "st_touches"],
+            )
+
+    return lines_df.select(id_col, "geom_wkb").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame × DataFrame layer algebra (no B-fits-on-driver limit)
+# ---------------------------------------------------------------------------
+
+
+def _grid_cells_for_bbox(bb, cell: float):
+    """All (ix, iy) grid cells intersecting bbox ``bb``."""
+    ix0 = int(np.floor(bb[0] / cell))
+    ix1 = int(np.floor(bb[2] / cell))
+    iy0 = int(np.floor(bb[1] / cell))
+    iy1 = int(np.floor(bb[3] / cell))
+    return [
+        (ix, iy)
+        for ix in range(ix0, ix1 + 1)
+        for iy in range(iy0, iy1 + 1)
+    ]
+
+
+def _cell_key(ix: int, iy: int) -> int:
+    return (ix + (1 << 20)) * (1 << 21) + (iy + (1 << 20))
+
+
+def intersection_join(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    id_a: str = "a_id",
+    id_b: str = "b_id",
+    cell: float = 32.0,
+    min_area: float = 0.0,
+) -> DataFrame:
+    """A ∩ B where BOTH layers are DataFrames — the r02 gap: every
+    layer-algebra mode took ``b_pdf: pd.DataFrame`` (method layer had
+    to fit on the driver and broadcast), while the reference's nested
+    loop works on any two layers (ogr/ogrlayer.cpp:3345 with
+    per-feature spatial-filter pushdown :3450). At 100 TB both layers
+    are big.
+
+    Plan: each side maps to (cell_id, id) grid-cover rows (a narrow
+    mapInPandas — fanout = cells per feature bbox); an EQUI-join on
+    cell_id co-locates candidate pairs (shuffle on cell keys, no
+    cross join, no broadcast of B); pairs dedupe on (a_id, b_id); the
+    two geometries join back by id and the per-pair convex-piece clip
+    kernel (the same one the broadcast path uses) runs in a final
+    mapInPandas. Skewed hot cells are bounded by the ``cell`` size
+    parameter (smaller cells → finer candidate pruning) and AQE skew
+    splitting on the pair shuffle.
+
+    Returns (a_id, b_id, piece_wkb, area) disjoint intersection
+    pieces — holed/multipart geometries on BOTH sides handled via
+    _decompose_full / _subject_parts."""
+
+    def cover(idc):
+        def run(batches):
+            for pdf in batches:
+                ids, keys = [], []
+                for rid, buf in zip(pdf[idc], pdf["geom_wkb"]):
+                    bb = None
+                    for part in wkb.polygon_rings(bytes(buf)):
+                        ob = geometry.ring_bbox(
+                            geometry._open_ring(part[0])
+                        )
+                        bb = ob if bb is None else (
+                            min(bb[0], ob[0]), min(bb[1], ob[1]),
+                            max(bb[2], ob[2]), max(bb[3], ob[3]),
+                        )
+                    if bb is None:
+                        continue
+                    for ix, iy in _grid_cells_for_bbox(bb, cell):
+                        ids.append(int(rid))
+                        keys.append(_cell_key(ix, iy))
+                yield pd.DataFrame({idc: ids, "cell_id": keys})
+
+        return run
+
+    a_cells = a_df.select(id_a, "geom_wkb").mapInPandas(
+        cover(id_a), f"{id_a} long, cell_id long"
+    )
+    b_cells = b_df.select(id_b, "geom_wkb").mapInPandas(
+        cover(id_b), f"{id_b} long, cell_id long"
+    )
+    pairs = (
+        a_cells.join(b_cells, "cell_id")
+        .select(id_a, id_b)
+        .distinct()
+    )
+    a_geo = a_df.select(
+        F.col(id_a), F.col("geom_wkb").alias("a_wkb")
+    )
+    b_geo = b_df.select(
+        F.col(id_b), F.col("geom_wkb").alias("b_wkb")
+    )
+    paired = pairs.join(a_geo, id_a).join(b_geo, id_b)
+
+    def clip(batches):
+        for pdf in batches:
+            rows = []
+            bcache: dict[bytes, list] = {}
+            for aid, bid, abuf, bbuf in zip(
+                pdf[id_a], pdf[id_b], pdf["a_wkb"], pdf["b_wkb"]
+            ):
+                key = bytes(bbuf)
+                if key not in bcache:
+                    _, convex, _, _ = _decompose_full(key)
+                    bcache[key] = convex
+                convex = bcache[key]
+                for outer, holes in _subject_parts(bytes(abuf)):
+                    for row in _piece_rows(
+                        int(aid), int(bid),
+                        _clip_part(outer, holes, convex),
+                    ):
+                        if row[3] > min_area:
+                            rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=["a_id", "b_id", "piece_wkb", "area"]
+            )
+
+    out = paired.mapInPandas(clip, PIECE_SCHEMA)
+    if id_a != "a_id" or id_b != "b_id":
+        out = out.withColumnRenamed("a_id", id_a).withColumnRenamed(
+            "b_id", id_b
+        )
+    return out

@@ -1052,10 +1052,11 @@ def contour_polylines(segs: DataFrame, quant: int = 1 << 20) -> DataFrame:
     """Stitch segments into polylines by shared endpoints (the
     cross-tile merge of alg/contour.cpp's polyline ringing): endpoints
     quantize to a shared key, segments become union edges, components
-    resolve driver-side over O(contour length) edges (contour size ≪
-    raster area — same collect bound as polygonize's border set).
-    Output: (level, line_id, n_segments, len_q6)."""
-    spark = segs.sparkSession
+    resolve via the DISTRIBUTED contraction (cc_roots_df) — the former
+    driver-side union-find over the collected edge list is gone.
+    ``line_id`` is the component's canonical (minimum) endpoint key —
+    stable and order-free. Output: (level, line_id, n_segments,
+    len_q6)."""
     kx1 = F.floor(F.col("x1") * quant + 0.5).cast("long")
     ky1 = F.floor(F.col("y1") * quant + 0.5).cast("long")
     kx2 = F.floor(F.col("x2") * quant + 0.5).cast("long")
@@ -1065,41 +1066,309 @@ def contour_polylines(segs: DataFrame, quant: int = 1 << 20) -> DataFrame:
         (kx1 * 268435456 + ky1).alias("k1"),
         (kx2 * 268435456 + ky2).alias("k2"),
     )
-    edge_rows = keyed.select("level", "k1", "k2").collect()
-    parent: dict[tuple, tuple] = {}
-    find = _make_find(parent)
-    for r in edge_rows:
-        a, b = find((r.level, r.k1)), find((r.level, r.k2))
-        if a != b:
-            parent[max(a, b)] = min(a, b)
-    comp = {
-        k: i
-        for i, k in enumerate(
-            sorted({find(k) for k in list(parent)} | {
-                find((r.level, r.k1)) for r in edge_rows
-            })
+    roots = cc_roots_df(
+        keyed.select(
+            F.col("level").alias("a1"), F.col("k1").alias("a2"),
+            F.col("level").alias("b1"), F.col("k2").alias("b2"),
         )
-    }
-    items = [
-        (int(lv), int(k), comp[find((lv, k))])
-        for (lv, k) in (
-            {(r.level, r.k1) for r in edge_rows}
-            | {(r.level, r.k2) for r in edge_rows}
-        )
-    ]
-    map_df = spark.createDataFrame(
-        items or [], "level long, k1 long, line_id long"
+    ).select(
+        F.col("n1").alias("level"), F.col("n2").alias("k1"),
+        F.col("r2").alias("rk"),
     )
     dx = F.col("x2") - F.col("x1")
     dy = F.col("y2") - F.col("y1")
     q = F.floor(F.sqrt(dx * dx + dy * dy) * 1000000.0 + 0.5).cast("long")
     return (
-        keyed.join(F.broadcast(map_df), ["level", "k1"])
+        keyed.join(roots, ["level", "k1"], "left")
+        .withColumn("line_id", F.coalesce("rk", "k1"))
         .groupBy("level", "line_id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
             F.sum(q).alias("len_q6"),
         )
+    )
+
+
+# case → list of polygon vertex sequences covering the ABOVE-level
+# region of the cell; vertices: corners C0(x,y) C1(x+1,y) C2(x+1,y+1)
+# C3(x,y+1), edge crossings B R T L (same points as _SEG_TABLE).
+# Saddles (5, 10) resolve like the segments: center-mean above →
+# connected hexagon, below → two corner triangles.
+_BAND_CASES: dict[int, list[list[str]]] = {
+    0: [],
+    1: [["C0", "B", "L"]],
+    2: [["C1", "R", "B"]],
+    3: [["C0", "C1", "R", "L"]],
+    4: [["C2", "T", "R"]],
+    6: [["C1", "C2", "T", "B"]],
+    7: [["C0", "C1", "C2", "T", "L"]],
+    8: [["C3", "L", "T"]],
+    9: [["C0", "B", "T", "C3"]],
+    11: [["C0", "C1", "R", "T", "C3"]],
+    12: [["R", "C2", "C3", "L"]],
+    13: [["C0", "B", "R", "C2", "C3"]],
+    14: [["C1", "C2", "C3", "L", "B"]],
+    15: [["C0", "C1", "C2", "C3"]],
+}
+_BAND_SADDLE: dict[tuple, list[list[str]]] = {
+    (5, True): [["C0", "B", "R", "C2", "T", "L"]],
+    (5, False): [["C0", "B", "L"], ["C2", "T", "R"]],
+    (10, True): [["B", "C1", "R", "T", "C3", "L"]],
+    (10, False): [["C1", "R", "B"], ["C3", "L", "T"]],
+}
+
+
+def _band_cell_geometry(a, ts_w, ts_h, p, tx, ty, grid_w, grid_h, lv):
+    """Shared cell classification for the polygon-contour family:
+    corner values, case codes, crossing offsets, validity mask and
+    the (x, y) coordinate getter for symbolic vertex names."""
+    v00 = a[1:1 + ts_h, 1:1 + ts_w]
+    v10 = a[1:1 + ts_h, 2:2 + ts_w]
+    v11 = a[2:2 + ts_h, 2:2 + ts_w]
+    v01 = a[2:2 + ts_h, 1:1 + ts_w]
+    gx = (tx * ts_w + np.arange(ts_w, dtype=np.int64))[None, :]
+    gy = (ty * ts_h + np.arange(ts_h, dtype=np.int64))[:, None]
+    valid = (np.broadcast_to(gx + 1, v00.shape) <= grid_w - 1) & (
+        np.broadcast_to(gy + 1, v00.shape) <= grid_h - 1
+    )
+    x = np.broadcast_to(gx, v00.shape).astype(np.float64)
+    y = np.broadcast_to(gy, v00.shape).astype(np.float64)
+    case = (
+        (v00 >= lv).astype(np.int64) + 2 * (v10 >= lv)
+        + 4 * (v11 >= lv) + 8 * (v01 >= lv)
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tb = (lv - v00) / (v10 - v00)
+        tr = (lv - v10) / (v11 - v10)
+        tt = (lv - v01) / (v11 - v01)
+        tl = (lv - v00) / (v01 - v00)
+    coords = {
+        "C0": (x, y), "C1": (x + 1.0, y),
+        "C2": (x + 1.0, y + 1.0), "C3": (x, y + 1.0),
+        "B": (x + tb, y), "R": (x + 1.0, y + tr),
+        "T": (x + tt, y + 1.0), "L": (x, y + tl),
+    }
+    s4 = v00 + v10 + v11 + v01
+    return case, coords, valid, s4
+
+
+def _band_case_jobs(case, valid, s4, lv):
+    """[(mask, ring-vertex-name-list, slot)] over all cases incl.
+    saddles; ``slot`` is the ring's index within its cell (only the
+    saddle-below variants have two rings per cell)."""
+    jobs = []
+    for c, rings in _BAND_CASES.items():
+        m = valid & (case == c)
+        for slot, ring in enumerate(rings):
+            jobs.append((m, ring, slot))
+    for (c, hi), rings in _BAND_SADDLE.items():
+        m = valid & (case == c) & ((s4 >= 4 * lv) == hi)
+        for slot, ring in enumerate(rings):
+            jobs.append((m, ring, slot))
+    return jobs
+
+
+def contour_polygon_areas(
+    tiles: DataFrame, grid_w: int, grid_h: int, levels: list[int]
+) -> DataFrame:
+    """Contour POLYGON mode, area form (gdal_contour -p band measure;
+    alg/contour.cpp + marching_squares/polygon_ring_appender.h): per
+    level the interpolated area of {surface >= level}, assembled from
+    per-cell marching-squares polygons (_BAND_CASES). Each cell's area
+    quantizes independently (floor(a·1e8 + 0.5)) before the integer
+    sum, so the total is summation-order-free and an ANSI-SQL oracle
+    evaluating the identical per-cell expressions matches exactly.
+    Output: (level, area_q8)."""
+    padded = add_halo(tiles, pad=1)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                ts_w, ts_h, p = int(r["w"]), int(r["h"]), int(r["pad"])
+                tx, ty = int(r["tx"]), int(r["ty"])
+                a = np.frombuffer(r["data"], dtype=np.uint8).reshape(
+                    ts_h + 2 * p, ts_w + 2 * p
+                ).astype(np.int64)
+                for lv in levels:
+                    case, coords, valid, s4 = _band_cell_geometry(
+                        a, ts_w, ts_h, p, tx, ty, grid_w, grid_h, lv
+                    )
+                    total = 0
+                    for m, ring, _slot in _band_case_jobs(
+                        case, valid, s4, lv
+                    ):
+                        if not m.any():
+                            continue
+                        # shoelace in FIXED left-to-right term order —
+                        # mirrors the SQL oracle bit-for-bit
+                        acc = None
+                        n = len(ring)
+                        for i in range(n):
+                            xi, yi = coords[ring[i]]
+                            xj, yj = coords[ring[(i + 1) % n]]
+                            t = xi[m] * yj[m] - xj[m] * yi[m]
+                            acc = t if acc is None else acc + t
+                        q = np.floor(
+                            np.abs(acc) * 0.5 * 1e8 + 0.5
+                        ).astype(np.int64)
+                        total += int(q.sum())
+                    rows.append((int(lv), total))
+            yield pd.DataFrame(rows, columns=["level", "area_q8"])
+
+    partials = padded.mapInPandas(run, "level long, area_q8 long")
+    return partials.groupBy("level").agg(
+        F.sum("area_q8").alias("area_q8")
+    )
+
+
+def contour_polygons(
+    tiles: DataFrame,
+    grid_w: int,
+    grid_h: int,
+    level: int,
+    quant: int = 1 << 20,
+) -> DataFrame:
+    """Contour POLYGON mode with REAL ring geometry: the connected
+    {surface >= level} regions as polygons (outer ring + holes, WKB in
+    pixel units × quant⁻¹... rings carry RAW pixel coords). Per-cell
+    marching-squares polygons (_BAND_CASES) emit their boundary edges
+    with endpoints quantized to a shared grid; edges interior to the
+    region (shared by two cell polygons in opposite directions) cancel
+    in a groupBy, leaving exactly the region outlines; components
+    resolve via the distributed contraction (cc_roots_df) and each
+    region's ring set traces in one task (_trace_rings — work =
+    region perimeter). Output: (region_id, n_holes, area, geom_wkb).
+    """
+    padded = add_halo(tiles, pad=1)
+
+    def emit(batches):
+        for pdf in batches:
+            frames = []
+            for _, r in pdf.iterrows():
+                ts_w, ts_h, p = int(r["w"]), int(r["h"]), int(r["pad"])
+                tx, ty = int(r["tx"]), int(r["ty"])
+                a = np.frombuffer(r["data"], dtype=np.uint8).reshape(
+                    ts_h + 2 * p, ts_w + 2 * p
+                ).astype(np.int64)
+                case, coords, valid, s4 = _band_cell_geometry(
+                    a, ts_w, ts_h, p, tx, ty, grid_w, grid_h, level
+                )
+                gxl = (tx * ts_w + np.arange(ts_w, dtype=np.int64))[None, :]
+                gyl = (ty * ts_h + np.arange(ts_h, dtype=np.int64))[:, None]
+                gx2 = np.broadcast_to(gxl, case.shape)
+                gy2 = np.broadcast_to(gyl, case.shape)
+                for m, ring, slot in _band_case_jobs(
+                    case, valid, s4, level
+                ):
+                    if not m.any():
+                        continue
+                    # owner id of this cell-polygon: (gx, gy*2 + slot)
+                    # — saddle-below cells hold TWO distinct polygons
+                    o1 = gx2[m]
+                    o2 = gy2[m] * 2 + slot
+                    n = len(ring)
+                    for i in range(n):
+                        xi, yi = coords[ring[i]]
+                        xj, yj = coords[ring[(i + 1) % n]]
+                        x1q = np.floor(xi[m] * quant + 0.5).astype(np.int64)
+                        y1q = np.floor(yi[m] * quant + 0.5).astype(np.int64)
+                        x2q = np.floor(xj[m] * quant + 0.5).astype(np.int64)
+                        y2q = np.floor(yj[m] * quant + 0.5).astype(np.int64)
+                        keep = (x1q != x2q) | (y1q != y2q)
+                        frames.append(pd.DataFrame({
+                            "x1": x1q[keep], "y1": y1q[keep],
+                            "x2": x2q[keep], "y2": y2q[keep],
+                            "o1": o1[keep], "o2": o2[keep],
+                        }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    segs = padded.mapInPandas(
+        emit, "x1 long, y1 long, x2 long, y2 long, o1 long, o2 long"
+    )
+    # Region identity = connectivity of CELL-POLYGONS through their
+    # CANCELLED (interior) edges — this keeps a hole's boundary in the
+    # same region as its enclosing outer (both are traced by the same
+    # connected run of above-cells), while saddle-below twin polygons
+    # stay separate unless connected elsewhere. Undirected-edge count:
+    # 2 → interior (a region-graph edge between the two owners),
+    # 1 → real boundary edge, owned by its emitting cell-polygon.
+    und = segs.groupBy(
+        F.least(
+            F.col("x1") * (1 << 30) + F.col("y1"),
+            F.col("x2") * (1 << 30) + F.col("y2"),
+        ).alias("ka"),
+        F.greatest(
+            F.col("x1") * (1 << 30) + F.col("y1"),
+            F.col("x2") * (1 << 30) + F.col("y2"),
+        ).alias("kb"),
+    ).agg(
+        F.collect_list(
+            F.struct("x1", "y1", "x2", "y2", "o1", "o2")
+        ).alias("es")
+    )
+    owner_edges = und.filter(F.size("es") == 2).select(
+        F.col("es")[0]["o1"].alias("a1"),
+        F.col("es")[0]["o2"].alias("a2"),
+        F.col("es")[1]["o1"].alias("b1"),
+        F.col("es")[1]["o2"].alias("b2"),
+    )
+    boundary = und.filter(F.size("es") == 1).select(
+        F.col("es")[0]["x1"].alias("x1"),
+        F.col("es")[0]["y1"].alias("y1"),
+        F.col("es")[0]["x2"].alias("x2"),
+        F.col("es")[0]["y2"].alias("y2"),
+        F.col("es")[0]["o1"].alias("o1"),
+        F.col("es")[0]["o2"].alias("o2"),
+    )
+    roots = cc_roots_df(owner_edges)
+    rooted = (
+        boundary.join(
+            roots.select(
+                F.col("n1").alias("o1"), F.col("n2").alias("o2"),
+                F.col("r1").alias("rx"), F.col("r2").alias("ry"),
+            ),
+            ["o1", "o2"],
+            "left",
+        )
+        .withColumn("rx", F.coalesce("rx", "o1"))
+        .withColumn("ry", F.coalesce("ry", "o2"))
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .. import wkb as wkb_mod
+
+        arr = pdf[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.int64)
+        rings = _trace_rings(arr)
+        if not rings:
+            return pd.DataFrame(
+                [], columns=["region_id", "n_holes", "area", "geom_wkb"]
+            )
+        rings = [rg / float(quant) for rg in rings]
+        areas = [
+            0.5 * float(
+                np.sum(rg[:-1, 0] * rg[1:, 1] - rg[1:, 0] * rg[:-1, 1])
+            )
+            for rg in rings
+        ]
+        outer_i = int(np.argmax(np.abs(areas)))
+        outer = rings[outer_i]
+        holes = [rg for i, rg in enumerate(rings) if i != outer_i]
+        area = abs(areas[outer_i]) - sum(
+            abs(a) for i, a in enumerate(areas) if i != outer_i
+        )
+        rid = int(pdf["rx"].iloc[0]) * (1 << 30) + int(pdf["ry"].iloc[0])
+        return pd.DataFrame({
+            "region_id": [rid],
+            "n_holes": [len(holes)],
+            "area": [area],
+            "geom_wkb": [wkb_mod.polygon([outer, *holes])],
+        })
+
+    return rooted.groupBy("rx", "ry").applyInPandas(
+        assemble,
+        "region_id long, n_holes long, area double, geom_wkb binary",
     )
 
 
@@ -1856,30 +2125,15 @@ def _cross_tile_edges(
     return h_edges.unionByName(v_edges).distinct()
 
 
-def _make_find(parent: dict):
-    def find(a):
-        parent.setdefault(a, a)
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    return find
-
-
-# (tkey, lab) packs into one long: lab < 2^20 (tiles ≤ 1024×1024
-# pixels → local label count < 2^20), tkey < 2^42 — fits int64.
-_LAB_PACK = 1 << 20
-
-
 def _cc_contract_pdf(batches):
     """Per-partition union-find over whatever edges landed in this
-    task → (node, root) rows with root = partition-local min. O(batch)
-    memory per task, never the whole graph anywhere."""
+    task → (n1, n2, r1, r2) rows with (r1, r2) = partition-local min
+    root (lexicographic over the two-long node key). O(batch) memory
+    per task, never the whole graph anywhere."""
     for pdf in batches:
-        parent: dict[int, int] = {}
+        parent: dict[tuple, tuple] = {}
 
-        def find(x: int) -> int:
+        def find(x: tuple) -> tuple:
             r = x
             while parent.get(r, r) != r:
                 r = parent[r]
@@ -1887,27 +2141,34 @@ def _cc_contract_pdf(batches):
                 parent[x], x = r, parent[x]
             return r
 
-        for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
-            ra, rb = find(int(a)), find(int(b))
+        for a1, a2, b1, b2 in zip(
+            pdf["a1"].to_numpy(), pdf["a2"].to_numpy(),
+            pdf["b1"].to_numpy(), pdf["b2"].to_numpy(),
+        ):
+            ra, rb = find((int(a1), int(a2))), find((int(b1), int(b2)))
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        nodes = set(pdf["a"]) | set(pdf["b"])
-        yield pd.DataFrame(
-            {"node": list(nodes), "root": [find(int(n)) for n in nodes]}
-        )
+        nodes = {
+            (int(a1), int(a2))
+            for a1, a2 in zip(pdf["a1"], pdf["a2"])
+        } | {
+            (int(b1), int(b2))
+            for b1, b2 in zip(pdf["b1"], pdf["b2"])
+        }
+        roots = [find(n) for n in nodes]
+        yield pd.DataFrame({
+            "n1": [n[0] for n in nodes], "n2": [n[1] for n in nodes],
+            "r1": [r[0] for r in roots], "r2": [r[1] for r in roots],
+        })
 
 
-def _root_map_df(
-    parts: DataFrame, same_value_only: bool, connectivity: int = 4,
-    max_rounds: int = 32,
-) -> DataFrame:
-    """Distributed connected components over the cross-tile region
-    graph → (tkey, lab, rtkey, rlab) rows for every region whose root
-    differs from itself. Replaces the former driver-side union-find
-    (the r02 scale-killer: border-region count ~ pixels/tile_size on
-    noisy rasters, so collecting the edge list is O(perimeter) driver
-    memory).
+def cc_roots_df(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """Distributed connected components over an edge DataFrame with
+    two-long node keys (a1, a2)—(b1, b2) → (n1, n2, r1, r2) rows for
+    every node whose root differs from itself (root = lexicographic
+    component min). Replaces driver-side union-finds (the r02
+    scale-killer: collecting the edge list is O(edges) driver memory).
 
     Algorithm: iterative distributed union-find CONTRACTION. Each
     round runs a partition-local union-find inside mapInPandas (each
@@ -1916,19 +2177,16 @@ def _root_map_df(
     different local roots by different tasks yields a (root, root)
     edge in the contracted graph. Components collapse by roughly the
     partition count per round (hash mixing), so even path-shaped
-    region graphs (the hash-min worst case: rounds ~ graph diameter)
+    graphs (the hash-min worst case: rounds ~ graph diameter)
     converge in O(log_P E) rounds — 2-3 in practice. The cumulative
-    node→representative map is itself a DataFrame, remapped per round;
-    the driver only sees an is-converged flag (no edge data). Model:
-    Kiveris et al., "Connected Components in MapReduce and Beyond"
-    (SoCC'14) — alternating contraction rounds."""
-    spark = parts.sparkSession
-    edges = _cross_tile_edges(parts, same_value_only, connectivity)
-    cur = edges.select(
-        (F.col("ta") * _LAB_PACK + F.col("la")).alias("a"),
-        (F.col("tb") * _LAB_PACK + F.col("lb")).alias("b"),
-    ).filter(F.col("a") != F.col("b"))
-    # cumulative original-node → representative map
+    node→representative map is itself a DataFrame, remapped per
+    round; the driver only sees an is-converged flag (no edge data).
+    Model: Kiveris et al., "Connected Components in MapReduce and
+    Beyond" (SoCC'14) — alternating contraction rounds."""
+    spark = edges.sparkSession
+    cur = edges.select("a1", "a2", "b1", "b2").filter(
+        (F.col("a1") != F.col("b1")) | (F.col("a2") != F.col("b2"))
+    )
     mapping = None
     for _ in range(max_rounds):
         # materialize the round's edge list once (distributed), so the
@@ -1937,15 +2195,18 @@ def _root_map_df(
         if cur.isEmpty():
             break
         local = cur.mapInPandas(
-            _cc_contract_pdf, "node long, root long"
+            _cc_contract_pdf, "n1 long, n2 long, r1 long, r2 long"
         )
         # global representative per node this round = min local root;
         # extra local roots become contracted-graph edges
-        agg = local.groupBy("node").agg(
-            F.min("root").alias("gmin"),
-            F.collect_set("root").alias("roots"),
+        agg = local.groupBy("n1", "n2").agg(
+            F.min(F.struct("r1", "r2")).alias("gmin"),
+            F.collect_set(F.struct("r1", "r2")).alias("roots"),
         ).localCheckpoint(eager=True)
-        round_map = agg.select("node", F.col("gmin").alias("root"))
+        round_map = agg.select(
+            "n1", "n2",
+            F.col("gmin.r1").alias("r1"), F.col("gmin.r2").alias("r2"),
+        )
         if mapping is None:
             mapping = round_map
         else:
@@ -1953,39 +2214,59 @@ def _root_map_df(
             mapping = (
                 mapping.join(
                     round_map.select(
-                        F.col("node").alias("root"),
-                        F.col("root").alias("newroot"),
+                        F.col("n1").alias("r1"), F.col("n2").alias("r2"),
+                        F.col("r1").alias("nr1"), F.col("r2").alias("nr2"),
                     ),
-                    "root",
+                    ["r1", "r2"],
                     "left",
                 )
                 .select(
-                    "node",
-                    F.coalesce("newroot", "root").alias("root"),
+                    "n1", "n2",
+                    F.coalesce("nr1", "r1").alias("r1"),
+                    F.coalesce("nr2", "r2").alias("r2"),
                 )
                 .localCheckpoint(eager=True)
             )
+        other = agg.select(
+            F.col("gmin.r1").alias("a1"), F.col("gmin.r2").alias("a2"),
+            F.explode("roots").alias("rt"),
+        )
         cur = (
-            agg.select(
-                F.col("gmin").alias("a"),
-                F.explode("roots").alias("b"),
+            other.select(
+                "a1", "a2",
+                F.col("rt.r1").alias("b1"), F.col("rt.r2").alias("b2"),
             )
-            .filter(F.col("a") != F.col("b"))
+            .filter(
+                (F.col("a1") != F.col("b1"))
+                | (F.col("a2") != F.col("b2"))
+            )
             .distinct()
         )
     if mapping is None:
         return spark.createDataFrame(
-            [], "tkey long, lab long, rtkey long, rlab long"
+            [], "n1 long, n2 long, r1 long, r2 long"
         )
-    # unpack with integer ops only (doubles lose bits past 2^53)
-    return (
-        mapping.filter(F.col("root") != F.col("node"))
-        .select(
-            F.shiftright("node", 20).alias("tkey"),
-            (F.col("node") % _LAB_PACK).alias("lab"),
-            F.shiftright("root", 20).alias("rtkey"),
-            (F.col("root") % _LAB_PACK).alias("rlab"),
+    return mapping.filter(
+        (F.col("r1") != F.col("n1")) | (F.col("r2") != F.col("n2"))
+    )
+
+
+def _root_map_df(
+    parts: DataFrame, same_value_only: bool, connectivity: int = 4,
+) -> DataFrame:
+    """Cross-tile region root map (tkey, lab, rtkey, rlab) via the
+    distributed contraction (see cc_roots_df) — node key = the
+    (tkey, local label) pair, no packing limits."""
+    edges = _cross_tile_edges(parts, same_value_only, connectivity)
+    roots = cc_roots_df(
+        edges.select(
+            F.col("ta").alias("a1"), F.col("la").alias("a2"),
+            F.col("tb").alias("b1"), F.col("lb").alias("b2"),
         )
+    )
+    return roots.select(
+        F.col("n1").alias("tkey"), F.col("n2").alias("lab"),
+        F.col("r1").alias("rtkey"), F.col("r2").alias("rlab"),
     )
 
 

@@ -391,3 +391,59 @@ class TestHoledMethod:
         bset = _BSet(b)
         hits = bset.candidates((3 * 7 + 0.5, 0.5, 3 * 7 + 1.0, 1.0))
         assert [bset.ids[i] for i in hits] == [7]
+
+
+class TestIntersectionJoin:
+    """DataFrame × DataFrame layer algebra (no driver-resident B)."""
+
+    def test_matches_broadcast_path(self, spark):
+        from gdal_spark.operators.layer_algebra import (
+            intersection_join, intersection_pieces,
+        )
+
+        a_pdf = pd.DataFrame({
+            "a_id": [0, 1, 2],
+            "geom_wkb": [
+                wkb.polygon([sq(0, 0, 10, 10)]),
+                wkb.polygon([sq(20, 20, 30, 30)]),
+                wkb.polygon([sq(100, 100, 101, 101)]),  # hits nothing
+            ],
+        })
+        b_pdf = pd.DataFrame({
+            "poly_id": [0, 1],
+            "geom_wkb": [
+                # donut overlapping A0
+                wkb.polygon([sq(2, 2, 8, 8), sq(4, 4, 6, 6)]),
+                wkb.polygon([sq(25, 25, 40, 40)]),
+            ],
+        })
+        a_df = spark.createDataFrame(a_pdf)
+        b_df = spark.createDataFrame(
+            b_pdf.rename(columns={"poly_id": "b_id"})
+        )
+        rows = intersection_join(a_df, b_df, cell=8.0).collect()
+        agg = {}
+        for r in rows:
+            agg[(r.a_id, r.b_id)] = agg.get((r.a_id, r.b_id), 0.0) + r.area
+        ref = {}
+        for r in intersection_pieces(a_df, b_pdf).collect():
+            ref[(r.a_id, r.b_id)] = ref.get((r.a_id, r.b_id), 0.0) + r.area
+        assert set(agg) == set(ref)
+        for k in agg:
+            assert agg[k] == pytest.approx(ref[k])
+        assert agg[(0, 0)] == pytest.approx(32.0)  # hole excluded
+        assert agg[(1, 1)] == pytest.approx(25.0)
+
+    def test_plan_has_no_cross_join(self, spark):
+        from gdal_spark.operators.layer_algebra import intersection_join
+
+        a_df = spark.createDataFrame(pd.DataFrame({
+            "a_id": [0], "geom_wkb": [wkb.polygon([sq(0, 0, 4, 4)])],
+        }))
+        b_df = spark.createDataFrame(pd.DataFrame({
+            "b_id": [0], "geom_wkb": [wkb.polygon([sq(1, 1, 5, 5)])],
+        }))
+        plan = intersection_join(a_df, b_df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -416,3 +416,86 @@ def test_distributed_root_map_long_snake_component(spark):
     )
     assert got == expect
     assert len([g for g in got if g[0] == 1]) == 1  # one snake component
+
+
+class TestContourPolygons:
+    """Contour polygon mode (gdal_contour -p analog): per-cell
+    marching-squares band polygons → exact quantized areas; real ring
+    geometry with interior-edge cancellation + distributed stitch."""
+
+    def _tiles(self, spark, full, ts):
+        n = full.shape[0]
+        rows = []
+        for ty in range(n // ts):
+            for tx in range(n // ts):
+                rows.append(
+                    (0, tx, ty, ts, ts,
+                     full[ty * ts:(ty + 1) * ts,
+                          tx * ts:(tx + 1) * ts].tobytes())
+                )
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["z", "tx", "ty", "w", "h", "data"])
+        )
+
+    def _cone(self, n):
+        yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        r = np.sqrt((xx - n / 2) ** 2 + (yy - n / 2) ** 2)
+        return np.clip(200 - 14 * r, 0, 255).astype(np.uint8)
+
+    def test_area_monotone_and_exact_flat(self, spark):
+        from gdal_spark.operators.tiling import contour_polygon_areas
+
+        n, ts = 32, 16
+        full = self._cone(n)
+        tiles = self._tiles(spark, full, ts)
+        got = {
+            int(r.level): int(r.area_q8)
+            for r in contour_polygon_areas(
+                tiles, n, n, [50, 120, 190]
+            ).collect()
+        }
+        # areas strictly decrease with level for a cone
+        assert got[50] > got[120] > got[190] > 0
+        # fully-above level on a constant raster = whole cell grid
+        const = np.full((n, n), 80, dtype=np.uint8)
+        g2 = {
+            int(r.level): int(r.area_q8)
+            for r in contour_polygon_areas(
+                self._tiles(spark, const, ts), n, n, [10]
+            ).collect()
+        }
+        assert g2[10] == (n - 1) * (n - 1) * 10**8
+
+    def test_polygons_conserve_band_area_and_cross_tiles(self, spark):
+        from gdal_spark.operators.tiling import (
+            contour_polygon_areas, contour_polygons,
+        )
+
+        n, ts = 32, 8  # region spans 4x4 tile grid
+        full = self._cone(n)
+        tiles = self._tiles(spark, full, ts)
+        lv = 100
+        polys = contour_polygons(tiles, n, n, lv).collect()
+        assert len(polys) == 1  # one connected above-region
+        want = {
+            int(r.level): int(r.area_q8)
+            for r in contour_polygon_areas(tiles, n, n, [lv]).collect()
+        }[lv]
+        assert abs(polys[0].area - want / 1e8) < 1e-5
+        assert polys[0].n_holes == 0
+
+    def test_crater_yields_hole(self, spark):
+        from gdal_spark.operators.tiling import contour_polygons
+
+        n, ts = 32, 16
+        yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        r = np.sqrt((xx - 16) ** 2 + (yy - 16) ** 2)
+        # high ring: above level for 4 < r < 12, below in the crater
+        full = np.where((r > 4) & (r < 12), 180, 20).astype(np.uint8)
+        polys = contour_polygons(self._tiles(spark, full, ts), n, n, 100).collect()
+        assert len(polys) == 1
+        assert polys[0].n_holes == 1
+        from gdal_spark import wkb as wkb_mod
+
+        rings = wkb_mod.polygon_rings(bytes(polys[0].geom_wkb))[0]
+        assert len(rings) == 2
