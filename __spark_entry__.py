@@ -1582,6 +1582,165 @@ def _q_rs_fill_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rs_fill_all_touched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon ALL_TOUCHED rasterization (alg/gdalrasterize.cpp
+    :779-817): interior center-fill PLUS every cell the boundary
+    touches (GDALdllImageLineAllTouched sweep over ring edges)."""
+    from gdal_spark.operators.tiling import rasterize_polygons_count
+
+    return rasterize_polygons_count(
+        spark, _polygons_pdf(), 360, 180, -180.0, 90.0, 1.0, -1.0,
+        tile_size=64, all_touched=True,
+    )
+
+
+def _fill_all_touched_oracle_sql() -> str:
+    """Center-inside cells (even-odd ray cast) UNION the per-edge
+    x-major column-sweep cells, in pixel coords px = x + 180,
+    py = 90 − y (exact for the 1° grid)."""
+    return f"""
+        WITH px AS (
+          SELECT -180e0 + (CAST(a.i AS BIGINT) + 0.5e0) AS cx,
+                 90e0 - (CAST(b.j AS BIGINT) + 0.5e0) AS cy
+          FROM generate_series(0, 359) a(i)
+          CROSS JOIN generate_series(0, 179) b(j)),
+        edges(poly_id, x1, y1, x2, y2) AS (VALUES {_edges_values_sql()}),
+        crossings AS (
+          SELECT p.cx, p.cy, e.poly_id,
+            CASE WHEN (((e.y1 - p.cy) > 0 AND (e.y2 - p.cy) <= 0)
+                    OR ((e.y2 - p.cy) > 0 AND (e.y1 - p.cy) <= 0))
+                  AND ((e.x1 - p.cx) * (e.y2 - p.cy)
+                     - (e.x2 - p.cx) * (e.y1 - p.cy))
+                      / ((e.y2 - p.cy) - (e.y1 - p.cy)) > 0
+            THEN 1 ELSE 0 END AS c
+          FROM px p CROSS JOIN edges e),
+        icells AS (
+          SELECT poly_id,
+                 CAST(cx + 180e0 - 0.5e0 AS BIGINT) AS c,
+                 CAST(90e0 - cy - 0.5e0 AS BIGINT) AS r
+          FROM crossings
+          GROUP BY cx, cy, poly_id HAVING SUM(c) % 2 = 1),
+        pe AS (
+          SELECT poly_id,
+                 (x1 - -180e0) / 1e0 AS ex0, (y1 - 90e0) / -1e0 AS ey0,
+                 (x2 - -180e0) / 1e0 AS ex1, (y2 - 90e0) / -1e0 AS ey1
+          FROM edges),
+        nrm AS (
+          SELECT poly_id,
+                 CASE WHEN ex0 <= ex1 THEN ex0 ELSE ex1 END AS x0,
+                 CASE WHEN ex0 <= ex1 THEN ey0 ELSE ey1 END AS y0,
+                 CASE WHEN ex0 <= ex1 THEN ex1 ELSE ex0 END AS x1,
+                 CASE WHEN ex0 <= ex1 THEN ey1 ELSE ey0 END AS y1
+          FROM pe),
+        cols AS (
+          SELECT poly_id, x0, y0, x1, y1, CAST(t.c AS BIGINT) AS c
+          FROM nrm CROSS JOIN generate_series(0, 359) t(c)
+          WHERE t.c >= GREATEST(CAST(FLOOR(x0) AS BIGINT), 0)
+            AND t.c <= LEAST(CAST(FLOOR(x1) AS BIGINT), 359)),
+        spans AS (
+          SELECT poly_id, c,
+                 CASE WHEN x1 = x0 THEN y0
+                      ELSE y0 + (GREATEST(CAST(c AS DOUBLE), x0) - x0)
+                               * (y1 - y0) / (x1 - x0) END AS ya,
+                 CASE WHEN x1 = x0 THEN y1
+                      ELSE y0 + (LEAST(CAST(c + 1 AS DOUBLE), x1) - x0)
+                               * (y1 - y0) / (x1 - x0) END AS yb
+          FROM cols),
+        rng AS (
+          SELECT poly_id, c,
+                 GREATEST(CAST(FLOOR(LEAST(ya, yb)) AS BIGINT), 0) AS r0,
+                 LEAST(CAST(FLOOR(GREATEST(ya, yb)) AS BIGINT), 179) AS r1
+          FROM spans),
+        ecells AS (
+          SELECT poly_id, c, CAST(t.r AS BIGINT) AS r
+          FROM rng CROSS JOIN generate_series(0, 179) t(r)
+          WHERE t.r >= r0 AND t.r <= r1),
+        allc AS (
+          SELECT poly_id, c, r FROM icells
+          UNION
+          SELECT poly_id, c, r FROM ecells)
+        SELECT poly_id, COUNT(*) AS n_filled FROM allc GROUP BY poly_id"""
+
+
+def _addmode_pdf() -> pd.DataFrame:
+    """Overlapping integer rectangles + the concave C polygon — depths
+    up to ~6 overlap for the MERGE_ALG=ADD fixture."""
+    from gdal_spark import wkb
+
+    rows = []
+    shapes = {}
+    for k in range(12):
+        xa, ya = -100 + 11 * k, -45 + 6 * k
+        shapes[k] = [
+            (xa, ya), (xa + 50, ya), (xa + 50, ya + 35),
+            (xa, ya + 35), (xa, ya),
+        ]
+    shapes[12] = POLYGONS[0]  # concave C
+    for pid, ring in shapes.items():
+        arr = np.array(ring, dtype=float)
+        rows.append({
+            "poly_id": pid,
+            "geom_wkb": wkb.polygon([arr]),
+            "bbox_minx": float(arr[:, 0].min()),
+            "bbox_miny": float(arr[:, 1].min()),
+            "bbox_maxx": float(arr[:, 0].max()),
+            "bbox_maxy": float(arr[:, 1].max()),
+        })
+    return pd.DataFrame(rows)
+
+
+def _addmode_edges_values() -> str:
+    from gdal_spark import wkb
+
+    vals = []
+    for _, row in _addmode_pdf().iterrows():
+        ring = wkb.polygon_rings(bytes(row["geom_wkb"]))[0][0]
+        for k in range(len(ring) - 1):
+            x1, y1 = ring[k + 1]
+            x2, y2 = ring[k]
+            vals.append(
+                f"({int(row['poly_id'])}, {x1:.0f}e0, {y1:.0f}e0,"
+                f" {x2:.0f}e0, {y2:.0f}e0)"
+            )
+    return ", ".join(vals)
+
+
+def _q_rs_rasterize_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE_ALG=ADD rasterization (additive burn, alg/gdalrasterize
+    .cpp): coverage-depth histogram of an overlapping polygon stack."""
+    from gdal_spark.operators.tiling import rasterize_polygons_add
+
+    return rasterize_polygons_add(
+        spark, _addmode_pdf(), 360, 180, -180.0, 90.0, 1.0, -1.0,
+        tile_size=64,
+    )
+
+
+def _rasterize_add_oracle_sql() -> str:
+    return f"""
+        WITH px AS (
+          SELECT -180e0 + (CAST(a.i AS BIGINT) + 0.5e0) AS cx,
+                 90e0 - (CAST(b.j AS BIGINT) + 0.5e0) AS cy
+          FROM generate_series(0, 359) a(i)
+          CROSS JOIN generate_series(0, 179) b(j)),
+        edges(poly_id, x1, y1, x2, y2) AS (VALUES {_addmode_edges_values()}),
+        crossings AS (
+          SELECT p.cx, p.cy, e.poly_id,
+            CASE WHEN (((e.y1 - p.cy) > 0 AND (e.y2 - p.cy) <= 0)
+                    OR ((e.y2 - p.cy) > 0 AND (e.y1 - p.cy) <= 0))
+                  AND ((e.x1 - p.cx) * (e.y2 - p.cy)
+                     - (e.x2 - p.cx) * (e.y1 - p.cy))
+                      / ((e.y2 - p.cy) - (e.y1 - p.cy)) > 0
+            THEN 1 ELSE 0 END AS c
+          FROM px p CROSS JOIN edges e),
+        inside AS (
+          SELECT cx, cy, poly_id FROM crossings
+          GROUP BY cx, cy, poly_id HAVING SUM(c) % 2 = 1),
+        depth AS (
+          SELECT cx, cy, COUNT(*) AS d FROM inside GROUP BY cx, cy)
+        SELECT d AS val, COUNT(*) AS n_pixels FROM depth GROUP BY d"""
+
+
 def _pyramid_oracle_sql() -> str:
     from gdal_spark import mercator
 
@@ -2835,6 +2994,8 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_sieve_checksum": _q_rs_sieve,
     "rs_proximity": _q_rs_proximity,
     "rs_fill_polygons": _q_rs_fill_polygons,
+    "rs_fill_all_touched": _q_rs_fill_all_touched,
+    "rs_rasterize_add": _q_rs_rasterize_add,
     "q_ogr_sql": _q_ogr_sql,
     "q_ogr_sql_join": _q_ogr_sql_join,
     "q_first_match_join": _q_first_match_join,
@@ -2861,6 +3022,8 @@ ENGINE_ORACLES: dict[str, str] = {
     "sp_utm_inverse": _utm_inverse_oracle_sql(),
     "geo_area_geodesic": _geodesic_oracle_sql(),
     "geo_layer_algebra_big": _layer_algebra_oracle_sql(),
+    "rs_fill_all_touched": _fill_all_touched_oracle_sql(),
+    "rs_rasterize_add": _rasterize_add_oracle_sql(),
     "geo_layer_algebra": _layer_algebra_oracle_sql(),
     "geo_st_predicates": _st_predicates_oracle_sql(),
     "sp_pip_full_fixture": PIP_ORACLE_SQL.format(
@@ -3075,6 +3238,10 @@ RETIRED_GATES: dict[str, str] = {
                          "geo_area_geodesic (ellipsoidal arithmetic)",
     "tx_quality": "tx_lang_id (same marker-count REPLACE arithmetic) + "
                   "tx_token_count",
+    "rs_fill_polygons": "rs_fill_all_touched (same center fill + the "
+                        "boundary sweep) + rs_rasterize_add",
+    "rs_burn_lines": "rs_fill_all_touched (same ALL_TOUCHED column "
+                     "sweep, over ring edges)",
 }
 
 

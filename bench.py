@@ -35,18 +35,26 @@ HEADLINE = [
     "sp_idw_grid",
     # vector geometry / layer algebra
     "geo_layer_algebra",
+    "geo_layer_algebra_big",
     "geo_st_predicates",
+    "geo_clip_lines",
+    "geo_area_geodesic",
     # raster / tiling
     "rs_pyramid_checksum",
     "rs_warp_nearest",
     "rs_warp_bilinear",
     "rs_warp_cubic",
+    "rs_warp_utm",
     "rs_warp_aggregate",
     "rs_overview_resamplers",
     "rs_contour_lines",
+    "rs_contour_polygons",
     "rs_polygonize",
     "rs_grid_linear",
     "rs_burn_lines",
+    "rs_fill_all_touched",
+    "rs_rasterize_add",
+    "sp_utm_inverse",
     # relational spine (incl. the OGR SQL front-end)
     "q1_pricing_summary",
     "q3_shipping_topk",

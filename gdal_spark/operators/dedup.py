@@ -193,7 +193,10 @@ def minhash_lsh_pairs(
     # full-corpus pass — the whole point of the LSH stage).
     # The candidate set feeds THREE consumers (two semi-joins + the
     # pair restriction): persist so the banding computes once (the
-    # shared InMemoryRelation is reused inside the single job).
+    # shared InMemoryRelation is reused inside the single job). The
+    # cache is intentionally NOT unpersisted here — the returned plan
+    # still references it lazily, so there is no safe earlier release
+    # point; it ages out of the session's LRU store.
     cand = cand.persist()
     return ngram_jaccard_pairs(
         df, id_col, text_col, n, threshold_num, threshold_den,

@@ -97,3 +97,73 @@ def clip_polygons_to_cells(
             rows, columns=["poly_id", "cell_id", "piece_wkb", "area_q6"]
         )
     )
+
+
+def concave_hull(points: np.ndarray, ratio: float = 0.3) -> np.ndarray:
+    """Concave hull of a point set (OGRGeometry::ConcaveHull,
+    ogr/ogrgeometry.cpp:4305; GEOS ConcaveHullOfPoints role) as an
+    alpha shape over the engine's own Delaunay triangulation: keep
+    triangles whose longest edge ≤ minLen + ratio·(maxLen − minLen)
+    (GEOS's maximum-edge-length-ratio parameterization), then trace
+    the boundary — edges used by exactly one kept triangle — into the
+    outer ring. ratio=1 reproduces the convex hull. Returns a CLOSED
+    ring; falls back to the convex hull if the kept set collapses or
+    the boundary is disconnected."""
+    from .grid import delaunay_triangulate
+
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    if len(pts) < 4:
+        return geometry.convex_hull(pts)
+    tris = delaunay_triangulate(pts)
+    if not tris:
+        return geometry.convex_hull(pts)
+
+    def elen(i, j):
+        d = pts[i] - pts[j]
+        return float(np.hypot(d[0], d[1]))
+
+    lens = [
+        elen(a, b)
+        for t in tris
+        for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0]))
+    ]
+    lo, hi = min(lens), max(lens)
+    thr = lo + ratio * (hi - lo)
+    kept = [
+        t
+        for t in tris
+        if max(
+            elen(t[0], t[1]), elen(t[1], t[2]), elen(t[2], t[0])
+        ) <= thr
+    ]
+    if not kept:
+        return geometry.convex_hull(pts)
+    # boundary edges appear in exactly one kept triangle
+    count: dict[tuple, int] = {}
+    directed: dict[tuple, tuple] = {}
+    for t in kept:
+        for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            k = (min(a, b), max(a, b))
+            count[k] = count.get(k, 0) + 1
+            directed[k] = (a, b)  # CCW triangle orientation
+    nxt: dict[int, int] = {}
+    for k, c in count.items():
+        if c == 1:
+            a, b = directed[k]
+            nxt[a] = b
+    if not nxt:
+        return geometry.convex_hull(pts)
+    start = min(nxt)
+    ring_idx = [start]
+    cur = nxt[start]
+    guard = 0
+    while cur != start and guard <= len(nxt):
+        ring_idx.append(cur)
+        cur = nxt.get(cur, start)
+        guard += 1
+    if guard > len(nxt) or len(ring_idx) != len(nxt):
+        # boundary split into several loops / pinched — refuse rather
+        # than emit a non-simple ring
+        return geometry.convex_hull(pts)
+    ring = pts[ring_idx]
+    return np.vstack([ring, ring[:1]])

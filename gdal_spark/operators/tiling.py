@@ -224,6 +224,45 @@ def overview_gauss(tiles: DataFrame) -> DataFrame:
     )
 
 
+def overview_cubic(tiles: DataFrame) -> DataFrame:
+    """CUBIC overview level (gcore/overview.cpp:3150 convolution path,
+    absent in r02): 8-tap Catmull-Rom decimation per axis needs 3
+    pixels beyond the tile — one halo exchange, then the same
+    parent-quadrant assembly as overview_level."""
+    padded = add_halo(tiles, pad=3)
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = int(pdf["w"].iloc[0])
+        half = ts // 2
+        out = np.zeros((ts, ts), dtype=np.uint8)
+        for _, row in pdf.iterrows():
+            p = int(row["pad"])
+            a = np.frombuffer(row["data"], dtype=np.uint8).reshape(
+                int(row["h"]) + 2 * p, int(row["w"]) + 2 * p
+            )
+            red = raster.cubic_decimate_2x(a, pad=p)
+            qx = int(row["tx"]) % 2
+            qy = int(row["ty"]) % 2
+            out[qy * half:(qy + 1) * half, qx * half:(qx + 1) * half] = red
+        return pd.DataFrame(
+            {
+                "z": [int(pdf["z"].iloc[0]) - 1],
+                "tx": [int(pdf["tx"].iloc[0]) // 2],
+                "ty": [int(pdf["ty"].iloc[0]) // 2],
+                "w": [ts],
+                "h": [ts],
+                "data": [out.tobytes()],
+            }
+        )
+
+    parent = padded.withColumn(
+        "ptx", (F.col("tx") / 2).cast("long")
+    ).withColumn("pty", (F.col("ty") / 2).cast("long"))
+    return parent.groupBy("z", "ptx", "pty").applyInPandas(
+        reduce_group, TILE_SCHEMA
+    )
+
+
 def pyramid(
     base: DataFrame, base_zoom: int, min_zoom: int = 0, method: str = "average"
 ) -> DataFrame:
@@ -1557,6 +1596,37 @@ def point_probe_nearest(
     return hit.unionByName(miss)
 
 
+def _edge_all_touched_mask(
+    mask: np.ndarray,
+    px0: float, py0: float, px1: float, py1: float,
+    c_lo: int, r_lo: int, grid_w: int, grid_h: int,
+) -> None:
+    """Burn the ALL_TOUCHED cells of one edge (PIXEL coords) into the
+    tile-local ``mask`` (tile origin (c_lo, r_lo)) — the x-major
+    column sweep of GDALdllImageLineAllTouched (alg/llrasterize.cpp
+    :233), arithmetic mirroring the SQL oracle expression-for-
+    expression."""
+    th, tw = mask.shape
+    if px0 <= px1:
+        x0, y0, x1, y1 = px0, py0, px1, py1
+    else:
+        x0, y0, x1, y1 = px1, py1, px0, py0
+    c0 = max(c_lo, int(np.floor(x0)), 0)
+    c1 = min(c_lo + tw - 1, int(np.floor(x1)), grid_w - 1)
+    for c in range(c0, c1 + 1):
+        if x1 == x0:
+            ya, yb = y0, y1
+        else:
+            ya = y0 + (max(float(c), x0) - x0) * (y1 - y0) / (x1 - x0)
+            yb = y0 + (min(float(c + 1), x1) - x0) * (y1 - y0) / (x1 - x0)
+        r0 = max(int(np.floor(min(ya, yb))), 0)
+        r1 = min(int(np.floor(max(ya, yb))), grid_h - 1)
+        r0t = max(r0, r_lo)
+        r1t = min(r1, r_lo + th - 1)
+        if r1t >= r0t:
+            mask[r0t - r_lo : r1t - r_lo + 1, c - c_lo] = True
+
+
 def rasterize_polygons_count(
     spark: SparkSession,
     polygons_pdf: pd.DataFrame,
@@ -1567,11 +1637,15 @@ def rasterize_polygons_count(
     xres: float,
     yres: float,
     tile_size: int = 64,
+    all_touched: bool = False,
 ) -> DataFrame:
     """Burn every polygon onto a (grid_w x grid_h) pixel grid and count
     filled pixels per polygon (GDALdllImageFilledPolygon center-inside
     semantics, alg/llrasterize.cpp:58; chunked like
     GDALRasterizeGeometries, alg/gdalrasterize.cpp:888).
+    ``all_touched=True`` additionally burns every cell touched by a
+    ring edge (the polygon ALL_TOUCHED option: interior fill + line
+    ALL_TOUCHED over the boundary, alg/gdalrasterize.cpp:779-817).
 
     Distribution: the tile grid fans out via spark.range; polygon
     rings ship once per executor as a broadcast; per-tile partial
@@ -1618,6 +1692,20 @@ def rasterize_polygons_count(
                         mask |= raster.fill_polygon_mask(
                             part, tw, th, tx0, ty0, xres, yres
                         )
+                    if all_touched:
+                        c_lo = txi * tile_size
+                        r_lo = tyi * tile_size
+                        for part in parts:
+                            for ring in part:
+                                for k in range(len(ring) - 1):
+                                    _edge_all_touched_mask(
+                                        mask,
+                                        (ring[k][0] - x0) / xres,
+                                        (ring[k][1] - y0) / yres,
+                                        (ring[k + 1][0] - x0) / xres,
+                                        (ring[k + 1][1] - y0) / yres,
+                                        c_lo, r_lo, grid_w, grid_h,
+                                    )
                     n = int(mask.sum())
                     if n:
                         counts[pid] = counts.get(pid, 0) + n
@@ -1632,6 +1720,89 @@ def rasterize_polygons_count(
         burn, "poly_id long, n_filled long"
     )
     return parts.groupBy("poly_id").agg(F.sum("n_filled").alias("n_filled"))
+
+
+def rasterize_polygons_add(
+    spark: SparkSession,
+    polygons_pdf: pd.DataFrame,
+    grid_w: int,
+    grid_h: int,
+    x0: float,
+    y0: float,
+    xres: float,
+    yres: float,
+    tile_size: int = 64,
+) -> DataFrame:
+    """MERGE_ALG=ADD rasterization (alg/gdalrasterize.cpp burn-merge
+    add path): every polygon adds 1 to each center-inside pixel;
+    output is the coverage-depth histogram (val, n_pixels) for
+    val ≥ 1 — overlap depths accumulate instead of overwriting.
+
+    Same distribution as rasterize_polygons_count: tile fan-out via
+    spark.range, broadcast rings, per-tile bincount partials reduced
+    by a tiny groupBy(val)."""
+    from .. import wkb
+
+    rings = {
+        int(pid): wkb.polygon_rings(bytes(buf))
+        for pid, buf in zip(
+            polygons_pdf["poly_id"], polygons_pdf["geom_wkb"]
+        )
+    }
+    bboxes = {
+        int(pid): (float(bx0), float(by0), float(bx1), float(by1))
+        for pid, bx0, by0, bx1, by1 in zip(
+            polygons_pdf["poly_id"], polygons_pdf["bbox_minx"],
+            polygons_pdf["bbox_miny"], polygons_pdf["bbox_maxx"],
+            polygons_pdf["bbox_maxy"],
+        )
+    }
+    rings_bc = spark.sparkContext.broadcast((rings, bboxes))
+    nx = (grid_w + tile_size - 1) // tile_size
+    ny = (grid_h + tile_size - 1) // tile_size
+
+    def burn(batches):
+        rings_by_pid, bbox_by_pid = rings_bc.value
+        for pdf in batches:
+            counts: dict[int, int] = {}
+            for tid in pdf["id"]:
+                txi, tyi = int(tid) % nx, int(tid) // nx
+                tw = min(tile_size, grid_w - txi * tile_size)
+                th = min(tile_size, grid_h - tyi * tile_size)
+                tx0 = x0 + txi * tile_size * xres
+                ty0 = y0 + tyi * tile_size * yres
+                gx_lo, gx_hi = sorted((tx0, tx0 + tw * xres))
+                gy_lo, gy_hi = sorted((ty0, ty0 + th * yres))
+                acc = np.zeros((th, tw), dtype=np.int64)
+                for pid, parts in rings_by_pid.items():
+                    bx0, by0, bx1, by1 = bbox_by_pid[pid]
+                    if (bx1 < gx_lo or bx0 > gx_hi
+                            or by1 < gy_lo or by0 > gy_hi):
+                        continue
+                    mask = np.zeros((th, tw), dtype=bool)
+                    for part in parts:
+                        mask |= raster.fill_polygon_mask(
+                            part, tw, th, tx0, ty0, xres, yres
+                        )
+                    acc += mask
+                vals = acc[acc > 0]
+                if vals.size:
+                    bc = np.bincount(vals)
+                    for v in np.nonzero(bc)[0]:
+                        counts[int(v)] = counts.get(int(v), 0) + int(
+                            bc[v]
+                        )
+            yield pd.DataFrame(
+                {
+                    "val": list(counts.keys()),
+                    "n_pixels": list(counts.values()),
+                }
+            )
+
+    parts = spark.range(0, nx * ny, 1, min(nx * ny, 32)).mapInPandas(
+        burn, "val long, n_pixels long"
+    )
+    return parts.groupBy("val").agg(F.sum("n_pixels").alias("n_pixels"))
 
 
 def burn_lines_all_touched(

@@ -397,6 +397,34 @@ def block_reduce_2x2(arr: np.ndarray, method: str = "average") -> np.ndarray:
     raise ValueError(f"unknown method {method!r}")
 
 
+# Catmull-Rom weights for 2× decimation at half-pixel phase, ×128:
+# t = ±0.25, ±0.75, ±1.25, ±1.75 → all dyadic → integer-exact math
+_CUBIC_DEC_W = np.array([-3, -9, 29, 111, 111, 29, -9, -3], dtype=np.int64)
+
+
+def cubic_decimate_2x(padded: np.ndarray, pad: int = 3) -> np.ndarray:
+    """CUBIC overview reduce (gcore/overview.cpp:3150 convolution
+    path, Catmull-Rom, ratio 2): dst pixel i gathers src pixels
+    2i−3..2i+4 per axis with the fixed dyadic 8-tap kernel (×128 per
+    axis, /65536 total, half-up, clamped). ``padded`` carries a
+    ``pad`` ≥ 3 halo."""
+    a = padded.astype(np.int64)
+    h2, w2 = a.shape
+    ts_h, ts_w = h2 - 2 * pad, w2 - 2 * pad
+    half_h, half_w = ts_h // 2, ts_w // 2
+    # horizontal pass: out[:, i] = Σ_o w[o] * a[:, pad + 2i + o - 3]
+    hor = np.zeros((h2, half_w), dtype=np.int64)
+    for o in range(8):
+        cols = pad - 3 + o + 2 * np.arange(half_w)
+        hor += _CUBIC_DEC_W[o] * a[:, cols]
+    out = np.zeros((half_h, half_w), dtype=np.int64)
+    for o in range(8):
+        rows = pad - 3 + o + 2 * np.arange(half_h)
+        out += _CUBIC_DEC_W[o] * hor[rows, :]
+    out = (out + 32768) >> 16  # floor((x + 0.5·65536)/65536): half-up
+    return np.clip(out, 0, 255).astype(padded.dtype)
+
+
 def gauss_3x3(padded: np.ndarray) -> np.ndarray:
     """GAUSS overview reduce (gcore/overview.cpp:1842): decimate by 2
     with the normalized 3x3 binomial kernel {1,2,1}⊗{1,2,1}/16 centered

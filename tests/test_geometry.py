@@ -319,3 +319,51 @@ class TestBufferMakeValid:
         parts = geometry.make_valid(sq)
         assert len(parts) == 1
         assert abs(geometry.ring_area(parts[0])) == pytest.approx(4.0)
+
+
+class TestConcaveHull:
+    def _c_points(self):
+        # dense samples of a C shape: concave hull must exclude the
+        # mouth that the convex hull spans
+        pts = []
+        for x in range(0, 11):
+            for y in range(0, 11):
+                inside = (x <= 3) or (y <= 3) or (y >= 7)
+                if inside:
+                    pts.append((float(x), float(y)))
+        return np.array(pts)
+
+    def test_concave_tighter_than_convex(self):
+        from gdal_spark import geometry
+        from gdal_spark.operators.geom_ops import concave_hull
+
+        pts = self._c_points()
+        ch = geometry.convex_hull(pts)
+        cc = concave_hull(pts, ratio=0.15)
+        a_convex = abs(geometry.ring_area(ch))
+        a_concave = abs(geometry.ring_area(cc))
+        assert a_convex == 100.0  # 10x10 bounding square
+        # true C area = 100 - mouth (7x3... x in (3,10], y in (3,7))
+        assert a_concave < a_convex - 10
+        assert a_concave > 50
+        # closed simple ring
+        assert (cc[0] == cc[-1]).all()
+
+    def test_ratio_one_is_convex_hull(self):
+        from gdal_spark import geometry
+        from gdal_spark.operators.geom_ops import concave_hull
+
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(0, 50, size=(60, 2))
+        cc = concave_hull(pts, ratio=1.0)
+        ch = geometry.convex_hull(pts)
+        assert abs(
+            abs(geometry.ring_area(cc)) - abs(geometry.ring_area(ch))
+        ) < 1e-9
+
+    def test_few_points_fallback(self):
+        from gdal_spark.operators.geom_ops import concave_hull
+
+        pts = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+        out = concave_hull(pts)
+        assert len(out) >= 3

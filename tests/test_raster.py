@@ -358,3 +358,37 @@ def test_warp_lanczos_matches_scalar_reference():
     # integer centers interpolate exactly (sinc property)
     v = raster.warp_lanczos(src, np.array([[9.5]]), np.array([[11.5]]))
     assert abs(v[0, 0] - src[11, 9]) < 1e-9
+
+
+class TestCubicOverview:
+    def test_constant_preserved_and_kernel_sum(self):
+        from gdal_spark import raster
+
+        pad = 3
+        a = np.full((16 + 2 * pad, 16 + 2 * pad), 77, dtype=np.uint8)
+        out = raster.cubic_decimate_2x(a, pad=pad)
+        assert out.shape == (8, 8)
+        np.testing.assert_array_equal(out, 77)
+
+    def test_matches_float_reference(self):
+        from gdal_spark import raster
+
+        rng = np.random.default_rng(11)
+        pad = 3
+        core = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+        a = np.pad(core, pad, mode="edge")
+        got = raster.cubic_decimate_2x(a, pad=pad).astype(np.float64)
+        w = raster._CUBIC_DEC_W.astype(np.float64) / 256.0
+        ref = np.zeros((16, 16))
+        af = a.astype(np.float64)
+        for i in range(16):
+            for j in range(16):
+                acc = 0.0
+                for oy in range(8):
+                    for ox in range(8):
+                        acc += (
+                            w[oy] * w[ox]
+                            * af[pad - 3 + 2 * i + oy, pad - 3 + 2 * j + ox]
+                        )
+                ref[i, j] = min(max(np.floor(acc + 0.5), 0), 255)
+        np.testing.assert_array_equal(got, ref)

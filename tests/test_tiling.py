@@ -499,3 +499,93 @@ class TestContourPolygons:
 
         rings = wkb_mod.polygon_rings(bytes(polys[0].geom_wkb))[0]
         assert len(rings) == 2
+
+
+class TestRasterizeVariants:
+    """Polygon ALL_TOUCHED and MERGE_ALG=ADD (alg/gdalrasterize.cpp
+    :779-817 / additive burn)."""
+
+    def _pdf(self):
+        ring = np.array(
+            [[3.0, 2.0], [17.5, 2.0], [17.5, 11.5], [3.0, 11.5],
+             [3.0, 2.0]]
+        )
+        ring2 = ring + np.array([6.0, 4.0])
+        rows = []
+        for pid, r in enumerate((ring, ring2)):
+            rows.append({
+                "poly_id": pid,
+                "geom_wkb": __import__(
+                    "gdal_spark.wkb", fromlist=["wkb"]
+                ).polygon([r]),
+                "bbox_minx": float(r[:, 0].min()),
+                "bbox_miny": float(r[:, 1].min()),
+                "bbox_maxx": float(r[:, 0].max()),
+                "bbox_maxy": float(r[:, 1].max()),
+            })
+        return pd.DataFrame(rows)
+
+    def test_all_touched_superset_and_exact(self, spark):
+        from gdal_spark.operators.tiling import rasterize_polygons_count
+
+        pdf = self._pdf()
+        # identity geotransform: geo == pixel coords, grid 32x32
+        args = (32, 32, 0.0, 32.0, 1.0, -1.0)
+        center = {
+            r.poly_id: r.n_filled
+            for r in rasterize_polygons_count(
+                spark, pdf, *args, tile_size=8
+            ).collect()
+        }
+        touched = {
+            r.poly_id: r.n_filled
+            for r in rasterize_polygons_count(
+                spark, pdf, *args, tile_size=8, all_touched=True
+            ).collect()
+        }
+        # poly 0: x in [3, 17.5], y in [2, 11.5] (pixel y = 32 - geo y
+        # -> py in [20.5, 30]). centers: 14 cols x 9 rows; touched:
+        # cols 3..17 (15), rows 20..30 (11 — the bottom edge lies
+        # exactly ON py=30, and the sweep burns a row its span
+        # touches, GDALdllImageLineAllTouched convention)
+        assert center[0] == 14 * 9
+        assert touched[0] == 15 * 11
+        assert all(touched[p] > center[p] for p in center)
+
+    def test_add_mode_histogram(self, spark):
+        from gdal_spark.operators.tiling import rasterize_polygons_add
+
+        pdf = self._pdf()
+        hist = {
+            r.val: r.n_pixels
+            for r in rasterize_polygons_add(
+                spark, pdf, 32, 32, 0.0, 32.0, 1.0, -1.0, tile_size=8
+            ).collect()
+        }
+        # overlap of the two rects: x [9, 17.5], y [6, 11.5] -> 8x5
+        # centers = 40 depth-2 pixels; singles = 2*126 - 2*40
+        assert hist[2] == 8 * 5
+        assert hist[1] == 2 * (14 * 9) - 2 * (8 * 5)
+        assert hist[1] + 2 * hist[2] == 2 * 14 * 9
+
+
+def test_overview_cubic_matches_whole_array(spark):
+    """CUBIC overview (8-tap Catmull-Rom decimation) through the halo
+    exchange equals the whole-array kernel; tile borders invisible."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.operators.tiling import formula_tiles, overview_cubic
+
+    n, ts = 2, 64
+    tiles = formula_tiles(spark, n, n, ts).withColumn("z", F.lit(5))
+    out = {
+        (int(r["tx"]), int(r["ty"])): np.frombuffer(
+            r["data"], dtype=np.uint8
+        ).reshape(ts, ts)
+        for _, r in overview_cubic(tiles).toPandas().iterrows()
+    }
+    assert set(out) == {(0, 0)}
+    full = raster.formula_block(0, 0, n * ts, n * ts)
+    padded = np.pad(full, 3, mode="constant")
+    want = raster.cubic_decimate_2x(padded, pad=3)
+    np.testing.assert_array_equal(out[(0, 0)], want)

@@ -24,8 +24,12 @@ SF = "/root/testdata/sf0.001"
 NOTES = {
     "spatial_join": """Intended shape: the point side NEVER shuffles — cell ids are
 codegen'd projections, the cover table broadcasts (BroadcastHashJoin),
-the PIP pandas UDF (ArrowEvalPython) sits after the join on the
-boundary-cell slice only. One narrow pipeline source→result.""",
+the PIP pandas UDF (ArrowEvalPython) sits after the join. Catalyst
+extracts Python UDFs and evaluates them on every candidate row, so the
+full-cover shortcut lives INSIDE the kernel: the `full` column is the
+UDF's 4th argument and full-cell rows resolve to a vectorized mask
+copy (zero ray-cast work) — Arrow transfer is the only per-row cost
+for interior hits. One narrow pipeline source→result.""",
     "spatial_join_count": """Same join core + a partial HashAggregate before the single
 exchange on poly_id (map-side combine; ~100 groups).""",
     "burn_points_tiles": """Shuffles carry DEDUPED PIXELS, not points: partial_count
@@ -53,6 +57,12 @@ never carries pixels.""",
     "idw_grid_quantized": """IDW scatter: offsets explode + weight arithmetic are pure
 codegen (WholeStageCodegen, no Python anywhere), partial HashAggregate
 sits before the single exchange on (cell_ix, cell_iy).""",
+    "intersection_join": """DataFrame×DataFrame layer algebra: both sides map to grid
+cell-cover rows, candidate pairs come from an EQUI-join on cell_id
+(SortMergeJoin/ShuffledHashJoin — no CartesianProduct, no
+BroadcastNestedLoopJoin, no driver-resident method layer), pairs
+dedupe, geometries join back by id, and the clip kernel is one final
+mapInPandas. Every shuffle is keyed; AQE handles hot-cell skew.""",
 }
 
 
@@ -129,6 +139,12 @@ def main() -> int:
             res=5, z_col="z",
         )
     )
+    from gdal_spark.operators.layer_algebra import intersection_join
+
+    b_big = spark.createDataFrame(
+        b_pdf[["poly_id", "geom_wkb"]].rename(columns={"poly_id": "b_id"})
+    )
+    plans["intersection_join"] = _plan(intersection_join(a_df, b_big))
     pages = testdata.pages_df(spark, 1000, partitions=4)
     plans["extract_features"] = _plan(extract_features(pages))
 
