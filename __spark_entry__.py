@@ -1020,13 +1020,20 @@ def _tin_points() -> pd.DataFrame:
 
 
 def _q_rs_grid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear (Delaunay/TIN) interpolation: driver-side Bowyer-Watson
-    over the in-memory point set (gdal_grid's own model), distributed
-    barycentric fill (alg/gdalgrid.cpp:2459, alg/delaunay.c)."""
-    from gdal_spark.operators.grid import tin_grid
+    """Linear (Delaunay/TIN) interpolation with NO driver-side stage
+    (alg/gdalgrid.cpp:2459, alg/delaunay.c): distributed per-cell
+    Delaunay (halo gather + circumcircle-containment certification +
+    halo-doubling escalation) feeding bucket-local barycentric fill —
+    byte-identical to the broadcast tin_grid path (pinned in
+    tests/test_tin.py), which gdal_grid's whole-set-in-memory model
+    cannot scale past one machine."""
+    from gdal_spark.operators.grid import tin_grid_distributed
 
-    return tin_grid(
-        spark, _tin_points(), _TIN_GRID, _TIN_GRID, 0.0, 0.0, 4.0
+    pdf = _tin_points().copy()
+    pdf.insert(0, "id", range(len(pdf)))
+    return tin_grid_distributed(
+        spark, spark.createDataFrame(pdf), _TIN_GRID, _TIN_GRID,
+        0.0, 0.0, 4.0, cell_size=64.0,
     )
 
 

@@ -360,3 +360,445 @@ def tin_grid(
 
     rng = spark.range(0, width * height, 1, n_partitions)
     return rng.mapInPandas(run, "gx long, gy long, z_q3 long")
+
+
+# ---------------------------------------------------------------------------
+# distributed Delaunay — removes the driver-side O(n²) triangulation
+# (the one remaining scale limit of tin_grid). Standard parallel-
+# Delaunay decomposition: triangulate each grid cell over a halo-
+# gathered neighborhood and CERTIFY each candidate triangle by
+# circumcircle containment — a locally-Delaunay triangle whose
+# circumdisk (clipped to the global point bbox: outside it there are
+# provably no points) fits inside the gathered rectangle is empty of
+# ALL points, hence globally Delaunay. Cells whose home points cannot
+# be fully certified escalate with a doubled halo; the terminal halo
+# covers the whole bbox, where local == global, so termination is
+# guaranteed. Exactness (== the driver Bowyer-Watson triple set) holds
+# for point sets in general position (no 4 cocircular neighbors).
+# ---------------------------------------------------------------------------
+
+
+def _circumdisk(a, b, c):
+    """Circumcenter and radius of triangle (a, b, c) — 2D points."""
+    d = 2.0 * (
+        a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1])
+    )
+    a2 = a[0] * a[0] + a[1] * a[1]
+    b2 = b[0] * b[0] + b[1] * b[1]
+    c2 = c[0] * c[0] + c[1] * c[1]
+    ux = (a2 * (b[1] - c[1]) + b2 * (c[1] - a[1]) + c2 * (a[1] - b[1])) / d
+    uy = (a2 * (c[0] - b[0]) + b2 * (a[0] - c[0]) + c2 * (b[0] - a[0])) / d
+    return ux, uy, float(np.hypot(a[0] - ux, a[1] - uy))
+
+
+def _global_hull_neighbors(pts_df: DataFrame) -> dict[int, set]:
+    """Exact global hull BOUNDARY CYCLE, distributed: per-partition
+    monotone-chain hull candidates → driver hull of the (tiny)
+    candidate union — hull(∪ partition hulls) == hull(all points) —
+    then a second distributed pass collects points lying EXACTLY on a
+    hull edge (collinear boundary points, which monotone chain drops
+    but whose Delaunay fans are half-planes) and threads them into the
+    cycle by their position along the edge. Returns {boundary point
+    id: {its two boundary-cycle neighbor ids}} for the kernel's
+    boundary-fan check."""
+    from .. import geometry
+
+    def part_hull(batches):
+        chunks = [pdf for pdf in batches]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        P = pdf[["x", "y"]].to_numpy(dtype=np.float64)
+        ring = geometry.convex_hull(P)[:-1]
+        keep = {(float(x), float(y)) for x, y in ring}
+        m = [
+            (float(x), float(y)) in keep
+            for x, y in zip(pdf["x"], pdf["y"])
+        ]
+        yield pdf.loc[m, ["id", "x", "y"]]
+
+    cand = (
+        pts_df.select("id", "x", "y")
+        .mapInPandas(part_hull, "id long, x double, y double")
+        .toPandas()
+    )
+    P = cand[["x", "y"]].to_numpy(dtype=np.float64)
+    ring = geometry.convex_hull(P)[:-1]
+    by_xy = {
+        (float(x), float(y)): int(i)
+        for i, x, y in zip(cand["id"], cand["x"], cand["y"])
+    }
+    verts = [by_xy[(float(x), float(y))] for x, y in ring]
+    nv = len(verts)
+    edges = [
+        (
+            float(ring[i][0]), float(ring[i][1]),
+            float(ring[(i + 1) % nv][0]), float(ring[(i + 1) % nv][1]),
+        )
+        for i in range(nv)
+    ]
+
+    def on_edges(batches):
+        for pdf in batches:
+            x = pdf["x"].to_numpy(dtype=np.float64)
+            y = pdf["y"].to_numpy(dtype=np.float64)
+            keep = np.zeros(len(x), dtype=bool)
+            eidx = np.zeros(len(x), dtype=np.int64)
+            tpar = np.zeros(len(x), dtype=np.float64)
+            for ei, (ax, ay, bx, by) in enumerate(edges):
+                cross = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+                t = (
+                    ((x - ax) * (bx - ax) + (y - ay) * (by - ay))
+                    / ((bx - ax) ** 2 + (by - ay) ** 2)
+                )
+                m = (cross == 0.0) & (t > 0.0) & (t < 1.0)
+                keep |= m
+                eidx[m] = ei
+                tpar[m] = t[m]
+            out = pdf.loc[keep, ["id"]].copy()
+            out["eidx"] = eidx[keep]
+            out["tpar"] = tpar[keep]
+            yield out
+
+    mids = (
+        pts_df.select("id", "x", "y")
+        .mapInPandas(on_edges, "id long, eidx long, tpar double")
+        .toPandas()
+    )
+    cycle: list[int] = []
+    for ei in range(nv):
+        cycle.append(verts[ei])
+        seg = mids[mids["eidx"] == ei].sort_values("tpar")
+        cycle.extend(int(i) for i in seg["id"])
+    n = len(cycle)
+    return {
+        cycle[i]: {cycle[(i - 1) % n], cycle[(i + 1) % n]}
+        for i in range(n)
+    }
+
+
+def delaunay_distributed(
+    spark,
+    pts_df: DataFrame,
+    cell_size: float,
+    with_coords: bool = False,
+    max_rounds: int = 12,
+):
+    """Global Delaunay triangulation of pts_df(id, x, y[, z]) as a
+    DataFrame of canonical vertex-id triples (smallest id first, CCW
+    cyclic order preserved) — alg/delaunay.c's role without GDAL's
+    whole-set-in-memory model (gdal_grid loads every point on one
+    machine; here no single task ever needs more than one escalated
+    neighborhood).
+
+    Round k (halo in cells): every point ships to the unresolved cells
+    within Chebyshev distance k (round 1: a JVM 3×3 offset explode —
+    the classic halo exchange; later rounds: the unresolved-cell list
+    is tiny → broadcast-join). Each cell task Bowyer-Watson-
+    triangulates its gathered set, then certifies per HOME point that
+    (a) every incident triangle's circumdisk∩bbox fits in the gathered
+    rect and (b) the point's fan is closed (interior) or matches its
+    two GLOBAL hull neighbors (the exact distributed hull, computed
+    first). A certified home fan is provably the global fan; uncertified
+    cells re-run next round with k doubled. Output = distinct certified
+    triangles over all cells.
+
+    with_coords=True appends per-vertex (x, y, z) so consumers need no
+    join back to the point table (z defaults to 0 if absent).
+    """
+    has_z = "z" in pts_df.columns
+    cols = ["id", "x", "y"] + (["z"] if has_z else [])
+    pts = pts_df.select(*cols)
+    if not has_z:
+        pts = pts.withColumn("z", F.lit(0.0))
+
+    bb = pts.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    ).collect()[0]
+    bx0, bx1, by0, by1 = (float(v) for v in bb)
+    hull_nbrs = _global_hull_neighbors(pts)
+
+    pts = pts.withColumn(
+        "hcx", F.floor((F.col("x") - F.lit(bx0)) / F.lit(cell_size)).cast("long")
+    ).withColumn(
+        "hcy", F.floor((F.col("y") - F.lit(by0)) / F.lit(cell_size)).cast("long")
+    )
+    ncx = int(np.floor((bx1 - bx0) / cell_size)) + 1
+    ncy = int(np.floor((by1 - by0) / cell_size)) + 1
+
+    bcast = spark.sparkContext.broadcast(
+        (bx0, by0, bx1, by1, cell_size, hull_nbrs)
+    )
+
+    coord_cols = (
+        ", ax double, ay double, az double,"
+        " bx double, by double, bz double,"
+        " cx double, cy double, cz double"
+        if with_coords else ""
+    )
+    out_schema = (
+        f"tcx long, tcy long, a long, b long, c long{coord_cols},"
+        " done boolean"
+    )
+
+    def make_kernel(k: int):
+        def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            tcx, tcy = int(key[0]), int(key[1])
+            gx0, gy0, gx1, gy1, cs, hnb = bcast.value
+            home = (
+                (pdf["hcx"].to_numpy() == tcx)
+                & (pdf["hcy"].to_numpy() == tcy)
+            )
+            cols_out = ["tcx", "tcy", "a", "b", "c"] + (
+                ["ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz"]
+                if with_coords else []
+            ) + ["done"]
+            fail = pd.DataFrame(
+                [[tcx, tcy, -1, -1, -1]
+                 + ([0.0] * 9 if with_coords else []) + [False]],
+                columns=cols_out,
+            )
+            if not home.any():
+                return fail.iloc[:0]  # no home points: vacuously done
+            P = pdf[["x", "y"]].to_numpy(dtype=np.float64)
+            Z = pdf["z"].to_numpy(dtype=np.float64)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            if len(P) < 3:
+                return fail
+            tris = delaunay_triangulate(P)
+            # gathered rect (closed); clip the circumdisk to the bbox
+            rx0, ry0 = gx0 + (tcx - k) * cs, gy0 + (tcy - k) * cs
+            rx1, ry1 = gx0 + (tcx + k + 1) * cs, gy0 + (tcy + k + 1) * cs
+            cert = []
+            for t in tris:
+                ux, uy, r = _circumdisk(P[t[0]], P[t[1]], P[t[2]])
+                ok = (
+                    max(ux - r, gx0) >= rx0
+                    and min(ux + r, gx1) <= rx1
+                    and max(uy - r, gy0) >= ry0
+                    and min(uy + r, gy1) <= ry1
+                )
+                cert.append(ok)
+            incident: dict[int, list[int]] = {}
+            for ti, t in enumerate(tris):
+                for v in t:
+                    incident.setdefault(v, []).append(ti)
+            emit: set = set()
+            for i in np.nonzero(home)[0]:
+                inc = incident.get(int(i))
+                if not inc or not all(cert[ti] for ti in inc):
+                    return fail
+                nbr_cnt: dict[int, int] = {}
+                for ti in inc:
+                    for v in tris[ti]:
+                        if v != i:
+                            nbr_cnt[v] = nbr_cnt.get(v, 0) + 1
+                ones = [v for v, cn in nbr_cnt.items() if cn == 1]
+                if ones:
+                    # boundary fan: only legitimate on the GLOBAL hull
+                    # with the same two hull neighbors
+                    if len(ones) != 2 or hnb.get(int(ids[i])) != {
+                        int(ids[ones[0]]), int(ids[ones[1]])
+                    }:
+                        return fail
+                emit.update(inc)
+            rows = []
+            for ti in sorted(emit):
+                t = tris[ti]
+                ga, gb, gc = (int(ids[v]) for v in t)
+                la, lb, lc = t
+                # rotate so the smallest GLOBAL id leads (CCW kept)
+                while not (ga < gb and ga < gc):
+                    ga, gb, gc = gb, gc, ga
+                    la, lb, lc = lb, lc, la
+                if with_coords:
+                    rows.append(
+                        [tcx, tcy, ga, gb, gc,
+                         P[la][0], P[la][1], Z[la],
+                         P[lb][0], P[lb][1], Z[lb],
+                         P[lc][0], P[lc][1], Z[lc], True]
+                    )
+                else:
+                    rows.append([tcx, tcy, ga, gb, gc, True])
+            return pd.DataFrame(rows, columns=cols_out)
+
+        return kernel
+
+    results = []
+    # round 1: all home cells unresolved — classic 3×3 halo explode,
+    # JVM-side (no Python until the per-cell kernel)
+    gathered = (
+        pts.withColumn("dx", F.explode(F.expr("sequence(-1, 1)")))
+        .withColumn("dy", F.explode(F.expr("sequence(-1, 1)")))
+        .withColumn("tcx", F.col("hcx") + F.col("dx"))
+        .withColumn("tcy", F.col("hcy") + F.col("dy"))
+        .filter(
+            (F.col("tcx") >= 0) & (F.col("tcx") < ncx)
+            & (F.col("tcy") >= 0) & (F.col("tcy") < ncy)
+        )
+        .drop("dx", "dy")
+    )
+    k = 1
+    span = max(ncx, ncy)
+    cached = []
+    for _ in range(max_rounds):
+        res = gathered.groupBy("tcx", "tcy").applyInPandas(
+            make_kernel(k), out_schema
+        ).persist()
+        cached.append(res)
+        results.append(
+            res.filter(F.col("done")).drop("tcx", "tcy", "done")
+        )
+        unresolved = [
+            (int(r.tcx), int(r.tcy))
+            for r in res.filter(~F.col("done"))
+            .select("tcx", "tcy").distinct().collect()
+        ]
+        if not unresolved:
+            break
+        if k > 2 * span:  # terminal halo already covered the bbox
+            raise RuntimeError(
+                f"delaunay_distributed: {len(unresolved)} cells "
+                "unresolved at full gather (degenerate/cocircular "
+                "input?)"
+            )
+        # escalation: the unresolved-cell list is small — broadcast it
+        # and re-gather each with a doubled Chebyshev halo
+        k *= 2
+        ucells = spark.createDataFrame(
+            pd.DataFrame(unresolved, columns=["tcx", "tcy"])
+        )
+        gathered = pts.join(
+            F.broadcast(ucells),
+            (F.abs(F.col("hcx") - F.col("tcx")) <= k)
+            & (F.abs(F.col("hcy") - F.col("tcy")) <= k),
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    # triangles incident to home points of several cells arrive once
+    # per cell — exact duplicates (same canonical triple and coords).
+    # Materialize before releasing the per-round caches so the kernels
+    # never re-run.
+    out = out.distinct().persist()
+    out.count()
+    for c in cached:
+        c.unpersist()
+    return out
+
+
+def tin_grid_distributed(
+    spark,
+    pts_df: DataFrame,
+    width: int,
+    height: int,
+    x0: float,
+    y0: float,
+    step: float,
+    cell_size: float,
+    bucket: int = 32,
+):
+    """Linear (TIN) gridding with NO driver-side stage: distributed
+    Delaunay (delaunay_distributed) → each triangle ships to the pixel
+    BUCKETS its bbox can reach (one JVM explode — the only shuffle) →
+    each bucket task barycentric-fills its own pixels against its local
+    triangle list. A pixel's winning triangle is the lowest canonical
+    id-triple among those containing it — identical to tin_grid's
+    lowest-tid rule, because tin_grid assigns tids in canonical-triple
+    sort order; the arithmetic mirrors tin_grid expression-for-
+    expression, so the two paths (and the SQL oracle) agree bitwise.
+
+    Output: (gx, gy, z_q3) — same contract as tin_grid. Requires
+    pts_df(id, x, y, z); ids must be unique (row order works)."""
+    tri = delaunay_distributed(
+        spark, pts_df, cell_size, with_coords=True
+    )
+    nbx = (width + bucket - 1) // bucket
+    nby = (height + bucket - 1) // bucket
+    # triangle bbox → conservative pixel range → bucket range (JVM)
+    fx = lambda c: (F.col(c) - F.lit(x0)) / F.lit(step)  # noqa: E731
+    fy = lambda c: (F.col(c) - F.lit(y0)) / F.lit(step)  # noqa: E731
+    tri = (
+        tri.withColumn(
+            "gx_lo",
+            F.greatest(
+                F.floor(F.least(fx("ax"), fx("bx"), fx("cx"))) - 1,
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "gx_hi",
+            F.least(
+                F.floor(F.greatest(fx("ax"), fx("bx"), fx("cx"))) + 1,
+                F.lit(width - 1),
+            ).cast("long"),
+        )
+        .withColumn(
+            "gy_lo",
+            F.greatest(
+                F.floor(F.least(fy("ay"), fy("by"), fy("cy"))) - 1,
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "gy_hi",
+            F.least(
+                F.floor(F.greatest(fy("ay"), fy("by"), fy("cy"))) + 1,
+                F.lit(height - 1),
+            ).cast("long"),
+        )
+        .filter(
+            (F.col("gx_lo") <= F.col("gx_hi"))
+            & (F.col("gy_lo") <= F.col("gy_hi"))
+        )
+        .withColumn(
+            "bxi",
+            F.explode(
+                F.expr(f"sequence(gx_lo div {bucket}, gx_hi div {bucket})")
+            ),
+        )
+        .withColumn(
+            "byi",
+            F.explode(
+                F.expr(f"sequence(gy_lo div {bucket}, gy_hi div {bucket})")
+            ),
+        )
+        .drop("gx_lo", "gx_hi", "gy_lo", "gy_hi")
+    )
+
+    def fill(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bxi, byi = int(key[0]), int(key[1])
+        gx0p, gy0p = bxi * bucket, byi * bucket
+        bw = min(bucket, width - gx0p)
+        bh = min(bucket, height - gy0p)
+        gx = (gx0p + np.arange(bw))[None, :].repeat(bh, 0).ravel()
+        gy = (gy0p + np.arange(bh))[:, None].repeat(bw, 1).ravel()
+        pxs = x0 + (gx + 0.5) * step
+        pys = y0 + (gy + 0.5) * step
+        done = np.zeros(len(gx), dtype=bool)
+        zout = np.zeros(len(gx), dtype=np.float64)
+        # lowest canonical triple first == tin_grid's ascending tid
+        pdf = pdf.sort_values(["a", "b", "c"], kind="mergesort")
+        for row in pdf.itertuples(index=False):
+            ax, ay, az = row.ax, row.ay, row.az
+            bx, by, bz = row.bx, row.by, row.bz
+            cx, cy, cz = row.cx, row.cy, row.cz
+            det = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            wa = ((by - cy) * (pxs - cx) + (cx - bx) * (pys - cy)) / det
+            wb = ((cy - ay) * (pxs - cx) + (ax - cx) * (pys - cy)) / det
+            m = (~done) & (wa >= 0) & (wb >= 0) & (wa + wb <= 1)
+            if not m.any():
+                continue
+            zout[m] = (
+                wa[m] * az + wb[m] * bz + (1.0 - wa[m] - wb[m]) * cz
+            )
+            done |= m
+        return pd.DataFrame({
+            "gx": gx[done], "gy": gy[done],
+            "z_q3": np.floor(zout[done] * 1000.0 + 0.5).astype(np.int64),
+        })
+
+    _ = nbx, nby
+    return tri.groupBy("bxi", "byi").applyInPandas(
+        fill, "gx long, gy long, z_q3 long"
+    )

@@ -66,3 +66,97 @@ def test_tin_grid_interpolates_plane_exactly(spark):
         px, py = 4 * r.gx + 2, 4 * r.gy + 2
         want = int(np.floor((2 * px + 3 * py + 7) * 1000 + 0.5))
         assert abs(r.z_q3 - want) <= 1  # float assoc slack at q3
+
+
+class TestDistributedDelaunay:
+    """delaunay_distributed must reproduce the driver Bowyer-Watson
+    triple set exactly (general-position inputs)."""
+
+    def _ids_df(self, spark, P):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame({
+                "id": range(len(P)),
+                "x": P[:, 0], "y": P[:, 1],
+                "z": np.arange(len(P), dtype=float),
+            })
+        )
+
+    def _driver_triples(self, P):
+        tris = delaunay_triangulate(P)
+        out = set()
+        for a, b, c in tris:
+            while not (a < b and a < c):
+                a, b, c = b, c, a
+            out.add((a, b, c))
+        return out
+
+    def test_matches_driver_random(self, spark):
+        from gdal_spark.operators.grid import delaunay_distributed
+
+        rng = np.random.default_rng(7)
+        P = rng.uniform(0, 100, size=(150, 2))
+        got = {
+            (r.a, r.b, r.c)
+            for r in delaunay_distributed(
+                spark, self._ids_df(spark, P), cell_size=25.0
+            ).collect()
+        }
+        assert got == self._driver_triples(P)
+
+    def test_matches_driver_with_escalation(self, spark):
+        # sparse clustered points force circumdisks far beyond the 3x3
+        # gather -> halo doubling must fire and still be exact
+        from gdal_spark.operators.grid import delaunay_distributed
+
+        rng = np.random.default_rng(13)
+        a = rng.uniform(0, 10, size=(20, 2))
+        b = rng.uniform(90, 100, size=(20, 2)) + np.array([0.0, -90.0])
+        c = rng.uniform(0, 10, size=(20, 2)) + np.array([45.0, 80.0])
+        P = np.vstack([a, b, c])
+        got = {
+            (r.a, r.b, r.c)
+            for r in delaunay_distributed(
+                spark, self._ids_df(spark, P), cell_size=5.0
+            ).collect()
+        }
+        assert got == self._driver_triples(P)
+
+    def test_tin_fixture_matches_driver(self, spark):
+        import __spark_entry__ as e
+        from gdal_spark.operators.grid import delaunay_distributed
+
+        P = e._tin_points()[["x", "y"]].to_numpy()
+        got = {
+            (r.a, r.b, r.c)
+            for r in delaunay_distributed(
+                spark, self._ids_df(spark, P), cell_size=64.0
+            ).collect()
+        }
+        assert got == self._driver_triples(P)
+
+
+def test_tin_grid_distributed_equals_broadcast_path(spark):
+    """The zero-driver TIN pipeline (distributed triangulation +
+    bucket-local fill) is byte-identical to tin_grid on the gate
+    fixture — same canonical-triple tie-break, same arithmetic."""
+    import __spark_entry__ as e
+    from gdal_spark.operators.grid import tin_grid, tin_grid_distributed
+
+    pdf = e._tin_points().copy()
+    ref = {
+        (r.gx, r.gy): r.z_q3
+        for r in tin_grid(
+            spark, pdf, e._TIN_GRID, e._TIN_GRID, 0.0, 0.0, 4.0
+        ).collect()
+    }
+    pdf.insert(0, "id", range(len(pdf)))
+    got = {
+        (r.gx, r.gy): r.z_q3
+        for r in tin_grid_distributed(
+            spark, spark.createDataFrame(pdf), e._TIN_GRID, e._TIN_GRID,
+            0.0, 0.0, 4.0, cell_size=64.0,
+        ).collect()
+    }
+    assert got == ref

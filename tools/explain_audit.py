@@ -63,6 +63,15 @@ cell-cover rows, candidate pairs come from an EQUI-join on cell_id
 BroadcastNestedLoopJoin, no driver-resident method layer), pairs
 dedupe, geometries join back by id, and the clip kernel is one final
 mapInPandas. Every shuffle is keyed; AQE handles hot-cell skew.""",
+    "tin_grid_distributed": """Zero-driver TIN pipeline. The triangulation rounds run
+eagerly inside delaunay_distributed (per-cell Bowyer-Watson over a
+3×3 JVM halo explode, certified triangles persisted; unresolved cells
+— usually none — re-gather with doubled halo), so the plan below is
+the FILL stage: the certified triangle table (InMemoryTableScan)
+explodes to the pixel buckets its bbox reaches (JVM sequence
+explode), ONE hash exchange on (bxi, byi), and a single
+FlatMapGroupsInPandas barycentric kernel that derives its pixels from
+the bucket key — the raster itself never shuffles, never ships.""",
 }
 
 
@@ -145,6 +154,16 @@ def main() -> int:
         b_pdf[["poly_id", "geom_wkb"]].rename(columns={"poly_id": "b_id"})
     )
     plans["intersection_join"] = _plan(intersection_join(a_df, b_big))
+    from gdal_spark.operators.grid import tin_grid_distributed
+
+    tin_pdf = entry._tin_points().copy()
+    tin_pdf.insert(0, "id", range(len(tin_pdf)))
+    plans["tin_grid_distributed"] = _plan(
+        tin_grid_distributed(
+            spark, spark.createDataFrame(tin_pdf), entry._TIN_GRID,
+            entry._TIN_GRID, 0.0, 0.0, 4.0, cell_size=64.0,
+        )
+    )
     pages = testdata.pages_df(spark, 1000, partitions=4)
     plans["extract_features"] = _plan(extract_features(pages))
 
