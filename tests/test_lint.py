@@ -49,6 +49,9 @@ def test_iterrows_only_on_tile_cardinality():
                             # broadcast query set (scale path
                             # knn_join_df has no row loop)
         "dem.py",           # row = tile (focal kernels)
+        "png.py",           # row = tile (encode+write per tile)
+        "grid.py",          # row = TRIANGLE in the bucket fill loop
+                            # (pixels inside are vectorized numpy)
     }
     offenders = []
     for p in _sources():
