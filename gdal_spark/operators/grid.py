@@ -391,36 +391,54 @@ def _circumdisk(a, b, c):
     return ux, uy, float(np.hypot(a[0] - ux, a[1] - uy))
 
 
-def _global_hull_neighbors(pts_df: DataFrame) -> dict[int, set]:
-    """Exact global hull BOUNDARY CYCLE, distributed: per-partition
-    monotone-chain hull candidates → driver hull of the (tiny)
-    candidate union — hull(∪ partition hulls) == hull(all points) —
-    then a second distributed pass collects points lying EXACTLY on a
-    hull edge (collinear boundary points, which monotone chain drops
-    but whose Delaunay fans are half-planes) and threads them into the
-    cycle by their position along the edge. Returns {boundary point
-    id: {its two boundary-cycle neighbor ids}} for the kernel's
-    boundary-fan check."""
+def _global_hull_neighbors(pts_df: DataFrame):
+    """Exact global hull BOUNDARY CYCLE + global bbox in ONE
+    distributed pass. Per partition: monotone-chain hull, then keep
+    every point ON the partition-hull boundary — including collinear
+    edge points, which monotone chain drops but whose Delaunay fans
+    are half-planes; any global-boundary point is necessarily a
+    partition-boundary point, so the candidate union is complete.
+    Driver: strict hull of the (tiny) candidate set, collinear
+    candidates threaded into the cycle by position along their edge;
+    bbox is the candidate min/max (extremes are always candidates).
+    Returns ({boundary point id: {its two cycle-neighbor ids}},
+    (minx, maxx, miny, maxy))."""
     from .. import geometry
 
-    def part_hull(batches):
+    def part_boundary(batches):
         chunks = [pdf for pdf in batches]
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
         P = pdf[["x", "y"]].to_numpy(dtype=np.float64)
         ring = geometry.convex_hull(P)[:-1]
-        keep = {(float(x), float(y)) for x, y in ring}
-        m = [
-            (float(x), float(y)) in keep
-            for x, y in zip(pdf["x"], pdf["y"])
-        ]
-        yield pdf.loc[m, ["id", "x", "y"]]
+        if len(ring) <= 2 or len(P) <= 3:
+            yield pdf[["id", "x", "y"]]
+            return
+        keep = np.zeros(len(P), dtype=bool)
+        for i in range(len(ring)):
+            ax, ay = float(ring[i][0]), float(ring[i][1])
+            bx, by = (
+                float(ring[(i + 1) % len(ring)][0]),
+                float(ring[(i + 1) % len(ring)][1]),
+            )
+            cross = (bx - ax) * (P[:, 1] - ay) - (by - ay) * (P[:, 0] - ax)
+            t = (
+                (P[:, 0] - ax) * (bx - ax) + (P[:, 1] - ay) * (by - ay)
+            ) / ((bx - ax) ** 2 + (by - ay) ** 2)
+            keep |= (cross == 0.0) & (t >= 0.0) & (t <= 1.0)
+        yield pdf.loc[keep, ["id", "x", "y"]]
 
     cand = (
         pts_df.select("id", "x", "y")
-        .mapInPandas(part_hull, "id long, x double, y double")
+        .mapInPandas(part_boundary, "id long, x double, y double")
         .toPandas()
+    )
+    cx = cand["x"].to_numpy(dtype=np.float64)
+    cy = cand["y"].to_numpy(dtype=np.float64)
+    bbox = (
+        float(cx.min()), float(cx.max()),
+        float(cy.min()), float(cy.max()),
     )
     P = cand[["x", "y"]].to_numpy(dtype=np.float64)
     ring = geometry.convex_hull(P)[:-1]
@@ -430,51 +448,26 @@ def _global_hull_neighbors(pts_df: DataFrame) -> dict[int, set]:
     }
     verts = [by_xy[(float(x), float(y))] for x, y in ring]
     nv = len(verts)
-    edges = [
-        (
-            float(ring[i][0]), float(ring[i][1]),
-            float(ring[(i + 1) % nv][0]), float(ring[(i + 1) % nv][1]),
-        )
-        for i in range(nv)
-    ]
-
-    def on_edges(batches):
-        for pdf in batches:
-            x = pdf["x"].to_numpy(dtype=np.float64)
-            y = pdf["y"].to_numpy(dtype=np.float64)
-            keep = np.zeros(len(x), dtype=bool)
-            eidx = np.zeros(len(x), dtype=np.int64)
-            tpar = np.zeros(len(x), dtype=np.float64)
-            for ei, (ax, ay, bx, by) in enumerate(edges):
-                cross = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
-                t = (
-                    ((x - ax) * (bx - ax) + (y - ay) * (by - ay))
-                    / ((bx - ax) ** 2 + (by - ay) ** 2)
-                )
-                m = (cross == 0.0) & (t > 0.0) & (t < 1.0)
-                keep |= m
-                eidx[m] = ei
-                tpar[m] = t[m]
-            out = pdf.loc[keep, ["id"]].copy()
-            out["eidx"] = eidx[keep]
-            out["tpar"] = tpar[keep]
-            yield out
-
-    mids = (
-        pts_df.select("id", "x", "y")
-        .mapInPandas(on_edges, "id long, eidx long, tpar double")
-        .toPandas()
-    )
     cycle: list[int] = []
     for ei in range(nv):
+        ax, ay = float(ring[ei][0]), float(ring[ei][1])
+        bx, by = (
+            float(ring[(ei + 1) % nv][0]), float(ring[(ei + 1) % nv][1]),
+        )
         cycle.append(verts[ei])
-        seg = mids[mids["eidx"] == ei].sort_values("tpar")
-        cycle.extend(int(i) for i in seg["id"])
+        cross = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        t = ((cx - ax) * (bx - ax) + (cy - ay) * (by - ay)) / (
+            (bx - ax) ** 2 + (by - ay) ** 2
+        )
+        m = (cross == 0.0) & (t > 0.0) & (t < 1.0)
+        order = np.argsort(t[m], kind="stable")
+        cycle.extend(int(i) for i in cand["id"].to_numpy()[m][order])
     n = len(cycle)
-    return {
+    nbrs = {
         cycle[i]: {cycle[(i - 1) % n], cycle[(i + 1) % n]}
         for i in range(n)
     }
+    return nbrs, bbox
 
 
 def delaunay_distributed(
@@ -512,11 +505,7 @@ def delaunay_distributed(
     if not has_z:
         pts = pts.withColumn("z", F.lit(0.0))
 
-    bb = pts.agg(
-        F.min("x"), F.max("x"), F.min("y"), F.max("y")
-    ).collect()[0]
-    bx0, bx1, by0, by1 = (float(v) for v in bb)
-    hull_nbrs = _global_hull_neighbors(pts)
+    hull_nbrs, (bx0, bx1, by0, by1) = _global_hull_neighbors(pts)
 
     pts = pts.withColumn(
         "hcx", F.floor((F.col("x") - F.lit(bx0)) / F.lit(cell_size)).cast("long")
@@ -678,13 +667,13 @@ def delaunay_distributed(
         out = out.unionByName(r)
     # triangles incident to home points of several cells arrive once
     # per cell — exact duplicates (same canonical triple and coords).
-    # Materialize before releasing the per-round caches so the kernels
-    # never re-run.
-    out = out.distinct().persist()
-    out.count()
-    for c in cached:
-        c.unpersist()
-    return out
+    # The per-round caches stay persisted: the returned plan reads
+    # them (one materialization already happened for the unresolved
+    # collect), so the consumer's single job is a cache read; they age
+    # out of the session's LRU store like the other shared candidate
+    # sets in this engine.
+    _ = cached
+    return out.distinct()
 
 
 def tin_grid_distributed(

@@ -268,11 +268,17 @@ def pyramid(
 ) -> DataFrame:
     """Full overview pyramid base_zoom → min_zoom (inclusive), unioned.
     Each level is one narrow groupBy shuffle; levels are sequential
-    stages exactly as in the reference tiler."""
+    stages exactly as in the reference tiler. All resamplers dispatch
+    here — the halo-exchange ones (gauss, cubic) included."""
     out = base
     level = base
     for _ in range(base_zoom - min_zoom):
-        level = overview_level(level, method)
+        if method == "gauss":
+            level = overview_gauss(level)
+        elif method == "cubic":
+            level = overview_cubic(level)
+        else:
+            level = overview_level(level, method)
         out = out.unionByName(level)
     return out
 

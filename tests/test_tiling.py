@@ -589,3 +589,27 @@ def test_overview_cubic_matches_whole_array(spark):
     padded = np.pad(full, 3, mode="constant")
     want = raster.cubic_decimate_2x(padded, pad=3)
     np.testing.assert_array_equal(out[(0, 0)], want)
+
+
+def test_pyramid_dispatches_halo_resamplers(spark):
+    """pyramid(method=gauss|cubic) must route through the halo-
+    exchange reducers, matching the standalone functions level-for-
+    level."""
+    import pandas as pd  # noqa: F401
+
+    from gdal_spark.operators.tiling import (
+        formula_tiles, overview_cubic, overview_gauss, pyramid,
+    )
+
+    tiles = formula_tiles(spark, 2, 2, 32)
+    for method, fn in (("gauss", overview_gauss), ("cubic", overview_cubic)):
+        got = {
+            (r.z, r.tx, r.ty): r.data
+            for r in pyramid(tiles, base_zoom=1, min_zoom=0,
+                             method=method).collect()
+            if r.z == -1  # formula_tiles emits z=0 -> one level down
+        }
+        ref = {
+            (r.z, r.tx, r.ty): r.data for r in fn(tiles).collect()
+        }
+        assert got == ref
