@@ -672,6 +672,34 @@ def _q_dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3, n_blocks=4)
 
 
+def _q_dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document resolution over a near-dup pair graph:
+    connected components via the engine's distributed union-find
+    contraction (no edge list on the driver). The pair graph is a
+    deterministic chain fixture — (i, i+1) within each 7-block — so
+    components are multi-hop runs (genuinely iterative to resolve)
+    with a closed-form root the oracle states directly."""
+    from gdal_spark.operators.dedup import dup_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    a = docs.filter(F.col("doc_id") % 7 != 6).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1).alias("doc_b"),
+    )
+    pairs = a.join(docs.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    return dup_clusters(pairs)
+
+
+_DUP_CLUSTERS_ORACLE = """
+    WITH e AS (
+      SELECT a.doc_id AS doc_a, a.doc_id + 1 AS doc_b
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 7 <> 6),
+    n AS (SELECT doc_a AS doc_id FROM e
+          UNION SELECT doc_b FROM e)
+    SELECT doc_id, doc_id - (doc_id % 7) AS root_id FROM n"""
+
+
 def _q_tx_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.operators.text import token_count
 
@@ -1576,6 +1604,174 @@ def _q_rs_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tiles = formula_tiles(spark, 4, 4, ts).mapInPandas(binarize, TILE_SCHEMA)
     return tile_checksums(sieve(tiles, threshold=8))
+
+
+_STATS_N, _STATS_TS, _STATS_BUCKETS = 8, 64, 16
+
+
+def _q_rs_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALRasterBand::GetHistogram / ComputeStatistics analog
+    (gcore/gdalrasterband.cpp:4133,6478): exact per-bucket histogram +
+    moment partials over the formula raster. One mapInPandas partial
+    per tile (O(tiles x buckets) shuffle rows, never pixels), one
+    groupBy(bucket) combine."""
+    from gdal_spark.operators.stats import band_histogram
+    from gdal_spark.operators.tiling import formula_tiles
+
+    tiles = formula_tiles(spark, _STATS_N, _STATS_N, _STATS_TS)
+    return band_histogram(tiles, 0.0, 256.0, _STATS_BUCKETS)
+
+
+def _band_stats_oracle_sql() -> str:
+    n = _STATS_N * _STATS_TS
+    width = 256 // _STATS_BUCKETS
+    return f"""
+        WITH px AS (
+          SELECT a.x AS x, b.y AS y
+          FROM generate_series(0, {n - 1}) a(x)
+          CROSS JOIN generate_series(0, {n - 1}) b(y)),
+        v AS (SELECT (x * 7 + y * 13) % 251 AS v FROM px)
+        SELECT CAST(v // {width} AS BIGINT) AS bucket,
+               COUNT(*) AS cnt,
+               CAST(SUM(v) AS BIGINT) AS sum_v,
+               CAST(SUM(v * v) AS BIGINT) AS sumsq_v,
+               CAST(MIN(v) AS BIGINT) AS min_v,
+               CAST(MAX(v) AS BIGINT) AS max_v
+        FROM v GROUP BY bucket"""
+
+
+_FOCAL_N, _FOCAL_TS = 4, 64
+
+
+def _q_rs_dem_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem TPI + roughness (apps/gdaldem_lib.cpp:2352-2420,
+    exact-integer x8 variant) over the formula raster: one halo
+    exchange, per-tile numpy kernels, then per-tile (sum, min, max)
+    aggregates. Grid-edge pixels see add_halo's zero fill — the oracle
+    zero-pads the generator the same way, so the match is raster-wide
+    exact, edges included."""
+    import pandas as pd_
+
+    from gdal_spark.operators.dem import dem_focal
+    from gdal_spark.operators.tiling import formula_tiles
+
+    tiles = formula_tiles(spark, _FOCAL_N, _FOCAL_N, _FOCAL_TS)
+    schema = ("mode string, tx long, ty long, "
+              "sum_v long, min_v long, max_v long")
+
+    def tile_agg(mode):
+        def agg(batches):
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    a = np.frombuffer(r["data"], dtype=np.int32)
+                    rows.append(
+                        (mode, int(r["tx"]), int(r["ty"]),
+                         int(a.sum()), int(a.min()), int(a.max()))
+                    )
+                yield pd_.DataFrame(
+                    rows,
+                    columns=["mode", "tx", "ty", "sum_v", "min_v", "max_v"],
+                )
+        return agg
+
+    parts = [
+        dem_focal(tiles, mode).mapInPandas(tile_agg(mode), schema)
+        for mode in ("tpi8", "roughness")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def _dem_focal_oracle_sql() -> str:
+    n = _FOCAL_N * _FOCAL_TS
+    ts = _FOCAL_TS
+    return f"""
+        WITH px AS (
+          SELECT a.x AS x, b.y AS y
+          FROM generate_series(0, {n - 1}) a(x)
+          CROSS JOIN generate_series(0, {n - 1}) b(y)),
+        o(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                             (0,1),(1,-1),(1,0),(1,1)),
+        w AS (
+          SELECT p.x, p.y, o.dy, o.dx,
+                 CASE WHEN p.x + o.dx BETWEEN 0 AND {n - 1}
+                       AND p.y + o.dy BETWEEN 0 AND {n - 1}
+                      THEN ((p.x + o.dx) * 7 + (p.y + o.dy) * 13) % 251
+                      ELSE 0 END AS fv
+          FROM px p CROSS JOIN o),
+        m AS (
+          SELECT x, y,
+                 SUM(CASE WHEN dx = 0 AND dy = 0 THEN 8 * fv
+                          ELSE -fv END) AS tpi8,
+                 MAX(fv) - MIN(fv) AS rough
+          FROM w GROUP BY x, y)
+        SELECT 'tpi8' AS mode, x // {ts} AS tx, y // {ts} AS ty,
+               CAST(SUM(tpi8) AS BIGINT) AS sum_v,
+               CAST(MIN(tpi8) AS BIGINT) AS min_v,
+               CAST(MAX(tpi8) AS BIGINT) AS max_v
+        FROM m GROUP BY mode, tx, ty
+        UNION ALL
+        SELECT 'roughness' AS mode, x // {ts} AS tx, y // {ts} AS ty,
+               CAST(SUM(rough) AS BIGINT) AS sum_v,
+               CAST(MIN(rough) AS BIGINT) AS min_v,
+               CAST(MAX(rough) AS BIGINT) AS max_v
+        FROM m GROUP BY mode, tx, ty"""
+
+
+_VS_N, _VS_TS = 4, 64
+_VS_OX, _VS_OY, _VS_H = 100, 80, 5
+
+
+def _q_rs_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_viewshed analog (alg/viewshed/viewshed.cpp), exact lattice
+    line-of-sight variant: per-ray (primitive-direction) window
+    prefix-max over pixel rows — ONE shuffle, no driver role, the
+    per-ray scan is inherent to LOS. Per-tile visible-count +
+    position checksum digest."""
+    from gdal_spark.operators.tiling import formula_tiles
+    from gdal_spark.operators.viewshed import (
+        viewshed_cells, viewshed_tile_summary,
+    )
+
+    tiles = formula_tiles(spark, _VS_N, _VS_N, _VS_TS)
+    cells = viewshed_cells(tiles, _VS_OX, _VS_OY, _VS_H)
+    return viewshed_tile_summary(cells, _VS_TS)
+
+
+def _viewshed_oracle_sql() -> str:
+    n = _VS_N * _VS_TS
+    # z0 = terrain at the observer + eye height; terrain is the
+    # formula raster, so (ox*7 + oy*13) % 251 + obs_height
+    z0 = (_VS_OX * 7 + _VS_OY * 13) % 251 + _VS_H
+    return f"""
+        WITH px AS (
+          SELECT a.x AS x, b.y AS y
+          FROM generate_series(0, {n - 1}) a(x)
+          CROSS JOIN generate_series(0, {n - 1}) b(y)),
+        v AS (SELECT x, y, (x * 7 + y * 13) % 251 AS val FROM px),
+        rel AS (
+          SELECT x, y, val, x - {_VS_OX} AS rx, y - {_VS_OY} AS ry
+          FROM v WHERE NOT (x = {_VS_OX} AND y = {_VS_OY})),
+        r AS (SELECT x, y, val, rx, ry,
+                     gcd(abs(rx), abs(ry)) AS g FROM rel),
+        s AS (SELECT x, y, rx // g AS dx, ry // g AS dy, g AS step,
+                     CAST(val - {z0} AS DOUBLE) / CAST(g AS DOUBLE)
+                       AS ratio
+              FROM r),
+        m AS (SELECT x, y, ratio,
+                     MAX(ratio) OVER (
+                       PARTITION BY dx, dy ORDER BY step
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pm
+              FROM s),
+        c AS (SELECT x, y,
+                     CASE WHEN pm IS NULL OR ratio >= pm
+                          THEN 1 ELSE 0 END AS vis
+              FROM m)
+        SELECT x // {_VS_TS} AS tx, y // {_VS_TS} AS ty,
+               CAST(SUM(vis) AS BIGINT) AS n_visible,
+               CAST(SUM(vis * (x * 31 + y * 17)) AS BIGINT) AS vis_cks
+        FROM c GROUP BY tx, ty"""
 
 
 def _q_rs_fill_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3000,6 +3196,10 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_polygonize": _q_rs_polygonize,
     "rs_sieve_checksum": _q_rs_sieve,
     "rs_proximity": _q_rs_proximity,
+    "rs_band_stats": _q_rs_band_stats,
+    "rs_dem_focal": _q_rs_dem_focal,
+    "rs_viewshed": _q_rs_viewshed,
+    "dd_dup_clusters": _q_dd_dup_clusters,
     "rs_fill_polygons": _q_rs_fill_polygons,
     "rs_fill_all_touched": _q_rs_fill_all_touched,
     "rs_rasterize_add": _q_rs_rasterize_add,
@@ -3024,6 +3224,10 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ENGINE_ORACLES: dict[str, str] = {
+    "rs_band_stats": _band_stats_oracle_sql(),
+    "rs_dem_focal": _dem_focal_oracle_sql(),
+    "rs_viewshed": _viewshed_oracle_sql(),
+    "dd_dup_clusters": _DUP_CLUSTERS_ORACLE,
     "rs_warp_utm": _warp_utm_oracle_sql(),
     "geo_clip_lines": _clip_lines_oracle_sql(),
     "sp_utm_inverse": _utm_inverse_oracle_sql(),
@@ -3249,6 +3453,16 @@ RETIRED_GATES: dict[str, str] = {
                         "boundary sweep) + rs_rasterize_add",
     "rs_burn_lines": "rs_fill_all_touched (same ALL_TOUCHED column "
                      "sweep, over ring edges)",
+    "rs_warp_bilinear": "rs_warp_cubic (same distributed gather, wider "
+                        "kernel) + rs_warp_utm (same gather, projective "
+                        "transform)",
+    "sp_pip_count": "sp_pip_full_fixture (same cell-cover join + PIP "
+                    "kernel; count is a projection of the rows)",
+    "q_count_distinct": "Spark built-in distinct aggregates; green in "
+                        "r01+r02; cap headroom (q_distinct chain ends "
+                        "at skew.salted_count_distinct pytest)",
+    "sp_grid_metrics": "sp_idw_grid (same cell bucketing, harder "
+                       "kernel) + q_groupby_having (grouped metrics)",
 }
 
 

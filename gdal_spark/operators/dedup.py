@@ -277,3 +277,44 @@ def simhash_near_pairs(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Duplicate CLUSTERS from a near-dup pair table → (doc_id,
+    root_id) for every document that appears in a pair, root = min doc
+    id of its connected component (the canonical-document rule every
+    corpus-dedup pipeline needs on top of pairwise output: keep root,
+    drop the rest).
+
+    Reuses the engine's distributed union-find contraction
+    (tiling.cc_roots_df — the same machinery that merges cross-tile
+    raster regions), so the component resolution is O(log_P E) Spark
+    rounds with no edge list on the driver. Genuinely iterative — the
+    one operator family SQL can only express via RECURSIVE CTEs.
+    """
+    from .tiling import cc_roots_df
+
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("a1"), F.lit(0).alias("a2"),
+        F.col(b_col).cast("long").alias("b1"), F.lit(0).alias("b2"),
+    )
+    nodes = (
+        pairs.select(F.col(a_col).cast("long").alias("doc_id"))
+        .unionByName(pairs.select(F.col(b_col).cast("long").alias("doc_id")))
+        .distinct()
+    )
+    roots = cc_roots_df(edges).select(
+        F.col("n1").alias("doc_id"), F.col("r1").alias("root_id")
+    )
+    # nodes whose root equals themselves are absent from the root map
+    return (
+        nodes.join(roots, "doc_id", "left")
+        .withColumn("root_id", F.coalesce("root_id", "doc_id"))
+    )

@@ -1,6 +1,7 @@
-"""DEM derivatives: hillshade / slope / aspect (the gdaldem family,
-apps/gdaldem_lib.cpp; Horn's formula — GDAL's default gradient
-estimator).
+"""DEM derivatives: hillshade / slope / aspect / TPI / TRI /
+roughness / color-relief (the gdaldem family, apps/gdaldem_lib.cpp;
+Horn's formula — GDAL's default gradient estimator; focal metrics
+apps/gdaldem_lib.cpp:2347-2420; color relief :1611-1776).
 
 All three are 3x3 focal operators: one halo exchange
 (tiling.add_halo), then per-tile numpy. Output tiles keep the input
@@ -99,3 +100,152 @@ def dem_derive(
             )
 
     return padded.mapInPandas(run, TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# focal terrain metrics: TPI / TRI (Wilson, Riley) / roughness
+# ---------------------------------------------------------------------------
+
+# 3x3 neighbor offsets (dy, dx) excluding the center — afWin[0..8]
+# minus afWin[4] in the reference kernels (apps/gdaldem_lib.cpp:2352).
+_N8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def _focal_metric(a: np.ndarray, mode: str) -> np.ndarray:
+    """One padded tile → core metric array.
+
+    Exact-integer variants of the reference kernels so the result is
+    bit-stable across engines and SQL-oracle friendly:
+
+    * ``tpi8``       = 8*TPI      (apps/gdaldem_lib.cpp:2384: center −
+                       mean of the 8 neighbors; ×8 keeps it integral)
+    * ``tri_wilson8``= 8*TRI      (:2352: mean |neighbor − center|)
+    * ``tri_riley``  = float TRI  (:2367: sqrt Σ (neighbor − center)²)
+    * ``roughness``  = max − min over the full 3x3 window (:2399)
+    """
+    z = a.astype(np.int64)
+    c = z[1:-1, 1:-1]
+    nbrs = [z[1 + dy: z.shape[0] - 1 + dy, 1 + dx: z.shape[1] - 1 + dx]
+            for dy, dx in _N8]
+    if mode == "tpi8":
+        return 8 * c - sum(nbrs)
+    if mode == "tri_wilson8":
+        return sum(np.abs(n - c) for n in nbrs)
+    if mode == "tri_riley":
+        sq = sum((n - c) ** 2 for n in nbrs)
+        return np.sqrt(sq.astype(np.float64))
+    if mode == "roughness":
+        mx, mn = c.copy(), c.copy()
+        for n in nbrs:
+            np.maximum(mx, n, out=mx)
+            np.minimum(mn, n, out=mn)
+        return mx - mn
+    raise ValueError(f"unknown focal metric {mode!r}")
+
+
+def dem_focal(tiles: DataFrame, mode: str) -> DataFrame:
+    """gdaldem TPI/TRI/roughness analog over a tile DataFrame.
+
+    Output rows keep TILE_SCHEMA; ``data`` is int32 for the integer
+    metrics and float32 for ``tri_riley`` (documented dtype — tiles
+    carry raw bytes). Like the hillshade family this is a 3x3 focal
+    op: one halo exchange then per-tile numpy; grid-edge pixels see
+    the halo zero fill (the reference leaves edges to the
+    -compute_edges option; compare interiors)."""
+    if mode not in ("tpi8", "tri_wilson8", "tri_riley", "roughness"):
+        raise ValueError(f"unknown focal metric {mode!r}")
+    padded = add_halo(tiles, pad=1)
+    out_dtype = np.float32 if mode == "tri_riley" else np.int32
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                ts_w, ts_h, p = int(r["w"]), int(r["h"]), int(r["pad"])
+                a = np.frombuffer(r["data"], dtype=np.uint8).reshape(
+                    ts_h + 2 * p, ts_w + 2 * p
+                )
+                out = _focal_metric(a, mode).astype(out_dtype)
+                rows.append(
+                    (int(r["z"]), int(r["tx"]), int(r["ty"]),
+                     ts_w, ts_h, out.tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=["z", "tx", "ty", "w", "h", "data"]
+            )
+
+    return padded.mapInPandas(run, TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# color relief
+# ---------------------------------------------------------------------------
+
+
+def _relief_lut(ramp: list[tuple], mode: str) -> np.ndarray:
+    """Precompute the 256-entry RGBA LUT for uint8 pixels from a
+    sorted (value, r, g, b[, a]) ramp — GDALColorReliefGetRGBA
+    (apps/gdaldem_lib.cpp:1611) evaluated for every possible input:
+
+    * v ≤ first entry → first color; v > last → last color
+    * exact entry value → that color
+    * between entries: linear interpolation per channel with GDAL's
+      rounding clamp(int(0.5 + before + ratio*(after-before)))
+      (:1760-1764); 'nearest' snaps to the closer entry, ties to the
+      upper (:1733-1744); 'exact' → (0,0,0,0) unless an exact hit.
+    """
+    ent = sorted(
+        (float(e[0]),) + tuple(int(x) for x in e[1:4])
+        + ((int(e[4]),) if len(e) > 4 else (255,))
+        for e in ramp
+    )
+    vals = np.array([e[0] for e in ent])
+    rgba = np.array([e[1:] for e in ent], dtype=np.float64)
+    lut = np.zeros((256, 4), dtype=np.uint8)
+    for v in range(256):
+        i = int(np.searchsorted(vals, v, side="left"))
+        if i < len(vals) and vals[i] == v:
+            lut[v] = rgba[i]
+        elif mode == "exact":
+            lut[v] = 0
+        elif i == 0:
+            lut[v] = rgba[0]
+        elif i == len(vals):
+            lut[v] = rgba[-1]
+        else:
+            ratio = (v - vals[i - 1]) / (vals[i] - vals[i - 1])
+            if mode == "nearest":
+                lut[v] = rgba[i - 1] if ratio < 0.5 else rgba[i]
+            else:
+                mix = 0.5 + rgba[i - 1] + ratio * (rgba[i] - rgba[i - 1])
+                lut[v] = np.clip(np.floor(mix), 0, 255)
+    return lut
+
+
+def color_relief(
+    tiles: DataFrame, ramp: list[tuple], mode: str = "interpolate"
+) -> DataFrame:
+    """gdaldem color-relief analog: uint8 tiles → RGBA tiles
+    (``data`` = h x w x 4 uint8, interleaved). Pure per-pixel LUT —
+    no halo, no shuffle; the 1 KiB LUT rides the closure."""
+    if mode not in ("interpolate", "nearest", "exact"):
+        raise ValueError(f"unknown color-relief mode {mode!r}")
+    lut = _relief_lut(ramp, mode)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                ts_w, ts_h = int(r["w"]), int(r["h"])
+                a = np.frombuffer(r["data"], dtype=np.uint8).reshape(
+                    ts_h, ts_w
+                )
+                rows.append(
+                    (int(r["z"]), int(r["tx"]), int(r["ty"]),
+                     ts_w, ts_h, lut[a].tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=["z", "tx", "ty", "w", "h", "data"]
+            )
+
+    return tiles.mapInPandas(run, TILE_SCHEMA)

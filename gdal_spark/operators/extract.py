@@ -89,3 +89,59 @@ def extract_features(pages: DataFrame) -> DataFrame:
             yield extract_features_pdf(pdf)
 
     return pages.select("url", "text").mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# html → text extraction (the north-rule byte-identity invariant)
+# ---------------------------------------------------------------------------
+
+# script/style subtrees contribute no text (case-insensitive, tolerant
+# of attributes); then any remaining tag is stripped.
+_DROP_SUBTREE_RE = re.compile(
+    rb"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_ENTITIES = [
+    (b"&lt;", b"<"), (b"&gt;", b">"), (b"&quot;", b'"'),
+    (b"&#39;", b"'"), (b"&amp;", b"&"),  # &amp; LAST: "&amp;lt;" → "&lt;"
+]
+
+
+def extract_text_bytes(html: bytes) -> bytes:
+    """One document: drop script/style subtrees, strip tags, unescape
+    the five standard entities. Deterministic pure function of the
+    input bytes — same url, same bytes out, on any executor."""
+    s = _DROP_SUBTREE_RE.sub(b"", html)
+    s = _TAG_RE.sub(b"", s)
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return s
+
+
+def extract_text(pages: DataFrame, out_col: str = "text_extracted") -> DataFrame:
+    """pages(url, html) → (url, text_extracted): the WARC-style
+    extraction step in front of the feature pipeline. The invariant
+    the driver contract states (BASELINE.json input_hint): extracted
+    text is BYTE-IDENTICAL per url across runs and partitionings —
+    guaranteed here because the kernel is a pure function of the html
+    bytes and the plan is a stateless mapInPandas (no shuffle, no
+    order dependence). Reference analog: per-feature translate loop in
+    apps/ogr2ogr_lib.cpp:653 reading WARC-extracted layers."""
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    out_col: [
+                        extract_text_bytes(bytes(h)).decode(
+                            "utf-8", errors="replace"
+                        )
+                        for h in pdf["html"]
+                    ],
+                }
+            )
+
+    return pages.select("url", "html").mapInPandas(
+        run, schema=f"url string, {out_col} string"
+    )

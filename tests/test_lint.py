@@ -52,6 +52,8 @@ def test_iterrows_only_on_tile_cardinality():
         "png.py",           # row = tile (encode+write per tile)
         "grid.py",          # row = TRIANGLE in the bucket fill loop
                             # (pixels inside are vectorized numpy)
+        "fillnodata.py",    # row = tile (quadrant-IDW fill per tile)
+        "stats.py",         # row = tile (bincount partials per tile)
     }
     offenders = []
     for p in _sources():

@@ -152,3 +152,32 @@ def test_full_cover_rows_skip_raycast_kernel():
         boundary_is_inside=False,
     )
     assert out.tolist() == [True, True, True]
+
+
+# ---------------------------------------------------------------------------
+# html → text extraction (north-rule invariant: byte-identical per url)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_text_byte_identical_per_url(spark, pages_pdf):
+    """extract_text(html) must reproduce the pages table's own text
+    column byte-for-byte for every url, independent of partitioning."""
+    from gdal_spark.operators.extract import extract_text
+
+    pages = testdata.pages_df(spark, 500)
+    got = {
+        r["url"]: r["text_extracted"]
+        for r in extract_text(pages.repartition(13)).collect()
+    }
+    want = dict(zip(pages_pdf["url"][:500], pages_pdf["text"][:500]))
+    assert got == want
+
+
+def test_extract_text_bytes_semantics():
+    from gdal_spark.operators.extract import extract_text_bytes as e
+
+    assert e(b"<html><body>hi &amp;lt; x</body></html>") == b"hi &lt; x"
+    assert e(b'<p a="1">A<SCRIPT type=x>var s="<b>";</SCRIPT>B</p>') == b"AB"
+    assert e(b"<style>p{color:red}</style>T &lt;&gt;&quot;&#39;") == b"T <>\"'"
+    # multiline script subtree, tag split across content
+    assert e(b"<script>\nif (a<b) {}\n</script>ok<br/>") == b"ok"
