@@ -709,6 +709,38 @@ def _q_tx_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top word / top 2-gram counts)
+    — strictly subsumes the retired tx_token_count gate (n_tokens is
+    one of its output columns)."""
+    from gdal_spark.operators.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+_REPETITION_ORACLE = """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+    tw AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  COUNT(*) AS n_distinct,
+                  CAST(MAX(c) AS BIGINT) AS top_word_n
+           FROM wc GROUP BY doc_id),
+    s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bgl AS (SELECT doc_id,
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+                     AS bgs
+            FROM s),
+    bg AS (SELECT doc_id, unnest(bgs) AS b FROM bgl),
+    bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    tb AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n
+           FROM bc GROUP BY doc_id)
+    SELECT tw.doc_id, n_tokens, n_distinct, top_word_n,
+           COALESCE(top_bigram_n, 0) AS top_bigram_n
+    FROM tw LEFT JOIN tb ON tw.doc_id = tb.doc_id"""
+
+
 def _q_tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.operators.text import fingerprint
 
@@ -3217,6 +3249,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_minhash_lsh": _q_dd_minhash,
     "dd_simhash": _q_dd_simhash,
     "tx_token_count": _q_tx_tokens,
+    "tx_repetition": _q_tx_repetition,
     "tx_fingerprint": _q_tx_fingerprint,
     "sim_cosine_topk": _q_sim_cosine,
     "sim_ann_lsh": _q_sim_ann,
@@ -3227,6 +3260,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "rs_band_stats": _band_stats_oracle_sql(),
     "rs_dem_focal": _dem_focal_oracle_sql(),
     "rs_viewshed": _viewshed_oracle_sql(),
+    "tx_repetition": _REPETITION_ORACLE,
     "dd_dup_clusters": _DUP_CLUSTERS_ORACLE,
     "rs_warp_utm": _warp_utm_oracle_sql(),
     "geo_clip_lines": _clip_lines_oracle_sql(),
@@ -3463,6 +3497,8 @@ RETIRED_GATES: dict[str, str] = {
                         "at skew.salted_count_distinct pytest)",
     "sp_grid_metrics": "sp_idw_grid (same cell bucketing, harder "
                        "kernel) + q_groupby_having (grouped metrics)",
+    "tx_token_count": "tx_repetition (n_tokens is one of its output "
+                      "columns — strictly stronger gate, same input)",
 }
 
 

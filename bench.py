@@ -54,6 +54,9 @@ HEADLINE = [
     "rs_burn_lines",
     "rs_fill_all_touched",
     "rs_rasterize_add",
+    "rs_band_stats",
+    "rs_dem_focal",
+    "rs_viewshed",
     "sp_utm_inverse",
     # relational spine (incl. the OGR SQL front-end)
     "q1_pricing_summary",
@@ -64,7 +67,9 @@ HEADLINE = [
     # training-data pipeline ops
     "dd_exact_prefix",
     "dd_minhash_lsh",
+    "dd_dup_clusters",
     "tx_token_count",
+    "tx_repetition",
     "sim_cosine_topk",
 ]
 

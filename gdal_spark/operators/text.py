@@ -94,3 +94,53 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         terms, F.lit(0).cast("long"), lambda acc, x: (acc + x) % 1000000007
     )
     return df.withColumn("fp", fp)
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    (n_tokens, n_distinct, top_word_n, top_bigram_n) — the "fraction
+    of text in the most common word / 2-gram" family (Rae et al. 2021
+    §A1.1) as exact integer counts (ratios are a trivial projection;
+    integers keep the oracle hash stable).
+
+    Plan: tokens and bigrams are built JVM-side (split / slice /
+    zip_with — whole-stage codegen), then ONE explode + two-level
+    groupBy per granularity. The (doc, term) partial aggregation is
+    map-side combinable; the per-doc max is a tiny second hash agg.
+    No Python anywhere, no skew risk beyond document length itself."""
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    n = F.size(toks)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("toks"),
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+
+    def top_count(col, out):
+        exploded = base.select(id_col, F.explode(col).alias("term"))
+        return (
+            exploded.groupBy(id_col, "term")
+            .count()
+            .groupBy(id_col)
+            .agg(F.max("count").cast("long").alias(out))
+        )
+
+    heads = F.slice(F.col("toks"), 1, F.size(F.col("toks")) - 1)
+    tails = F.slice(F.col("toks"), 2, F.size(F.col("toks")) - 1)
+    bigrams = F.zip_with(heads, tails, lambda a, b: F.concat_ws(" ", a, b))
+
+    words = top_count(F.col("toks"), "top_word_n")
+    bgs = top_count(bigrams, "top_bigram_n")
+    return (
+        base.select(id_col, "n_tokens", "n_distinct")
+        .join(words, id_col, "left")
+        .join(bgs, id_col, "left")
+        .select(
+            id_col, "n_tokens", "n_distinct",
+            F.coalesce("top_word_n", F.lit(0)).alias("top_word_n"),
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+        )
+    )
