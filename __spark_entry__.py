@@ -748,6 +748,95 @@ def _q_tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs).select("doc_id", "fp")
 
 
+def _q_tx_web_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus hygiene chain (CCNet/RefinedWeb front door): messy
+    URL variants (3 per canonical page: casing/default-port/tracking-
+    param/fragment/trailing-slash noise) + PII- and NFD-dirtied text
+    → normalize_url → url_dedup (ONE shuffle) → redact_pii →
+    nfc_clean. The oracle states the canonical-URL/dedup result in
+    closed form and recomputes the text cleanup with DuckDB's own
+    nfc_normalize + RE2 regexps (same patterns)."""
+    from gdal_spark.operators.web import nfc_clean, redact_pii, url_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = (F.col("doc_id") - F.col("doc_id") % 3).cast("long")
+    variant = (F.col("doc_id") % 3).cast("int")
+    b = base.cast("string")
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("https://WWW.D"), b, F.lit(".Example.COM:443/p/"),
+                b, F.lit("/?id="), b, F.lit("&utm_source=x"),
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("https://www.d"), b, F.lit(".example.com/p/"),
+                b, F.lit("?utm_campaign=y&id="), b,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.d"), b, F.lit(".example.com/p/"),
+                b, F.lit("/?id="), b, F.lit("#frag"),
+            )
+        )
+    )
+    # "re<U+0301>sume<U+0301>" — NFD; nfc_clean must compose it
+    dirty = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com  at 10.1.2."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" re\u0301sume\u0301:  "),
+        F.col("text"),
+    )
+    pages = docs.select(
+        "doc_id", url.alias("url"), dirty.alias("text_dirty")
+    )
+    kept = url_dedup(pages, "url", "doc_id")
+    red = redact_pii(kept, "text_dirty")
+    out = nfc_clean(red, "text_redacted", "text_clean")
+    return out.select(
+        "url_norm", "doc_id", "n_dups", "n_emails", "n_ips", "text_clean"
+    )
+
+
+def _web_clean_oracle_sql() -> str:
+    from gdal_spark.operators.web import EMAIL_RE, IPV4_RE
+
+    return f"""
+    WITH d AS (SELECT doc_id, doc_id - (doc_id % 3) AS base, text
+               FROM documents),
+    g AS (SELECT base, COUNT(*) AS n_dups, MIN(doc_id) AS keep
+          FROM d GROUP BY base),
+    k AS (SELECT g.base, g.n_dups, g.keep AS doc_id, d.text
+          FROM g JOIN d ON d.doc_id = g.keep),
+    dirty AS (SELECT base, n_dups, doc_id,
+                     'contact user' || doc_id || '@example.com  at 10.1.2.'
+                       || (doc_id % 250) || ' re' || chr(769) || 'sume'
+                       || chr(769) || ':  ' || text AS t
+              FROM k),
+    r1 AS (SELECT *,
+                  CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT)
+                    AS n_emails,
+                  regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+           FROM dirty),
+    r2 AS (SELECT *,
+                  CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS BIGINT)
+                    AS n_ips,
+                  regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+           FROM r1)
+    SELECT 'https://www.d' || base || '.example.com/p/' || base
+             || '?id=' || base AS url_norm,
+           doc_id, n_dups, n_emails, n_ips,
+           trim(regexp_replace(nfc_normalize(t2), '\\s+', ' ', 'g'))
+             AS text_clean
+    FROM r2"""
+
+
 def _q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.operators.similarity import cosine_topk
 
@@ -3250,6 +3339,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_simhash": _q_dd_simhash,
     "tx_token_count": _q_tx_tokens,
     "tx_repetition": _q_tx_repetition,
+    "tx_web_clean": _q_tx_web_clean,
     "tx_fingerprint": _q_tx_fingerprint,
     "sim_cosine_topk": _q_sim_cosine,
     "sim_ann_lsh": _q_sim_ann,
@@ -3261,6 +3351,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "rs_dem_focal": _dem_focal_oracle_sql(),
     "rs_viewshed": _viewshed_oracle_sql(),
     "tx_repetition": _REPETITION_ORACLE,
+    "tx_web_clean": _web_clean_oracle_sql(),
     "dd_dup_clusters": _DUP_CLUSTERS_ORACLE,
     "rs_warp_utm": _warp_utm_oracle_sql(),
     "geo_clip_lines": _clip_lines_oracle_sql(),
@@ -3499,6 +3590,9 @@ RETIRED_GATES: dict[str, str] = {
                        "kernel) + q_groupby_having (grouped metrics)",
     "tx_token_count": "tx_repetition (n_tokens is one of its output "
                       "columns — strictly stronger gate, same input)",
+    "q3_shipping_topk": "q5_local_supplier (deeper join+agg tree) + "
+                        "q_ogr_sql (ORDER BY/LIMIT top-k through the "
+                        "parser); green in r01+r02",
 }
 
 

@@ -70,6 +70,7 @@ HEADLINE = [
     "dd_dup_clusters",
     "tx_token_count",
     "tx_repetition",
+    "tx_web_clean",
     "sim_cosine_topk",
 ]
 
