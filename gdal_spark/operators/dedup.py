@@ -65,14 +65,16 @@ def ngram_jaccard_pairs(
     Integer-math threshold (inter*den >= union*num) — no float compare.
     Output: (doc_a, doc_b, inter_cnt, union_cnt).
 
-    ``candidates`` (columns doc_a < doc_b) restricts the computation to
-    a candidate pair set: the gram table is LEFT-SEMI-joined to the
-    candidate doc ids BEFORE the quadratic gram self-join, and the
-    aggregated pairs are inner-joined back to ``candidates`` — so the
-    work is O(candidate docs' grams), not O(corpus grams).  This is the
-    verification path of minhash_lsh_pairs; without ``candidates`` it
-    is the exact all-pairs oracle (quadratic in docs-per-gram — at
-    100 TB always pass candidates from an LSH stage).
+    ``candidates`` (columns doc_a < doc_b) switches to a PAIR-WISE
+    verify: the gram table is LEFT-SEMI-pruned to candidate doc ids
+    (sizes), and the intersection is computed by expanding each pair
+    with doc_a's grams and equi-joining on (doc_b, gram) — work is
+    O(candidate pairs x doc length), never a gram self-join, so
+    universal grams (stopwords) cost linear probe rows instead of
+    count(gram)^2.  This is the verification path of
+    minhash_lsh_pairs; without ``candidates`` it is the exact
+    all-pairs oracle (quadratic in docs-per-gram — at 100 TB always
+    pass candidates from an LSH stage).
     """
     grams = _gram_table(df, id_col, text_col, n)
     if candidates is not None:
@@ -85,16 +87,38 @@ def ngram_jaccard_pairs(
     # sizes from the (possibly pruned) gram table: per-doc gram counts
     # are unaffected by dropping other docs' rows
     sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
-    a = grams.alias("a")
-    b = grams.alias("b")
-    inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram"))
-               & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter_cnt"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
+        # PAIR-WISE verify, not a gram self-join: expand each candidate
+        # pair by doc_a's grams, then equi-join on (doc_b, gram). Work
+        # is O(candidate pairs x doc length) and immune to gram
+        # frequency skew — a stopword shared by every doc costs one
+        # probe row per (pair, occurrence), where the self-join form
+        # pays count(gram)^2 rows per gram (quadratic in corpus size
+        # for universal grams, even candidate-doc-restricted).
+        inter = (
+            candidates.select("doc_a", "doc_b")
+            .join(
+                grams.select(F.col("__id").alias("doc_a"), "gram"), "doc_a"
+            )
+            .join(
+                grams.select(F.col("__id").alias("doc_b"), "gram"),
+                ["doc_b", "gram"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter_cnt"))
+        )
+    else:
+        a = grams.alias("a")
+        b = grams.alias("b")
+        inter = (
+            a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                   & (F.col("a.__id") < F.col("b.__id")))
+            .groupBy(
+                F.col("a.__id").alias("doc_a"),
+                F.col("b.__id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter_cnt"))
+        )
     sa = sizes.select(F.col("__id").alias("doc_a"), F.col("sz").alias("__sa"))
     sb = sizes.select(F.col("__id").alias("doc_b"), F.col("sz").alias("__sb"))
     return (

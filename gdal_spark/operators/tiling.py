@@ -2365,12 +2365,24 @@ def cc_roots_df(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
         (F.col("a1") != F.col("b1")) | (F.col("a2") != F.col("b2"))
     )
     mapping = None
+    # ~rows of edge quadruples a partition-local union-find handles
+    # comfortably (tuple dict ≈ 200 B/entry → ~400 MB peak per task)
+    _EDGES_PER_TASK = 2_000_000
     for _ in range(max_rounds):
         # materialize the round's edge list once (distributed), so the
         # emptiness probe and the contraction don't recompute it
         cur = cur.localCheckpoint(eager=True)
-        if cur.isEmpty():
+        n_edges = cur.count()  # free: data is checkpointed
+        if n_edges == 0:
             break
+        # adaptive contraction width: components collapse by roughly
+        # the PARTITION COUNT per round, so fewer partitions = faster
+        # convergence — a graph that fits one task resolves in a
+        # single local union-find (round 2 just observes emptiness).
+        # Large graphs keep the full spread; memory per task stays
+        # bounded by _EDGES_PER_TASK either way.
+        want = max(1, -(-n_edges // _EDGES_PER_TASK))
+        cur = cur.coalesce(want)  # no-op when already narrower
         local = cur.mapInPandas(
             _cc_contract_pdf, "n1 long, n2 long, r1 long, r2 long"
         )
