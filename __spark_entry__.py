@@ -748,6 +748,62 @@ def _q_tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs).select("doc_id", "fp")
 
 
+def _q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container round trip (Common Crawl's native layout): build
+    pages (url, warc_ts, html=utf-8 text) from documents, write them
+    as per-record-gzip WARC/1.1 files with the distributed sink, read
+    them back with the distributed file-parallel scan, and emit
+    (doc_id, warc_ts, md5(html), byte length). The oracle recomputes
+    all four straight from the table — equality proves the container
+    round trip is byte-exact (md5 over the UTF-8 payload matches
+    DuckDB's md5 over the same string's bytes)."""
+    import shutil
+    import tempfile
+
+    from gdal_spark import warc
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://corpus.example/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.format_string(
+            "2026-01-01T%02d:%02d:%02dZ",
+            F.expr("(doc_id div 3600) % 24").cast("int"),
+            F.expr("(doc_id div 60) % 60").cast("int"),
+            F.expr("doc_id % 60").cast("int"),
+        ).alias("warc_ts"),
+        F.encode("text", "utf-8").alias("html"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "gdal_spark_warc_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    warc.write_warc_dir(pages.repartition(8, "url"), out_dir).count()
+    back = warc.read_warc(spark, out_dir)
+    return back.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "warc_ts",
+        F.md5("html").alias("html_md5"),
+        F.length("html").cast("long").alias("n_bytes"),
+    )
+
+
+_SRC_WARC_ORACLE = """
+    SELECT doc_id,
+           printf('2026-01-01T%02d:%02d:%02dZ',
+                  (doc_id // 3600) % 24,
+                  (doc_id // 60) % 60,
+                  doc_id % 60) AS warc_ts,
+           md5(text) AS html_md5,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+"""
+
+
 def _q_tx_web_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus hygiene chain (CCNet/RefinedWeb front door): messy
     URL variants (3 per canonical page: casing/default-port/tracking-
@@ -3341,12 +3397,14 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_repetition": _q_tx_repetition,
     "tx_web_clean": _q_tx_web_clean,
     "tx_fingerprint": _q_tx_fingerprint,
+    "src_warc": _q_src_warc,
     "sim_cosine_topk": _q_sim_cosine,
     "sim_ann_lsh": _q_sim_ann,
     "sim_ann_ivf": _q_sim_ivf,
 }
 
 ENGINE_ORACLES: dict[str, str] = {
+    "src_warc": _SRC_WARC_ORACLE,
     "rs_band_stats": _band_stats_oracle_sql(),
     "rs_dem_focal": _dem_focal_oracle_sql(),
     "rs_viewshed": _viewshed_oracle_sql(),
@@ -3593,6 +3651,9 @@ RETIRED_GATES: dict[str, str] = {
     "q3_shipping_topk": "q5_local_supplier (deeper join+agg tree) + "
                         "q_ogr_sql (ORDER BY/LIMIT top-k through the "
                         "parser); green in r01+r02",
+    "dd_exact_prefix": "dd_dup_clusters (same exact-key grouping, plus "
+                       "the distributed cluster contraction); green in "
+                       "r01+r02",
 }
 
 
