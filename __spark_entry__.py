@@ -792,6 +792,53 @@ def _q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dd_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022): maximal duplicated token
+    spans — every 8-token window occurring >= 2x corpus-wide, gap-
+    merged per document. Runs the key='hash' scale path (the shuffle
+    carries xxhash64 keys, never text); the oracle recomputes the
+    same spans from the gram STRINGS, so a hash collision would show
+    up as a value mismatch."""
+    from gdal_spark.operators.dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_spans(docs, window=8, min_count=2, key="hash")
+
+
+def _substring_spans_oracle_sql(L: int = 8, min_count: int = 2) -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), pg AS (
+      SELECT doc_id, ts,
+             unnest(range(1, greatest(len(ts) - {L} + 2, 1))) AS pos
+      FROM base
+    ), gg AS (
+      SELECT doc_id, pos,
+             array_to_string(ts[pos:pos + {L} - 1], ' ') AS gram
+      FROM pg
+    ), dup AS (
+      SELECT gram FROM gg GROUP BY gram HAVING count(*) >= {min_count}
+    ), marked AS (
+      SELECT gg.doc_id, gg.pos FROM gg JOIN dup USING (gram)
+    ), s AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id
+                                             ORDER BY pos) + {L}
+                  THEN 0 ELSE 1 END AS brk
+      FROM marked
+    ), s2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+      FROM s
+    )
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + {L} - 1 AS span_end,
+           count(*) AS n_windows
+    FROM s2 GROUP BY doc_id, sid
+    """
+
+
 _SRC_WARC_ORACLE = """
     SELECT doc_id,
            printf('2026-01-01T%02d:%02d:%02dZ',
@@ -3398,6 +3445,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_web_clean": _q_tx_web_clean,
     "tx_fingerprint": _q_tx_fingerprint,
     "src_warc": _q_src_warc,
+    "dd_substring_spans": _q_dd_substring_spans,
     "sim_cosine_topk": _q_sim_cosine,
     "sim_ann_lsh": _q_sim_ann,
     "sim_ann_ivf": _q_sim_ivf,
@@ -3405,6 +3453,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ENGINE_ORACLES: dict[str, str] = {
     "src_warc": _SRC_WARC_ORACLE,
+    "dd_substring_spans": _substring_spans_oracle_sql(),
     "rs_band_stats": _band_stats_oracle_sql(),
     "rs_dem_focal": _dem_focal_oracle_sql(),
     "rs_viewshed": _viewshed_oracle_sql(),
@@ -3654,6 +3703,9 @@ RETIRED_GATES: dict[str, str] = {
     "dd_exact_prefix": "dd_dup_clusters (same exact-key grouping, plus "
                        "the distributed cluster contraction); green in "
                        "r01+r02",
+    "q_sessionize": "dd_substring_spans (the identical LAG gap-merge + "
+                    "running-SUM window chain, over marked dup windows) "
+                    "+ q_ogr_sql_join (window rank); green in r01+r02",
 }
 
 

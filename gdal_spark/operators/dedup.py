@@ -342,3 +342,163 @@ def dup_clusters(
         nodes.join(roots, "doc_id", "left")
         .withColumn("root_id", F.coalesce("root_id", "doc_id"))
     )
+
+
+def window_gram_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    key: str = "text",
+) -> DataFrame:
+    """Every length-``window`` token window of every document →
+    (__id, pos, gram_key), pos 1-based. ``key='text'`` keeps the gram
+    string itself (what the oracle can recompute); ``key='hash'``
+    shuffles xxhash64 of it instead — at 100 TB the hash form moves
+    8-byte keys where the text form moves ~window*6 bytes, and a
+    64-bit hash over the corpus's ~10^12 windows stays collision-safe
+    for candidate marking (Lee et al. 2022 use the same reasoning for
+    their suffix-array buckets)."""
+    w = word_array(F.col(text_col))
+    grams = F.when(
+        F.size(w) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (window - 1)),
+            lambda i: F.array_join(F.slice(w, i, window), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = (
+        df.select(F.col(id_col).alias("__id"), grams.alias("__grams"))
+        .select("__id", F.posexplode("__grams").alias("__p0", "gram"))
+        .select(
+            "__id", (F.col("__p0") + 1).alias("pos"),
+            (F.xxhash64("gram") if key == "hash" else F.col("gram"))
+            .alias("gram_key"),
+        )
+    )
+    return out
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_count: int = 2,
+    key: str = "hash",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    token span is duplicated when some length-``window`` token window
+    inside it occurs >= ``min_count`` times across the whole corpus
+    (same doc included, as in the paper). Output: one row per maximal
+    duplicated span — (doc_id, span_start, span_end, n_windows),
+    token positions 1-based inclusive.
+
+    The reference implementation builds a corpus-wide suffix array on
+    one big machine; the Spark re-expression needs only (1) one hash
+    aggregation over window keys (map-side combined), (2) one
+    equi-join of the window table against the duplicated-key set —
+    both shuffle (key, id, pos) triples, never document text when
+    ``key='hash'`` — and (3) a per-document window pass that merges
+    overlapping windows into maximal spans (the sessionize gap-merge:
+    new span when pos > prev_pos + window).
+    """
+    grams = window_gram_table(df, id_col, text_col, window, key)
+    dup_keys = (
+        grams.groupBy("gram_key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= min_count)
+        .select("gram_key")
+    )
+    marked = grams.join(dup_keys, "gram_key").select("__id", "pos")
+    wdoc = Window.partitionBy("__id").orderBy("pos")
+    brk = (
+        F.when(
+            F.col("pos") <= F.lag("pos").over(wdoc) + window, F.lit(0)
+        ).otherwise(F.lit(1))
+    )
+    spans = (
+        marked.withColumn("__brk", brk)
+        .withColumn(
+            "__sid",
+            F.sum("__brk").over(
+                wdoc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(F.col("__id").alias(id_col), "__sid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (window - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("__sid")
+    )
+    return spans
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Rewrite documents with every duplicated span deleted (the
+    paper's ExactSubstr cut: remove ALL copies; what survives is text
+    no window of which repeats). Token-level surgery stays JVM-side:
+    explode tokens with positions, anti-range-join against the doc's
+    spans, reassemble with sort_array + array_join — one extra shuffle
+    on doc id, no Python."""
+    w = word_array(F.col(text_col))
+    toks = (
+        df.select(F.col(id_col).alias("__id"), w.alias("__toks"))
+        .select("__id", F.posexplode("__toks").alias("__p0", "tok"))
+        .select("__id", (F.col("__p0") + 1).alias("pos"), "tok")
+    )
+    sp = spans.select(
+        F.col(id_col).alias("__id"), "span_start", "span_end"
+    )
+    kept = toks.join(
+        sp,
+        (toks["__id"] == sp["__id"])
+        & (F.col("pos") >= F.col("span_start"))
+        & (F.col("pos") <= F.col("span_end")),
+        "left_anti",
+    )
+    rebuilt = (
+        kept.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias(out_col)
+        )
+    )
+    span_docs = sp.select(
+        F.col("__id").alias(id_col), F.lit(True).alias("__cut")
+    ).distinct()
+    return (
+        df.join(
+            rebuilt.withColumnRenamed("__id", id_col), id_col, "left"
+        )
+        .join(span_docs, id_col, "left")
+        # a doc whose every token sat in a span rebuilds to NOTHING —
+        # empty string, not its original text; untouched docs pass
+        # through unchanged
+        .withColumn(
+            out_col,
+            F.coalesce(
+                out_col,
+                F.when(F.col("__cut"), F.lit("")).otherwise(
+                    F.col(text_col)
+                ),
+            ),
+        )
+        .drop("__cut")
+    )

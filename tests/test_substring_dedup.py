@@ -1,0 +1,116 @@
+"""ExactSubstr duplicated-span detection vs a brute-force oracle."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.operators.dedup import (
+    duplicated_spans,
+    strip_duplicated_spans,
+    window_gram_table,
+)
+
+
+def brute_spans(docs, window, min_count=2):
+    """Reference semantics, straight from the definition: mark every
+    window whose token string occurs >= min_count times corpus-wide,
+    merge overlapping/adjacent windows per doc."""
+    from collections import Counter
+
+    toks = {d: t.split(" ") for d, t in docs}
+    counts = Counter(
+        " ".join(ts[i:i + window])
+        for ts in toks.values()
+        for i in range(len(ts) - window + 1)
+    )
+    out = []
+    for d, ts in toks.items():
+        hits = [
+            i + 1
+            for i in range(len(ts) - window + 1)
+            if counts[" ".join(ts[i:i + window])] >= min_count
+        ]
+        spans = []
+        for p in hits:
+            # merge while the next window overlaps or is adjacent to
+            # the running span (pos <= prev_end + 1)
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1] = (
+                    spans[-1][0], max(spans[-1][1], p + window - 1),
+                    spans[-1][2] + 1,
+                )
+            else:
+                spans.append((p, p + window - 1, 1))
+        out.extend((d, a, b, n) for a, b, n in spans)
+    return sorted(out)
+
+
+def _mkdocs():
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"{shared} omega"),
+        (3, "unique words only here nothing repeats at all ever truly"),
+        (4, f"prefix {shared} suffix {shared} tail"),  # same-doc repeat
+        (5, "x " * 30 + "y"),  # self-repetitive run: every window dup
+    ]
+    return [(d, t.strip()) for d, t in docs]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(_mkdocs(), columns=["doc_id", "text"])
+    ).repartition(5)
+
+
+@pytest.mark.parametrize("window", [3, 5])
+@pytest.mark.parametrize("key", ["text", "hash"])
+def test_spans_match_bruteforce(spark, docs_df, window, key):
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicated_spans(
+            docs_df, window=window, key=key
+        ).collect()
+    )
+    assert got == brute_spans(_mkdocs(), window)
+
+
+def test_window_table_positions(spark, docs_df):
+    g = window_gram_table(docs_df, window=4, key="text")
+    one = (
+        g.where(F.col("__id") == 3)
+        .orderBy("pos")
+        .collect()
+    )
+    toks = dict(_mkdocs())[3].split(" ")
+    assert [r.pos for r in one] == list(range(1, len(toks) - 3 + 1))
+    assert one[0].gram_key == " ".join(toks[:4])
+    assert one[-1].gram_key == " ".join(toks[-4:])
+
+
+def test_short_docs_yield_nothing(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "a b"]})
+    )
+    assert duplicated_spans(df, window=5).count() == 0
+
+
+def test_strip_removes_all_copies(spark, docs_df):
+    window = 5
+    spans = duplicated_spans(docs_df, window=window)
+    out = {
+        r.doc_id: r.text_dedup
+        for r in strip_duplicated_spans(docs_df, spans).collect()
+    }
+    ref = {d: list(t.split(" ")) for d, t in _mkdocs()}
+    for d, a, b, _ in brute_spans(_mkdocs(), window):
+        for i in range(a - 1, b):
+            ref[d][i] = None
+    want = {
+        d: " ".join(t for t in ts if t is not None)
+        for d, ts in ref.items()
+    }
+    assert out == want
+    assert out[5] in ("", "y")  # the self-repetitive run collapses
+    assert out[3] == dict(_mkdocs())[3]  # untouched doc passes through
