@@ -792,6 +792,67 @@ def _q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate ST_Union / dissolve-by-attribute: 40 keys, each a
+    chain of axis-aligned rects (alternating heights 2/3; spacing 3 =
+    width-1 overlaps, spacing 4 = edge-touching) built distributed,
+    dissolved per key. The fixture admits a closed-form union area —
+    sum of rect areas minus the (n-1) pairwise chain overlaps, no
+    triple overlaps by construction — which the oracle states
+    directly; the engine computes it geometrically."""
+    from gdal_spark import wkb as _wkb
+    from gdal_spark.operators.layer_algebra import dissolve
+
+    rows = (
+        spark.range(40)
+        .select(F.col("id").alias("g"))
+        .select(
+            "g",
+            F.explode(
+                F.sequence(F.lit(0), (F.lit(2) + F.col("g") % 5))
+            ).alias("j"),
+        )
+    )
+
+    def build(batches):
+        for pdf in batches:
+            geoms = []
+            for g, j in zip(pdf["g"], pdf["j"]):
+                dx = 3 + int(g) % 2
+                h = 2 + (int(g) + int(j)) % 2
+                x0 = int(j) * dx
+                ring = np.array(
+                    [[x0, 0], [x0 + 4, 0], [x0 + 4, h],
+                     [x0, h], [x0, 0]],
+                    dtype=np.float64,
+                )
+                geoms.append(_wkb.polygon([ring]))
+            yield pd.DataFrame(
+                {"key": pdf["g"].astype("int64"), "geom_wkb": geoms}
+            )
+
+    rects = rows.mapInPandas(build, "key long, geom_wkb binary")
+    out = dissolve(rects, "key", "geom_wkb")
+    return out.select(
+        "key",
+        F.round(F.col("area") * 100).cast("long").alias("area_q2"),
+        "n_geoms",
+    )
+
+
+_GEO_DISSOLVE_ORACLE = """
+    WITH keys AS (SELECT unnest(range(0, 40)) AS g),
+    r AS (SELECT g, unnest(range(0, 3 + g % 5)) AS j FROM keys),
+    p AS (SELECT g, j, 2 + (g + j) % 2 AS h, 3 + (g % 2) AS dx FROM r)
+    SELECT g AS key,
+           CAST(round((sum(4 * h)
+                       - (count(*) - 1) * (4 - max(dx)) * 2) * 100)
+                AS BIGINT) AS area_q2,
+           count(*) AS n_geoms
+    FROM p GROUP BY g
+"""
+
+
 def _q_dd_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr dedup (Lee et al. 2022): maximal duplicated token
     spans — every 8-token window occurring >= 2x corpus-wide, gap-
@@ -3446,6 +3507,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_fingerprint": _q_tx_fingerprint,
     "src_warc": _q_src_warc,
     "dd_substring_spans": _q_dd_substring_spans,
+    "geo_dissolve": _q_geo_dissolve,
     "sim_cosine_topk": _q_sim_cosine,
     "sim_ann_lsh": _q_sim_ann,
     "sim_ann_ivf": _q_sim_ivf,
@@ -3454,6 +3516,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ENGINE_ORACLES: dict[str, str] = {
     "src_warc": _SRC_WARC_ORACLE,
     "dd_substring_spans": _substring_spans_oracle_sql(),
+    "geo_dissolve": _GEO_DISSOLVE_ORACLE,
     "rs_band_stats": _band_stats_oracle_sql(),
     "rs_dem_focal": _dem_focal_oracle_sql(),
     "rs_viewshed": _viewshed_oracle_sql(),
@@ -3706,6 +3769,10 @@ RETIRED_GATES: dict[str, str] = {
     "q_sessionize": "dd_substring_spans (the identical LAG gap-merge + "
                     "running-SUM window chain, over marked dup windows) "
                     "+ q_ogr_sql_join (window rank); green in r01+r02",
+    "geo_hull_cells": "was rows-only; hull exactness is pinned by the "
+                      "monotone-chain pytests and cell bucketing by "
+                      "sp_cell_encode — replaced by the value-exact "
+                      "geo_dissolve gate",
 }
 
 

@@ -837,3 +837,94 @@ def intersection_join(
             "b_id", id_b
         )
     return out
+
+
+def dissolve(
+    df: DataFrame,
+    key_col: str = "key",
+    wkb_col: str = "geom_wkb",
+) -> DataFrame:
+    """ST_Union aggregate / dissolve-by-attribute: union every
+    (multi)polygon sharing a key into one geometry per key →
+    (key, area, n_geoms, geom_wkb).
+
+    Reference: the SQLite-dialect aggregate ST_Union behind
+    ``ogr2ogr ... "SELECT ST_Union(geometry) ... GROUP BY attr"``
+    (GEOS cascaded union per group); semantics corpus
+    autotest/ogr/ogr_sql_sqlite.py. Spark shape: ONE shuffle on the
+    key, then a per-key fold in applyInPandas — each incoming
+    geometry decomposes to disjoint hole-free pieces
+    (``_decompose_full``: holes and multiparts handled exactly) and
+    only the part NOT already covered joins the accumulated union
+    (``erase_poly_convex`` against the union's convex decomposition,
+    bbox-prefiltered), so piece areas sum to the exact union area no
+    matter how the inputs overlap.
+
+    The emitted multipolygon is a disjoint TILING of the union (piece
+    boundaries are not dissolved away) — area-exact and PIP-exact,
+    which is what every downstream operator here consumes; minimal
+    boundary extraction is the polygonize ring-tracing problem and
+    lives there.
+
+    Scale: per-key work is local to one task (the reference model:
+    one cascaded union per group). For a pathological key holding a
+    large fraction of the corpus, pre-fold per partition first
+    (``df.repartition(N, key, salt)`` + dissolve + dissolve again) —
+    the fold is associative, so two levels compose exactly.
+    """
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc_simple: list[np.ndarray] = []
+        acc_convex: list[np.ndarray] = []
+        acc_boxes: list[tuple] = []
+        n = 0
+        for buf in pdf[wkb_col]:
+            simple, _convex, _bb, _area = _decompose_full(bytes(buf))
+            n += 1
+            for s in simple:
+                sb = geometry.ring_bbox(s)
+                clips = [
+                    acc_convex[i]
+                    for i, cb in enumerate(acc_boxes)
+                    if not (
+                        cb[2] <= sb[0] or sb[2] <= cb[0]
+                        or cb[3] <= sb[1] or sb[3] <= cb[1]
+                    )
+                ]
+                residue = (
+                    geometry.erase_poly_convex(s, clips) if clips
+                    else [geometry._open_ring(s)]
+                )
+                for r in residue:
+                    if len(r) < 3 or abs(
+                        geometry.ring_area(np.vstack([r, r[:1]]))
+                    ) == 0.0:
+                        continue
+                    acc_simple.append(r)
+                    parts = (
+                        [r] if geometry.ring_is_convex(r)
+                        else geometry.ear_triangulate(r)
+                    )
+                    for cp in parts:
+                        acc_convex.append(cp)
+                        acc_boxes.append(geometry.ring_bbox(cp))
+        area = geometry.pieces_area(acc_simple)
+        buf = wkb.multipolygon(
+            [[np.vstack([p, p[:1]])] for p in acc_simple]
+        )
+        return pd.DataFrame(
+            {
+                "key": [pdf[key_col].iloc[0]],
+                "area": [area],
+                "n_geoms": [n],
+                "geom_wkb": [buf],
+            }
+        )
+
+    return (
+        df.select(F.col(key_col).cast("long").alias(key_col), wkb_col)
+        .groupBy(key_col)
+        .applyInPandas(
+            fold, "key long, area double, n_geoms long, geom_wkb binary"
+        )
+    )

@@ -1,0 +1,112 @@
+"""dissolve (aggregate ST_Union per key): exact union areas for
+overlapping / disjoint / duplicate / holed / multipart inputs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark import wkb
+from gdal_spark.operators.layer_algebra import dissolve
+
+
+def rect(x0, y0, x1, y1):
+    return np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "geom_wkb"])
+    )
+
+
+def _areas(df):
+    return {r.key: r.area for r in df.collect()}
+
+
+def test_single_geometry_identity(spark):
+    d = dissolve(_df(spark, [(1, wkb.polygon([rect(0, 0, 4, 3)]))]))
+    out = d.collect()[0]
+    assert out.area == pytest.approx(12.0)
+    assert out.n_geoms == 1
+
+
+def test_disjoint_sum_and_overlap_subtraction(spark):
+    rows = [
+        # key 1: two disjoint 4x2 rects -> 16
+        (1, wkb.polygon([rect(0, 0, 4, 2)])),
+        (1, wkb.polygon([rect(10, 0, 14, 2)])),
+        # key 2: chain overlap width 1 height 2 -> 8 + 8 - 2 = 14
+        (2, wkb.polygon([rect(0, 0, 4, 2)])),
+        (2, wkb.polygon([rect(3, 0, 7, 2)])),
+        # key 3: identical copies -> area of one
+        (3, wkb.polygon([rect(0, 0, 5, 5)])),
+        (3, wkb.polygon([rect(0, 0, 5, 5)])),
+        (3, wkb.polygon([rect(0, 0, 5, 5)])),
+        # key 4: contained -> area of the big one
+        (4, wkb.polygon([rect(0, 0, 10, 10)])),
+        (4, wkb.polygon([rect(2, 2, 5, 5)])),
+    ]
+    a = _areas(dissolve(_df(spark, rows)))
+    assert a[1] == pytest.approx(16.0)
+    assert a[2] == pytest.approx(14.0)
+    assert a[3] == pytest.approx(25.0)
+    assert a[4] == pytest.approx(100.0)
+
+
+def test_holed_and_multipart_inputs(spark):
+    donut = wkb.polygon([rect(0, 0, 10, 10), rect(4, 4, 6, 6)])  # 96
+    plug = wkb.polygon([rect(4, 4, 6, 6)])  # fills the hole exactly
+    multi = wkb.multipolygon(
+        [[rect(20, 0, 24, 2)], [rect(30, 0, 34, 2)]]
+    )  # 16, disjoint from the donut
+    a = _areas(
+        dissolve(
+            _df(spark, [(7, donut), (7, plug), (7, multi)])
+        )
+    )
+    assert a[7] == pytest.approx(96 + 4 + 16)
+
+
+def test_triple_overlap_exact(spark):
+    # three rects all overlapping a common core — inclusion-exclusion:
+    # 3*24 - (12+12+12 pairwise) + 6 core... computed directly: the
+    # union of [0,6]x[0,4], [2,8]x[0,4], [4,10]x[0,4] is [0,10]x[0,4]
+    rows = [
+        (9, wkb.polygon([rect(0, 0, 6, 4)])),
+        (9, wkb.polygon([rect(2, 0, 8, 4)])),
+        (9, wkb.polygon([rect(4, 0, 10, 4)])),
+    ]
+    a = _areas(dissolve(_df(spark, rows)))
+    assert a[9] == pytest.approx(40.0)
+
+
+def test_partitioning_and_order_invariance(spark):
+    rows = [
+        (1, wkb.polygon([rect(j * 3, 0, j * 3 + 4, 2 + j % 2)]))
+        for j in range(6)
+    ]
+    base = _areas(dissolve(_df(spark, rows)))
+    shuf = _areas(
+        dissolve(_df(spark, rows[::-1]).repartition(7, "geom_wkb"))
+    )
+    assert base.keys() == shuf.keys()
+    for k in base:
+        assert base[k] == pytest.approx(shuf[k])
+
+
+def test_emitted_multipolygon_tiles_the_union(spark):
+    from gdal_spark import geometry
+
+    rows = [
+        (5, wkb.polygon([rect(0, 0, 4, 2)])),
+        (5, wkb.polygon([rect(3, 0, 7, 2)])),
+    ]
+    out = dissolve(_df(spark, rows)).collect()[0]
+    parts = wkb.polygon_rings(bytes(out.geom_wkb))
+    total = sum(
+        abs(geometry.ring_area(p[0])) for p in parts
+    )
+    assert total == pytest.approx(out.area) == pytest.approx(14.0)
