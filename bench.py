@@ -64,10 +64,15 @@ HEADLINE = [
     "q5_local_supplier",
     "q_ogr_sql",
     "q_sessionize",
+    # vector aggregate union
+    "geo_dissolve",
+    # container source round trip (WARC write + read, sf-sized)
+    "src_warc",
     # training-data pipeline ops
     "dd_exact_prefix",
     "dd_minhash_lsh",
     "dd_dup_clusters",
+    "dd_substring_spans",
     "tx_token_count",
     "tx_repetition",
     "tx_web_clean",

@@ -403,6 +403,15 @@ def duplicated_spans(
     ``key='hash'`` — and (3) a per-document window pass that merges
     overlapping windows into maximal spans (the sessionize gap-merge:
     new span when pos > prev_pos + window).
+
+    Deliberate trade: the gram table feeds both the aggregate and the
+    join, so documents tokenize twice (two column-pruned scans). The
+    alternative — one pass + a COUNT window over gram_key — buffers
+    every occurrence of a key in one task, and boilerplate windows
+    (page headers, license blocks) repeat billions of times at corpus
+    scale; the agg+join form keeps hot keys partial-aggregated and is
+    the skew-safe choice. Cache the gram table explicitly if
+    tokenization dominates.
     """
     grams = window_gram_table(df, id_col, text_col, window, key)
     dup_keys = (

@@ -185,3 +185,25 @@ def test_minhash_verify_is_candidate_pruned(spark):
     )
     out = minhash_lsh_pairs(docs, num_perm=16, bands=8)
     assert "LeftSemi" in _optimized(out)
+
+
+def test_substring_spans_shuffles_hash_keys_not_text(spark):
+    """duplicated_spans(key='hash'): every Exchange must carry the
+    8-byte gram_key (and id/pos), never the gram string or document
+    text — the property that makes the ExactSubstr shuffle volume
+    independent of document size."""
+    from gdal_spark.operators.dedup import duplicated_spans
+
+    docs = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.lit("a b c d e f g h"),
+            (F.col("id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    plan = _plan(duplicated_spans(docs, window=4, key="hash"))
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        args = m.group(1)
+        assert "gram#" not in args and "text#" not in args, args
