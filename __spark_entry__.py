@@ -792,6 +792,75 @@ def _q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gcp_fit_fixture():
+    """Deterministic order-2 GCP fit: 20 integer tie points sampled
+    from a fixed quadratic ground truth (alg/gdal_crs.c CRS_compute
+    analog). Fitting happens ONCE here; gate and oracle then evaluate
+    the SAME fitted coefficients with the SAME left-associative
+    operation order, so both sides see bit-identical doubles and the
+    comparison cannot wobble on fit residuals."""
+    from gdal_spark import gcp
+
+    k = np.arange(20, dtype=np.float64)
+    px = (k * 37) % 101 - 50.0
+    py = (k * 53) % 61 - 30.0
+    x2, y2 = px * px, py * py
+    X = 2.0 + 0.5 * px + 0.01 * py + 1e-3 * px * py + 2e-3 * x2 \
+        - 3e-3 * y2
+    Y = -1.0 + 0.02 * px + 0.8 * py - 5e-4 * px * py + 1e-3 * y2
+    cx, cy, rms = gcp.fit(np.stack([px, py, X, Y], axis=1), order=2)
+    assert rms < 1e-6
+    return cx, cy
+
+
+def _q_sp_gcp_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GCP polynomial transform applied to the derived doc points as a
+    pure JVM expression tree (whole-stage codegen, no Python) — the
+    GDALCreateGCPTransformer point-probe path (alg/gdal_crs.c;
+    gdal_translate -gcp / gdalwarp -order 2)."""
+    from gdal_spark import gcp
+
+    cx, cy = _gcp_fit_fixture()
+    _reg(spark, sf_dir)
+    pts = spark.sql(DOC_PTS_SQL)
+    Xc, Yc = gcp.transform_columns(
+        cx, cy, F.col("lon"), F.col("lat"), order=2
+    )
+    return pts.select(
+        "doc_id",
+        F.round(Xc * 1e6).cast("long").alias("gx_q6"),
+        F.round(Yc * 1e6).cast("long").alias("gy_q6"),
+    )
+
+
+def _gcp_poly_oracle_sql() -> str:
+    """Same fitted coefficients, same term structure and association
+    order as gcp.transform_columns (term = c * x * ... * y * ...;
+    sum left to right) — double-exact parity by construction."""
+    from gdal_spark.gcp import terms
+
+    cx, cy = _gcp_fit_fixture()
+
+    def poly(coef):
+        parts = []
+        for c, (i, j) in zip(coef, terms(2)):
+            t = repr(float(c))
+            t = "(" + t + "".join(" * lon" * i) + "".join(" * lat" * j) + ")"
+            parts.append(t)
+        out = parts[0]
+        for p in parts[1:]:
+            out = f"({out} + {p})"
+        return out
+
+    return f"""
+        WITH pts AS ({DOC_PTS_SQL})
+        SELECT doc_id,
+               CAST(round({poly(cx)} * 1e6) AS BIGINT) AS gx_q6,
+               CAST(round({poly(cy)} * 1e6) AS BIGINT) AS gy_q6
+        FROM pts
+    """
+
+
 def _q_geo_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate ST_Union / dissolve-by-attribute: 40 keys, each a
     chain of axis-aligned rects (alternating heights 2/3; spacing 3 =
@@ -3508,6 +3577,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_warc": _q_src_warc,
     "dd_substring_spans": _q_dd_substring_spans,
     "geo_dissolve": _q_geo_dissolve,
+    "sp_gcp_poly": _q_sp_gcp_poly,
     "sim_cosine_topk": _q_sim_cosine,
     "sim_ann_lsh": _q_sim_ann,
     "sim_ann_ivf": _q_sim_ivf,
@@ -3517,6 +3587,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "src_warc": _SRC_WARC_ORACLE,
     "dd_substring_spans": _substring_spans_oracle_sql(),
     "geo_dissolve": _GEO_DISSOLVE_ORACLE,
+    "sp_gcp_poly": _gcp_poly_oracle_sql(),
     "rs_band_stats": _band_stats_oracle_sql(),
     "rs_dem_focal": _dem_focal_oracle_sql(),
     "rs_viewshed": _viewshed_oracle_sql(),
@@ -3773,6 +3844,9 @@ RETIRED_GATES: dict[str, str] = {
                       "monotone-chain pytests and cell bucketing by "
                       "sp_cell_encode — replaced by the value-exact "
                       "geo_dissolve gate",
+    "q_hstore_get": "q_ogr_sql (scalar-function machinery through the "
+                    "parser) + tests/test_ogr_compat.py exact HSTORE "
+                    "semantics; green in r01+r02",
 }
 
 

@@ -16,6 +16,7 @@ timings are wall-clock per query, value = total.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -108,6 +109,14 @@ def main() -> int:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        # queries are independent jobs: drop any blocks an operator
+        # persisted/checkpointed so query k+1 isn't taxed by query k's
+        # leftover executor memory (GC pressure grows the tail of a
+        # 46-query session by multiples otherwise)
+        spark.catalog.clearCache()
+        # drop py4j refs so Spark's ContextCleaner can also reap
+        # localCheckpoint RDD blocks (clearCache only sees SQL cache)
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(
