@@ -10,15 +10,21 @@ count (chained Arrow-UDF stages run Python workers outside the JVM
 thread pool; without pinning, local[8] silently uses far more than 8
 CPUs and the comparison is meaningless).
 
-Method: for each N, build the full pipeline plan (pages → extract →
-spatial join) and run `count()` ITERS times; per-iteration throughput
-is reported and the best iteration is used for the efficiency ratio
-(the host is shared/noisy; best-of-N approximates uncontended
-steady-state throughput; iteration 0 additionally pays one-time Python
-worker spawn + JIT, which a long-running cluster job amortizes).
+Method: the pages table is materialized to parquet ONCE (setup,
+untimed — the in-sandbox stand-in for the north rule's Iceberg pages
+table), then each pinned child runs the real job — column-pruned
+(url, text) parquet scan → extract (mapInPandas) → cell-cover
+broadcast spatial join + PIP — `count()` ITERS times; per-iteration
+throughput is reported and the best iteration is used for the
+efficiency ratio (the host is shared/noisy; best-of-N approximates
+uncontended steady state; iteration 0 additionally pays one-time
+Python worker spawn + JIT, which a long-running cluster job
+amortizes). `--rounds K` switches to PAIRED mode: K low/high
+back-to-back rounds so both levels sample the same time-correlated
+host-noise regime, reporting per-round efficiencies and the median.
 
-Usage: python tools/scaling_bench.py [--pages 2000000] [--low 8]
-           [--high 32] [--iters 3]
+Usage: python tools/scaling_bench.py [--pages 10000000] [--low 2]
+           [--high 8] [--iters 3] [--rounds 5] [--no-fixture]
 Prints one JSON line; paste the result into BENCH.md.
 """
 
@@ -43,11 +49,19 @@ from gdal_spark.operators.extract import extract_features
 from gdal_spark.operators.spatial_join import spatial_join
 
 spark = get_spark(app_name="scale{cores}", cores={cores})
-# columns=["text"] emulates Parquet/Iceberg column pruning: the join
-# only reads (url, text); a real scan would never materialize html
-pages = testdata.pages_df(
-    spark, {pages}, partitions={parts}, columns=["text"]
-)
+if {fixture!r}:
+    # the north-rule job proper: a real (url, text) Parquet/Iceberg
+    # scan — column-pruned, JVM-side decode — into the pipeline; the
+    # Python synthetic generator never sits inside the measurement.
+    # 32 files give every level enough scan tasks; no repartition (a
+    # real job would never shuffle the input table just to read it)
+    pages = spark.read.parquet({fixture!r})
+else:
+    # columns=["text"] emulates Parquet/Iceberg column pruning: the join
+    # only reads (url, text); a real scan would never materialize html
+    pages = testdata.pages_df(
+        spark, {pages}, partitions={parts}, columns=["text"]
+    )
 j = spatial_join(
     extract_features(pages), testdata.polygons_pdf(100), res_min=2, res_max=7
 )
@@ -60,10 +74,43 @@ for it in range({iters}):
 print(json.dumps({{"cores": {cores}, "iters": iters, "rows": rows}}))
 """
 
+_FIXTURE_WRITER = """
+import os, sys
+sys.path.insert(0, {repo!r})
+from gdal_spark import testdata
+from gdal_spark.session import get_spark
 
-def run_one(cores: int, pages: int, iters: int) -> dict:
+spark = get_spark(app_name="scale_fixture")
+(testdata.pages_df(spark, {pages}, partitions=32, columns=["text"])
+ .write.mode("overwrite").parquet({fixture!r}))
+print("fixture written")
+"""
+
+
+def ensure_fixture(pages: int) -> str:
+    """Materialize the synthetic pages table as parquet ONCE (setup,
+    untimed, unpinned) so every measured child runs the real job: a
+    column-pruned parquet scan of (url, text) — the in-sandbox stand-in
+    for the north rule's Iceberg pages table."""
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"gdal_spark_scale_pages_{pages}.parquet"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        subprocess.run(
+            [sys.executable, "-c",
+             _FIXTURE_WRITER.format(repo=REPO, pages=pages, fixture=path)],
+            capture_output=True, text=True, check=True,
+        )
+    return path
+
+
+def run_one(cores: int, pages: int, iters: int,
+            fixture: str = "") -> dict:
     code = _CHILD.format(
-        repo=REPO, cores=cores, pages=pages, parts=2 * cores, iters=iters
+        repo=REPO, cores=cores, pages=pages, parts=2 * cores,
+        iters=iters, fixture=fixture,
     )
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -81,9 +128,10 @@ def run_paired(args) -> int:
     efficiency + the median across rounds is the robust readout."""
     rounds = []
     t0 = time.perf_counter()
+    fixture = "" if args.no_fixture else ensure_fixture(args.pages)
     for r in range(args.rounds):
-        lo = run_one(args.low, args.pages, args.iters)
-        hi = run_one(args.high, args.pages, args.iters)
+        lo = run_one(args.low, args.pages, args.iters, fixture)
+        hi = run_one(args.high, args.pages, args.iters, fixture)
         best_lo, best_hi = min(lo["iters"]), min(hi["iters"])
         eff = (best_lo / best_hi) / (args.high / args.low)
         rounds.append(
@@ -133,14 +181,18 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--rounds", type=int, default=0,
                     help="paired mode: N low/high back-to-back rounds")
+    ap.add_argument("--no-fixture", action="store_true",
+                    help="generate pages in-pipeline (pre-r03 method) "
+                         "instead of scanning the parquet fixture")
     args = ap.parse_args()
 
     if args.rounds:
         return run_paired(args)
 
     t0 = time.perf_counter()
-    hi = run_one(args.high, args.pages, args.iters)
-    lo = run_one(args.low, args.pages, args.iters)
+    fixture = "" if args.no_fixture else ensure_fixture(args.pages)
+    hi = run_one(args.high, args.pages, args.iters, fixture)
+    lo = run_one(args.low, args.pages, args.iters, fixture)
     best_lo = min(lo["iters"])
     best_hi = min(hi["iters"])
     speedup = best_lo / best_hi
