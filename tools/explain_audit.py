@@ -63,6 +63,16 @@ cell-cover rows, candidate pairs come from an EQUI-join on cell_id
 BroadcastNestedLoopJoin, no driver-resident method layer), pairs
 dedupe, geometries join back by id, and the clip kernel is one final
 mapInPandas. Every shuffle is keyed; AQE handles hot-cell skew.""",
+    "duplicated_spans": """ExactSubstr span dedup: window grams are pure codegen
+(split/transform/slice/posexplode), BOTH exchanges partition on the
+64-bit xxhash64 gram key — shuffle volume independent of document
+size — with partial_count map-side combine on the dup-key side
+(skew-safe under boilerplate windows repeated 10^9 times), then one
+exchange on the doc id for the LAG gap-merge windows. No Python
+anywhere.""",
+    "dissolve": """Aggregate ST_Union: ONE exchange on the dissolve key feeding a
+single FlatMapGroupsInPandas fold — the reference's one-cascaded-
+union-per-group model, with the geometry never shuffled twice.""",
     "tin_grid_distributed": """Zero-driver TIN pipeline. The triangulation rounds run
 eagerly inside delaunay_distributed (per-cell Bowyer-Watson over a
 3×3 JVM halo explode, certified triangles persisted; unresolved cells
@@ -166,6 +176,20 @@ def main() -> int:
     )
     pages = testdata.pages_df(spark, 1000, partitions=4)
     plans["extract_features"] = _plan(extract_features(pages))
+
+    from gdal_spark.operators.dedup import duplicated_spans
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    plans["duplicated_spans"] = _plan(
+        duplicated_spans(docs, window=8, key="hash")
+    )
+    from gdal_spark.operators.layer_algebra import dissolve
+
+    plans["dissolve"] = _plan(
+        dissolve(
+            a_df.withColumnRenamed("a_id", "key"), "key", "geom_wkb"
+        )
+    )
 
     out = io.StringIO()
     out.write(
