@@ -122,3 +122,99 @@ def test_stream_spatial_join_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_sessionize_matches_batch_twin(spark, tmp_path):
+    """applyInPandasWithState sessionizer == the batch LAG gap-merge
+    on the same events. A far-future sentinel per key flushes every
+    real session through the gap-split path (deterministic end-state,
+    no reliance on timeout firing order at stream end)."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.streaming import stream_sessionize
+
+    gap_s = 60
+    rng = np.random.RandomState(7)
+    rows = []
+    base = pd.Timestamp("2026-01-01")
+    for k in range(8):
+        t = 0
+        for s in range(1 + k % 3):  # 1-3 sessions per key
+            t += gap_s + 1 + int(rng.randint(0, 300))  # new session
+            for e in range(1 + (k + s) % 4):  # 1-4 events
+                rows.append((f"u{k}", base + pd.Timedelta(seconds=t)))
+                t += int(rng.randint(0, gap_s))  # stay in session
+    sentinel = base + pd.Timedelta(days=10)
+    sent_rows = [(f"u{k}", sentinel) for k in range(8)]
+
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts"])
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.parquet(d + "/b0")
+    spark.createDataFrame(
+        pd.concat(
+            [pdf.iloc[half:],
+             pd.DataFrame(sent_rows, columns=["url", "warc_ts"])]
+        )
+    ).coalesce(1).write.parquet(d + "/b1")
+
+    schema = "url string, warc_ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    sess = stream_sessionize(
+        stream, key_col="url", ts_col="warc_ts", gap_s=gap_s,
+        watermark="10 seconds",
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.sql(
+            "SELECT * FROM sessions WHERE session_start < "
+            "timestamp'2026-01-05'"
+        ).collect()
+    }
+
+    # batch twin: LAG gap-merge over the same (non-sentinel) events
+    from pyspark.sql import Window
+
+    ev = spark.createDataFrame(pdf)
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    twin = (
+        ev.withColumn(
+            "brk",
+            F.when(
+                F.col("warc_ts").cast("long")
+                - F.lag(F.col("warc_ts").cast("long")).over(w)
+                <= gap_s,
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("url", "sid")
+        .agg(
+            F.min("warc_ts").alias("a"),
+            F.max("warc_ts").alias("b"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    want = {
+        (r.url, str(r.a), str(r.b), r.n) for r in twin.collect()
+    }
+    assert got == want
