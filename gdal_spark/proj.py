@@ -186,3 +186,109 @@ def series_constants() -> dict:
         "beta": _BETA,
         "delta": _DELTA,
     }
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic, 2 standard parallels (Snyder 1987, pp. 107-109)
+# ---------------------------------------------------------------------------
+
+_E = _E2SQRT  # WGS84 first eccentricity
+
+
+def _lcc_m(phi: np.ndarray) -> np.ndarray:
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - _E * _E * s * s)
+
+
+def _lcc_t(phi: np.ndarray) -> np.ndarray:
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - _E * s) / (1.0 + _E * s)
+    ) ** (_E / 2.0)
+
+
+class LCC:
+    """Lambert Conformal Conic (2SP) on WGS84 — the workhorse conic of
+    national CRSs (e.g. the EPSG 3857-adjacent Lambert families used
+    by US State Plane / Canada / France). From-spec implementation of
+    the published ellipsoidal formulas (Snyder, "Map Projections — A
+    Working Manual", USGS PP 1395, 1987, eq. 15-1..15-11 / 7-9..7-10);
+    reference analog: the PROJ `lcc` pipeline behind
+    OGRCoordinateTransformation (ogr/ogrct.cpp:2254).
+
+    Verification strategy (tests/test_proj.py::TestLCC): the defining
+    property of a conformal conic with two standard parallels is
+    k(phi1) == k(phi2) == 1 (true scale on both parallels) with k > 1
+    outside and a minimum between — asserted directly from the
+    projection's own scale factor — plus round-trip identity to
+    sub-millimeter and central-meridian symmetry. No external data.
+    """
+
+    def __init__(self, phi1_deg: float, phi2_deg: float,
+                 phi0_deg: float, lon0_deg: float,
+                 false_e: float = 0.0, false_n: float = 0.0):
+        p1, p2, p0 = (np.radians(v) for v in (phi1_deg, phi2_deg,
+                                              phi0_deg))
+        m1, m2 = _lcc_m(np.array(p1)), _lcc_m(np.array(p2))
+        t1, t2 = _lcc_t(np.array(p1)), _lcc_t(np.array(p2))
+        t0 = _lcc_t(np.array(p0))
+        self.n = float(
+            (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+        )
+        self.F = float(m1 / (self.n * t1**self.n))
+        self.rho0 = float(_A * self.F * t0**self.n)
+        self.lon0 = np.radians(lon0_deg)
+        self.fe, self.fn = float(false_e), float(false_n)
+
+    def forward(self, lon_deg, lat_deg):
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        rho = _A * self.F * _lcc_t(phi) ** self.n
+        th = self.n * (lam - self.lon0)
+        return (
+            self.fe + rho * np.sin(th),
+            self.fn + self.rho0 - rho * np.cos(th),
+        )
+
+    def inverse(self, x, y, iters: int = 8):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        sgn = np.sign(self.n) or 1.0
+        rho = sgn * np.hypot(x, self.rho0 - y)
+        t = (rho / (_A * self.F)) ** (1.0 / self.n)
+        th = np.arctan2(sgn * x, sgn * (self.rho0 - y))
+        lam = th / self.n + self.lon0
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(iters):  # Snyder eq. 7-9, fixed point
+            s = np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - _E * s) / (1.0 + _E * s)) ** (_E / 2.0)
+            )
+        return np.degrees(lam), np.degrees(phi)
+
+    def scale_k(self, lat_deg):
+        """Point scale factor k (Snyder eq. 15-4): 1 on both standard
+        parallels by construction — the property the tests pin."""
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        rho = _A * self.F * _lcc_t(phi) ** self.n
+        return rho * self.n / (_A * _lcc_m(phi))
+
+
+class LCCForwardTransform:
+    """Picklable (lon, lat) -> (x, y) for the general warp path."""
+
+    def __init__(self, *params):
+        self.params = params
+
+    def __call__(self, gx, gy):
+        return LCC(*self.params).forward(gx, gy)
+
+
+class LCCInverseTransform:
+    """Picklable (x, y) -> (lon, lat) for the general warp path."""
+
+    def __init__(self, *params):
+        self.params = params
+
+    def __call__(self, gx, gy):
+        return LCC(*self.params).inverse(gx, gy)

@@ -173,3 +173,109 @@ def test_warp_utm_to_4326_matches_single_node(spark):
     want[ok] = full[iy[ok], ix[ok]]
     np.testing.assert_array_equal(got, want)
     assert (got != int(raster.NODATA)).mean() > 0.9  # mostly inside
+
+
+class TestLCC:
+    def _p(self):
+        return proj.LCC(33.0, 45.0, 23.0, -96.0,
+                        false_e=2_000_000.0, false_n=500_000.0)
+
+    def test_true_scale_on_both_standard_parallels(self):
+        p = self._p()
+        np.testing.assert_allclose(p.scale_k(33.0), 1.0, rtol=1e-12)
+        np.testing.assert_allclose(p.scale_k(45.0), 1.0, rtol=1e-12)
+        # conformal conic: k < 1 strictly between the parallels,
+        # k > 1 strictly outside
+        assert p.scale_k(39.0) < 1.0
+        assert p.scale_k(50.0) > 1.0
+        assert p.scale_k(25.0) > 1.0
+
+    def test_roundtrip_submillimeter(self):
+        p = self._p()
+        lon = np.linspace(-130.0, -60.0, 41)
+        lat = np.linspace(20.0, 55.0, 41)
+        LO, LA = np.meshgrid(lon, lat)
+        x, y = p.forward(LO, LA)
+        lo2, la2 = p.inverse(x, y)
+        # degrees -> meters: 1e-9 deg ~ 0.1 mm
+        np.testing.assert_allclose(lo2, LO, atol=1e-9)
+        np.testing.assert_allclose(la2, LA, atol=1e-9)
+
+    def test_central_meridian_maps_to_false_easting(self):
+        p = self._p()
+        x, y = p.forward(np.full(5, -96.0), np.linspace(25, 50, 5))
+        np.testing.assert_allclose(x, 2_000_000.0, atol=1e-6)
+        # northing increases with latitude
+        assert np.all(np.diff(y) > 0)
+
+    def test_conformal_angles_locally(self):
+        """Conformality: small east and north steps map to image
+        vectors of equal length and 90° apart (same local scale in
+        every direction)."""
+        p = self._p()
+        lon0, lat0 = -80.0, 40.0
+        d = 1e-6
+        x0, y0 = p.forward(lon0, lat0)
+        xe, ye = p.forward(lon0 + d, lat0)
+        xn, yn = p.forward(lon0, lat0 + d)
+        ve = np.array([xe - x0, ye - y0])
+        vn = np.array([xn - x0, yn - y0])
+        # lengths agree after metric correction (east step is shorter
+        # on the ellipsoid by cos(lat) * M/N factor); use the exact
+        # parallel/meridian radii
+        s = np.sin(np.radians(lat0))
+        e2 = proj._E * proj._E
+        W = np.sqrt(1 - e2 * s * s)
+        N_r = proj._A / W                      # prime vertical radius
+        M_r = proj._A * (1 - e2) / W**3        # meridian radius
+        ge = np.hypot(*ve) / (np.radians(d) * N_r *
+                              np.cos(np.radians(lat0)))
+        gn = np.hypot(*vn) / (np.radians(d) * M_r)
+        np.testing.assert_allclose(ge, gn, rtol=1e-5)
+        cosang = ve @ vn / (np.hypot(*ve) * np.hypot(*vn))
+        np.testing.assert_allclose(cosang, 0.0, atol=1e-5)
+
+    def test_warp_through_general_transform_path(self, spark):
+        """A small LCC->4326 warp through the distributed general
+        gather equals the whole-array single-node computation."""
+        from gdal_spark import raster
+        from gdal_spark.operators import tiling
+
+        params = (33.0, 45.0, 23.0, -96.0, 0.0, 0.0)
+        p = proj.LCC(*params)
+        src_w = src_h = 128
+        # src raster georeferenced in LCC meters around (-96E, 39N)
+        cx, cy = p.forward(-96.0, 39.0)
+        res = 1000.0
+        src_gt = (cx - 64 * res, res, 0.0, cy + 64 * res, 0.0, -res)
+        src_tiles = tiling.formula_tiles(spark, 2, 2, 64)
+        # dst 4326 grid strictly inside the src footprint
+        dst_w = dst_h = 48
+        lon0, lat1 = p.inverse(src_gt[0] + 5 * res, src_gt[3] - 5 * res)
+        lon1, lat0 = p.inverse(
+            src_gt[0] + (src_w - 5) * res, src_gt[3] - (src_h - 5) * res
+        )
+        dst_gt = (
+            float(lon0), float(lon1 - lon0) / dst_w, 0.0,
+            float(lat1), 0.0, float(lat0 - lat1) / dst_h,
+        )
+        tf = proj.LCCForwardTransform(*params)
+        got_rows = tiling.warp_affine(
+            src_tiles, src_gt, src_w, src_h, dst_gt, dst_w, dst_h,
+            method="nearest", transform=tf,
+        ).collect()
+        got = np.full((dst_h, dst_w), -99, dtype=np.int64)
+        for r in got_rows:
+            got[int(r["dj"]), int(r["di"])] = int(r["val"])
+
+        di = np.arange(dst_w, dtype=np.float64)[None, :] + 0.5
+        dj = np.arange(dst_h, dtype=np.float64)[:, None] + 0.5
+        gx, gy = raster.apply_gt(dst_gt, di, dj)
+        E, N = tf(gx, gy)
+        igt = raster.inv_gt(src_gt)
+        sx = igt[0] + E * igt[1] + N * igt[2]
+        sy = igt[3] + E * igt[4] + N * igt[5]
+        xi = np.clip(np.floor(sx).astype(np.int64), 0, src_w - 1)
+        yi = np.clip(np.floor(sy).astype(np.int64), 0, src_h - 1)
+        want = ((xi * 7 + yi * 13) % 251).astype(np.int64)
+        np.testing.assert_array_equal(got, want)
