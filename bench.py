@@ -67,6 +67,8 @@ HEADLINE = [
     "q_sessionize",
     # vector aggregate union
     "geo_dissolve",
+    # GCP polynomial point probe (pure codegen)
+    "sp_gcp_poly",
     # container source round trip (WARC write + read, sf-sized)
     "src_warc",
     # training-data pipeline ops
