@@ -275,3 +275,40 @@ def _iso_z(ts: str) -> str:
     if not s.endswith("Z"):
         s += "Z"
     return s
+
+
+def read_warc_stream(spark, path: str,
+                     responses_only: bool = True) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: a ``binaryFile`` file-
+    arrival stream over a landing directory — each new ``.warc.gz``
+    that a crawler drops becomes one micro-batch task, parsed by the
+    SAME per-file kernel as the batch scan (parity by construction).
+    Downstream composes with the rest of the streaming layer:
+    ``read_warc_stream → extract_text → streaming.stream_spatial_join``
+    is the full Common-Crawl arrival pipeline. Stateless (pure
+    projection), so no watermark or state store is involved here."""
+    files = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed, but streaming sources demand
+        # it stated explicitly
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(path)
+        .select("path", "content")
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for p, buf in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc_bytes(bytes(buf), warc_file=p):
+                    if responses_only and rec["record_type"] != "response":
+                        continue
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in READ_SCHEMA.fields]
+            )
+
+    return files.mapInPandas(parse, READ_SCHEMA)
