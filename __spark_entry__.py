@@ -861,6 +861,44 @@ def _gcp_poly_oracle_sql() -> str:
     """
 
 
+def _q_dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C / PaLM 13-gram rule
+    shape, n=6 here for the synthetic corpus): every 5th document
+    plays the eval set; emit (doc_id, bench_id, overlap) for documents
+    sharing >= 2 distinct 6-grams with an eval item. Corpus grams are
+    a codegen projection; the eval gram table broadcasts — one
+    broadcast join + one aggregation, corpus text never shuffles."""
+    from gdal_spark.operators.dedup import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_pairs(docs, bench, n=6, min_overlap=2)
+
+
+_DD_CONTAMINATION_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), pg AS (
+      SELECT doc_id, ts,
+             unnest(range(1, greatest(len(ts) - 6 + 2, 1))) AS pos
+      FROM base
+    ), dg AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(ts[pos:pos + 6 - 1], ' ') AS gram
+      FROM pg
+    ), bg AS (
+      SELECT doc_id AS bench_id, gram FROM dg WHERE doc_id % 5 = 0
+    )
+    SELECT d.doc_id, b.bench_id, count(*) AS overlap
+    FROM dg d JOIN bg b USING (gram)
+    WHERE d.doc_id != b.bench_id
+    GROUP BY d.doc_id, b.bench_id
+    HAVING count(*) >= 2
+"""
+
+
 def _q_geo_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate ST_Union / dissolve-by-attribute: 40 keys, each a
     chain of axis-aligned rects (alternating heights 2/3; spacing 3 =
@@ -3577,6 +3615,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_warc": _q_src_warc,
     "dd_substring_spans": _q_dd_substring_spans,
     "geo_dissolve": _q_geo_dissolve,
+    "dd_contamination": _q_dd_contamination,
     "sp_gcp_poly": _q_sp_gcp_poly,
     "sim_cosine_topk": _q_sim_cosine,
     "sim_ann_lsh": _q_sim_ann,
@@ -3587,6 +3626,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "src_warc": _SRC_WARC_ORACLE,
     "dd_substring_spans": _substring_spans_oracle_sql(),
     "geo_dissolve": _GEO_DISSOLVE_ORACLE,
+    "dd_contamination": _DD_CONTAMINATION_ORACLE,
     "sp_gcp_poly": _gcp_poly_oracle_sql(),
     "rs_band_stats": _band_stats_oracle_sql(),
     "rs_dem_focal": _dem_focal_oracle_sql(),
@@ -3847,6 +3887,10 @@ RETIRED_GATES: dict[str, str] = {
     "q_hstore_get": "q_ogr_sql (scalar-function machinery through the "
                     "parser) + tests/test_ogr_compat.py exact HSTORE "
                     "semantics; green in r01+r02",
+    "tx_fingerprint": "dd_substring_spans + dd_contamination (the same "
+                      "rolling-hash / gram-key machinery, driver-"
+                      "verified); fingerprint exactness stays pinned in "
+                      "tests/test_text.py; green in r01+r02",
 }
 
 

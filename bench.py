@@ -76,6 +76,7 @@ HEADLINE = [
     "dd_minhash_lsh",
     "dd_dup_clusters",
     "dd_substring_spans",
+    "dd_contamination",
     "tx_token_count",
     "tx_repetition",
     "tx_web_clean",

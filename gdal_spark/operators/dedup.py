@@ -511,3 +511,40 @@ def strip_duplicated_spans(
         )
         .drop("__cut")
     )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag (document, benchmark item)
+    pairs sharing >= ``min_overlap`` distinct word n-grams — the
+    standard train/eval contamination check (the GPT-3 appendix-C /
+    PaLM 13-gram rule is this exact op with n=13).
+
+    Scale shape: the corpus-side gram table is a codegen projection;
+    the BENCHMARK side is small by definition (eval sets are 10^3-10^5
+    items, not 10^12), so its distinct-gram table broadcasts and the
+    whole check is ONE broadcast hash join + one aggregation — the
+    corpus never shuffles its grams, and at ``key='hash'``-style scale
+    you'd hash the gram first (same reasoning as duplicated_spans;
+    kept as text here because the broadcast side bounds the join
+    build)."""
+    dg = _gram_table(docs, id_col, text_col, n)
+    bg = (
+        _gram_table(bench, bench_id_col, bench_text_col, n)
+        .withColumnRenamed("__id", "bench_id")
+    )
+    return (
+        dg.join(F.broadcast(bg), "gram")
+        .where(F.col("__id") != F.col("bench_id"))
+        .groupBy(F.col("__id").alias(id_col), "bench_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .where(F.col("overlap") >= min_overlap)
+    )

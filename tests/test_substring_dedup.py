@@ -114,3 +114,45 @@ def test_strip_removes_all_copies(spark, docs_df):
     assert out == want
     assert out[5] in ("", "y")  # the self-repetitive run collapses
     assert out[3] == dict(_mkdocs())[3]  # untouched doc passes through
+
+
+def test_contamination_pairs(spark):
+    from gdal_spark.operators.dedup import contamination_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "a quick brown fox jumps over anything else here",
+                    "totally different words in this one document now",
+                ],
+            }
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "bench_id": [100],
+                "text": ["quick brown fox jumps over the lazy dog"],
+            }
+        )
+    )
+    got = {
+        (r.doc_id, r.bench_id, r.overlap)
+        for r in contamination_pairs(
+            docs, bench, n=4, min_overlap=1
+        ).collect()
+    }
+    # doc1 shares 5 distinct 4-grams with the bench item; doc2 shares
+    # 2 ("quick brown fox jumps", "brown fox jumps over"); doc3 none
+    assert got == {(1, 100, 5), (2, 100, 2)}
+    # raising the threshold drops doc2
+    got2 = {
+        r.doc_id
+        for r in contamination_pairs(
+            docs, bench, n=4, min_overlap=3
+        ).collect()
+    }
+    assert got2 == {1}
