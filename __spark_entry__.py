@@ -861,25 +861,52 @@ def _gcp_poly_oracle_sql() -> str:
     """
 
 
+# Hardened fixture rows: a corpus doc repeating a 6-word boilerplate
+# block 3x and a bench doc repeating it 2x.  Distinct-gram semantics
+# give overlap = 6 (the block's rotations); occurrence counting would
+# give 16 and hash-mismatch the oracle — the gate now catches that
+# divergence (VERDICT r03 #1).  Ids sit far above the corpus range;
+# 1000000005 % 5 == 0 routes the second row into the bench set.
+_CONTAM_BOILER = "zzqa zzqb zzqc zzqd zzqe zzqf"
+_CONTAM_EXTRA = [
+    (1000000001, " ".join([_CONTAM_BOILER] * 3)),
+    (1000000005, " ".join([_CONTAM_BOILER] * 2)),
+]
+
+
 def _q_dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix-C / PaLM 13-gram rule
     shape, n=6 here for the synthetic corpus): every 5th document
     plays the eval set; emit (doc_id, bench_id, overlap) for documents
     sharing >= 2 distinct 6-grams with an eval item. Corpus grams are
     a codegen projection; the eval gram table broadcasts — one
-    broadcast join + one aggregation, corpus text never shuffles."""
+    broadcast join + one aggregation, corpus text never shuffles.
+    ``exclude_self=True`` because the bench set is drawn from the
+    corpus itself (same id space); the library default keeps self
+    pairs."""
     from gdal_spark.operators.dedup import contamination_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").union(
+        spark.createDataFrame(_CONTAM_EXTRA, "doc_id long, text string")
+    )
     bench = docs.where(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
-    return contamination_pairs(docs, bench, n=6, min_overlap=2)
+    return contamination_pairs(
+        docs, bench, n=6, min_overlap=2, exclude_self=True
+    )
 
 
-_DD_CONTAMINATION_ORACLE = """
+_CONTAM_EXTRA_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS doc_id, "
+    f"string_split('{t}', ' ') AS ts"
+    for i, t in _CONTAM_EXTRA
+)
+
+_DD_CONTAMINATION_ORACLE = f"""
     WITH base AS (
       SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      UNION ALL {_CONTAM_EXTRA_SQL}
     ), pg AS (
       SELECT doc_id, ts,
              unnest(range(1, greatest(len(ts) - 6 + 2, 1))) AS pos

@@ -522,11 +522,24 @@ def contamination_pairs(
     text_col: str = "text",
     bench_id_col: str = "bench_id",
     bench_text_col: str = "text",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: flag (document, benchmark item)
-    pairs sharing >= ``min_overlap`` distinct word n-grams — the
+    pairs sharing >= ``min_overlap`` DISTINCT word n-grams — the
     standard train/eval contamination check (the GPT-3 appendix-C /
     PaLM 13-gram rule is this exact op with n=13).
+
+    Distinct-gram semantics: ``ngram_array`` ends in
+    ``array_distinct``, so each (doc, gram) appears once on either
+    side of the join and ``overlap`` counts distinct SHARED grams —
+    a document repeating a boilerplate gram k times contributes 1,
+    not k (pinned by test_text.test_contamination_counts_distinct).
+
+    ``exclude_self``: drop pairs whose ids are equal.  Only meaningful
+    when the benchmark set is drawn FROM the corpus (the driver
+    fixture's shape); with independent id spaces a numeric collision
+    between a doc id and a bench id would silently hide a genuine
+    contamination pair, so the default keeps every pair.
 
     Scale shape: the corpus-side gram table is a codegen projection;
     the BENCHMARK side is small by definition (eval sets are 10^3-10^5
@@ -541,10 +554,11 @@ def contamination_pairs(
         _gram_table(bench, bench_id_col, bench_text_col, n)
         .withColumnRenamed("__id", "bench_id")
     )
+    joined = dg.join(F.broadcast(bg), "gram")
+    if exclude_self:
+        joined = joined.where(F.col("__id") != F.col("bench_id"))
     return (
-        dg.join(F.broadcast(bg), "gram")
-        .where(F.col("__id") != F.col("bench_id"))
-        .groupBy(F.col("__id").alias(id_col), "bench_id")
+        joined.groupBy(F.col("__id").alias(id_col), "bench_id")
         .agg(F.count(F.lit(1)).alias("overlap"))
         .where(F.col("overlap") >= min_overlap)
     )

@@ -156,3 +156,33 @@ def test_contamination_pairs(spark):
         ).collect()
     }
     assert got2 == {1}
+
+
+def test_contamination_counts_distinct_grams(spark):
+    """A doc repeating a boilerplate gram k times contributes it ONCE
+    to overlap (GPT-3/PaLM distinct-gram rule), and id collisions
+    between the two id spaces are kept unless exclude_self=True."""
+    from gdal_spark.operators.dedup import contamination_pairs
+
+    block = "aa bb cc dd"
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "text": [" ".join([block] * 3)]})
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"bench_id": [7], "text": [block]})
+    )
+    got = {
+        (r.doc_id, r.bench_id, r.overlap)
+        for r in contamination_pairs(
+            docs, bench, n=4, min_overlap=1
+        ).collect()
+    }
+    # occurrence counting would score 3 (and an id-collision filter
+    # would drop the pair entirely); distinct-gram scores exactly 1
+    assert got == {(7, 7, 1)}
+    assert (
+        contamination_pairs(
+            docs, bench, n=4, min_overlap=1, exclude_self=True
+        ).count()
+        == 0
+    )
