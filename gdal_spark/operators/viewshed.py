@@ -104,16 +104,16 @@ def viewshed_tile_summary(
 ) -> DataFrame:
     """Compact per-tile digest of a viewshed bitmap: visible-cell
     count plus a position-weighted checksum (order-free integer sum,
-    so the digest is partitioning-invariant and SQL-reproducible)."""
+    so the digest is partitioning-invariant and SQL-reproducible).
+
+    Tile ids use true floor division (``F.floor``), so negative grid
+    coordinates bin into the correct tile — Spark's ``%`` takes the
+    dividend's sign, which would round toward zero instead."""
     ts = int(tile_size)
     return (
         cells.select(
-            ((F.col("gx") - (F.col("gx") % ts)) / ts)
-            .cast("long")
-            .alias("tx"),
-            ((F.col("gy") - (F.col("gy") % ts)) / ts)
-            .cast("long")
-            .alias("ty"),
+            F.floor(F.col("gx") / ts).cast("long").alias("tx"),
+            F.floor(F.col("gy") / ts).cast("long").alias("ty"),
             "gx", "gy", "visible",
         )
         .groupBy("tx", "ty")

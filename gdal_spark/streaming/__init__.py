@@ -69,12 +69,22 @@ def stream_dedup_by_url(
     key_col: str = "url",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Keep the first arrival per url; watermark bounds the dedup state
-    so it doesn't grow without limit (dropDuplicates + watermark —
-    state eviction past the watermark)."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(
-        [key_col]
-    )
+    """Keep the first arrival per url within the watermark horizon.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+): state for a
+    key is evicted once event time passes the watermark, so the state
+    store is bounded by the number of distinct keys seen per watermark
+    window — not by the lifetime of the stream.  (Plain
+    ``dropDuplicates([key])`` would keep every key forever because the
+    event-time column is not part of the dedup subset; Spark only
+    evicts at the watermark when it is.)  The semantic trade: a url
+    recurring LATER than the watermark delay after its first arrival
+    is emitted again — for crawl dedup that is the desired refresh
+    behaviour; for strict lifetime-exact dedup use the batch operator.
+    """
+    return stream.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark([key_col])
 
 
 def stream_spatial_join(stream_points: DataFrame, polygons_pdf, **kw):
@@ -93,7 +103,11 @@ SESSION_SCHEMA = (
     "key string, session_start timestamp, session_end timestamp, "
     "n_events long"
 )
-_SESSION_STATE = "start long, last long, n long"
+# state = EVERY segment not yet finalizable: parallel arrays of
+# (session_start, last_event, n_events) in epoch micros, sorted.
+_SESSION_STATE = (
+    "starts array<long>, lasts array<long>, ns array<long>"
+)
 
 
 def stream_sessionize(
@@ -106,16 +120,28 @@ def stream_sessionize(
     """CUSTOM STATEFUL streaming operator via applyInPandasWithState:
     per-key sessionization with an inactivity gap — the operator
     Structured Streaming has no built-in for (windows are fixed-width;
-    sessions are data-driven). State per key = (session start, last
-    event, count) in epoch micros; a session is emitted when a new
-    event arrives past the gap, or when the state times out at the
-    watermark (GroupStateTimeout.EventTimeTimeout bounds state size —
-    no key lingers past watermark + gap).
+    sessions are data-driven).
+
+    Correctness contract (append mode): a session is emitted ONLY once
+    it is provably final — ``session_end + gap < watermark`` — because
+    any not-yet-dropped event that could extend or bridge a segment
+    must carry ``ts <= segment_end + gap`` and events below the
+    watermark never reach this function. Until then EVERY open segment
+    (not just the latest) is held in state as parallel (start, last,
+    n) arrays, so an out-of-order event arriving in a later
+    micro-batch that lands before, inside, or bridging earlier
+    segments merges correctly instead of producing overlapping or
+    fragmented sessions. State per key is O(open segments), each 24
+    bytes, and is bounded by the watermark: a segment becomes final —
+    and is emitted and dropped — as soon as the watermark passes its
+    end + gap (EventTimeTimeout guarantees the flush even when the key
+    goes quiet).
 
     Batch twin (the repo's streaming verification pattern): the same
     gap rule as a LAG/running-SUM window chain — parity pinned in
-    tests/test_streaming.py. Scale: state is 24 bytes/key + Spark's
-    HDFS-backed state store; the shuffle carries (key, ts) only.
+    tests/test_streaming.py, including a cross-batch out-of-order
+    bridge case. Scale: the shuffle carries (key, ts) only; state
+    lives in Spark's checkpointed state store.
     """
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout,
@@ -124,69 +150,75 @@ def stream_sessionize(
     gap_us = gap_s * 1_000_000
 
     def fn(key, pdfs, state: GroupState):
-        if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "key": [key[0]],
-                    "session_start": [pd.Timestamp(start, unit="us")],
-                    "session_end": [pd.Timestamp(last, unit="us")],
-                    "n_events": [int(n)],
-                }
-            )
-            return
-        ts = np.sort(
-            np.concatenate(
-                [
-                    pdf[ts_col].to_numpy(dtype="datetime64[us]")
-                    for pdf in pdfs
-                ]
-            )
-        ).astype(np.int64)
-        if ts.size == 0:
-            yield pd.DataFrame(
-                columns=["key", "session_start", "session_end",
-                         "n_events"]
-            )
-            return
-        # segments of the sorted batch at gap boundaries (one
-        # vectorized diff), merged with the carried open session by
-        # INTERVAL arithmetic — robust to micro-batches arriving out
-        # of event-time order within the watermark (Spark drops rows
-        # older than the watermark before they reach this function;
-        # anything younger may still interleave across batches)
-        brk = np.nonzero(np.diff(ts) > gap_us)[0]
-        seg_starts = np.concatenate([[0], brk + 1])
-        seg_ends = np.concatenate([brk, [ts.size - 1]])
-        intervals = [
-            (int(ts[s_i]), int(ts[e_i]), int(e_i - s_i + 1))
-            for s_i, e_i in zip(seg_starts, seg_ends)
-        ]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        held = []
         if state.exists:
             st = state.get
-            intervals.append((int(st[0]), int(st[1]), int(st[2])))
-            intervals.sort()
-        merged = [intervals[0]]
-        for lo, hi, cnt in intervals[1:]:
-            plo, phi, pcnt = merged[-1]
-            if lo - phi <= gap_us:
-                merged[-1] = (plo, max(phi, hi), pcnt + cnt)
+            held = [
+                (int(a), int(b), int(c))
+                for a, b, c in zip(st[0], st[1], st[2])
+            ]
+        if state.hasTimedOut:
+            merged = held
+        else:
+            ts = np.sort(
+                np.concatenate(
+                    [
+                        pdf[ts_col].to_numpy(dtype="datetime64[us]")
+                        for pdf in pdfs
+                    ]
+                )
+            ).astype(np.int64)
+            if ts.size == 0 and not held:
+                yield pd.DataFrame(
+                    columns=["key", "session_start", "session_end",
+                             "n_events"]
+                )
+                return
+            # segments of the sorted batch at gap boundaries (one
+            # vectorized diff), interval-merged with ALL held
+            # segments — a new event may extend, bridge, or precede
+            # any of them
+            if ts.size:
+                brk = np.nonzero(np.diff(ts) > gap_us)[0]
+                seg_starts = np.concatenate([[0], brk + 1])
+                seg_ends = np.concatenate([brk, [ts.size - 1]])
+                new_segs = [
+                    (int(ts[s_i]), int(ts[e_i]), int(e_i - s_i + 1))
+                    for s_i, e_i in zip(seg_starts, seg_ends)
+                ]
             else:
-                merged.append((lo, hi, cnt))
-        out = merged[:-1]
-        start, last, n = merged[-1]
-        state.update((int(start), int(last), int(n)))
-        # event-time timeout: fires once the watermark passes last+gap
-        # (clamped — Spark rejects timestamps behind the current
-        # watermark, which happens when another key's much-later event
-        # has already advanced it past this key's session end)
-        state.setTimeoutTimestamp(
-            max(
-                (last + gap_us) // 1000,
-                state.getCurrentWatermarkMs() + 1,
+                new_segs = []
+            intervals = held + new_segs
+            intervals.sort()
+            merged = [intervals[0]]
+            for lo, hi, cnt in intervals[1:]:
+                plo, phi, pcnt = merged[-1]
+                if lo - phi <= gap_us:
+                    merged[-1] = (plo, max(phi, hi), pcnt + cnt)
+                else:
+                    merged.append((lo, hi, cnt))
+        closed = [s for s in merged if s[1] + gap_us < wm_us]
+        open_ = [s for s in merged if s[1] + gap_us >= wm_us]
+        if open_:
+            state.update(
+                (
+                    [s[0] for s in open_],
+                    [s[1] for s in open_],
+                    [s[2] for s in open_],
+                )
             )
-        )
+            # fire once the watermark passes the EARLIEST open
+            # segment's end + gap (clamped — Spark rejects timeout
+            # timestamps at or behind the current watermark)
+            state.setTimeoutTimestamp(
+                max(
+                    (open_[0][1] + gap_us) // 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        elif state.exists:
+            state.remove()
         yield pd.DataFrame(
             [
                 {
@@ -195,7 +227,7 @@ def stream_sessionize(
                     "session_end": pd.Timestamp(b, unit="us"),
                     "n_events": int(c),
                 }
-                for a, b, c in out
+                for a, b, c in closed
             ],
             columns=["key", "session_start", "session_end", "n_events"],
         )

@@ -227,11 +227,24 @@ def read_warc(spark, path: str, responses_only: bool = True) -> DataFrame:
 def write_warc_dir(df: DataFrame, out_dir: str,
                    url_col: str = "url", ts_col: str = "warc_ts",
                    body_col: str = "html") -> DataFrame:
-    """Distributed WARC sink: one ``part-NNNNN.warc.gz`` per partition,
-    written from inside the task; returns the manifest DataFrame
-    (path, n_records, n_bytes). Deterministic bytes per partition
-    content; existing files are overwritten atomically (tmp + rename)
-    so reruns converge instead of appending."""
+    """Partition-parallel WARC sink: one ``part-NNNNN.warc.gz`` per
+    partition, written from inside the task; returns the manifest
+    DataFrame (path, n_records, n_bytes). Deterministic bytes per
+    partition content; existing files are overwritten atomically
+    (tmp + rename) so reruns converge instead of appending.
+
+    DEPLOYMENT REQUIREMENT: ``out_dir`` must be a filesystem shared by
+    every executor AND the driver (NFS/Lustre/FUSE-mounted object
+    store), or the job must run in local mode — the tasks open plain
+    ``open()`` paths, so on a multi-node cluster without a shared
+    mount each executor would write to its own local disk and the
+    manifest paths would be unreachable from the driver. For a
+    cluster-native object-store sink, write the same
+    ``warc_file_bytes`` payloads through a Hadoop-FS-aware writer
+    (e.g. ``df.write.format("binaryFile")`` is read-only, so route
+    bytes via a foreachPartition + ``org.apache.hadoop.fs``, or land
+    them as parquet-of-binary with :func:`warc_file_bytes` applied
+    downstream)."""
     os.makedirs(out_dir, exist_ok=True)
     part_col = F.spark_partition_id()
     src = df.select(

@@ -218,3 +218,73 @@ def test_stream_sessionize_matches_batch_twin(spark, tmp_path):
         (r.url, str(r.a), str(r.b), r.n) for r in twin.collect()
     }
     assert got == want
+
+
+def test_stream_sessionize_out_of_order_bridge(spark, tmp_path):
+    """An in-watermark event arriving in a LATER micro-batch that
+    bridges two already-open segments merges into ONE session — the
+    failure mode of emit-on-sight sessionizers is an overlapping or
+    fragmented pair. Segments are held in state until the watermark
+    passes end+gap, so nothing is emitted prematurely."""
+    import pandas as pd
+
+    from gdal_spark.streaming import stream_sessionize
+
+    gap_s = 100
+    base = pd.Timestamp("2026-01-01")
+
+    def ev(*secs):
+        return pd.DataFrame(
+            [("x", base + pd.Timedelta(seconds=s)) for s in secs],
+            columns=["url", "warc_ts"],
+        )
+
+    d = str(tmp_path / "ooo")
+    os.makedirs(d)
+    # batch 0: two segments [1000] and [1300] (300s apart > gap)
+    spark.createDataFrame(ev(1000, 1300)).coalesce(1).write.parquet(
+        d + "/b0"
+    )
+    # batch 1: 1100 and 1200 bridge them (every hop <= gap). With a
+    # 1h watermark these are NOT late even though they precede b0's
+    # max event time.
+    spark.createDataFrame(ev(1100, 1200)).coalesce(1).write.parquet(
+        d + "/b1"
+    )
+    # batch 2: sentinel far in the future flushes via watermark
+    spark.createDataFrame(ev(10 * 86400)).coalesce(1).write.parquet(
+        d + "/b2"
+    )
+
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    sess = stream_sessionize(
+        stream, key_col="url", ts_col="warc_ts", gap_s=gap_s,
+        watermark="1 hour",
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r.key, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.sql(
+            "SELECT * FROM sessions_ooo WHERE session_start < "
+            "timestamp'2026-01-05' ORDER BY session_start"
+        ).collect()
+    ]
+    assert got == [
+        (
+            "x",
+            str(base + pd.Timedelta(seconds=1000)),
+            str(base + pd.Timedelta(seconds=1300)),
+            4,
+        )
+    ]

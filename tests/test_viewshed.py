@@ -111,3 +111,17 @@ def test_viewshed_tile_summary(spark):
         xs_g, ys_g = xs + tx * ts, ys + ty * ts
         assert nv == blk.sum()
         assert cks == int((xs_g * 31 + ys_g * 17).sum())
+
+
+def test_tile_summary_negative_coords_floor(spark):
+    """Tile ids are true floor division: gx=-1 with tile_size=16 lands
+    in tile -1, not tile 0 (Spark's % takes the dividend's sign)."""
+    cells = spark.createDataFrame(
+        [(-1, -17, 1), (0, 0, 1), (-16, 5, 1)],
+        "gx long, gy long, visible int",
+    )
+    got = {
+        (r["tx"], r["ty"]): r["n_visible"]
+        for r in viewshed_tile_summary(cells, 16).collect()
+    }
+    assert got == {(-1, -2): 1, (0, 0): 1, (-1, 0): 1}
