@@ -792,6 +792,123 @@ def _q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GeoTIFF fixture geometry: non-multiple-of-tile dims force cropped
+# edge blocks through the codec; uint16 + DEFLATE + predictor 2 runs
+# the full from-spec pipeline (frmts/gtiff/geotiff.cpp analog).
+_GT_W, _GT_H, _GT_TS = 200, 120, 64
+_GT_GT = (500000.0, 30.0, 0.0, 4650000.0, 0.0, -30.0)
+
+
+def _q_src_gtiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-spec GeoTIFF/COG source round trip: the formula raster
+    val=(x*7+y*13)%251 is encoded as a tiled (64×64) uint16 GeoTIFF
+    (DEFLATE + horizontal predictor + PixelScale/Tiepoint/GeoKey
+    tags), then scanned back through the COG path —
+    ``read_gtiff_ranged``: header-only block index, per-BLOCK decode
+    parallelism, seek-range reads, zero pixel bytes shuffled — and
+    reduced to per-tile (sum, min, max, position-weighted checksum)
+    plus geo coordinates derived from the PARSED geotransform. The
+    oracle restates raster, tiling and georeferencing in closed form:
+    equality proves the codec, the block index, the ranged decode and
+    the GeoTIFF tag parse are all value-exact."""
+    import tempfile
+
+    from gdal_spark import gtiff
+
+    x = np.arange(_GT_W, dtype=np.int64)
+    y = np.arange(_GT_H, dtype=np.int64)
+    arr = ((x[None, :] * 7 + y[:, None] * 13) % 251).astype(np.uint16)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "gdal_spark_gtiff_"
+        + os.path.basename(os.path.normpath(sf_dir)) + ".tif",
+    )
+    with open(path, "wb") as f:
+        f.write(
+            gtiff.tiff_encode(
+                arr, tile=(_GT_TS, _GT_TS), compression="deflate",
+                predictor=True, geotransform=_GT_GT, epsg=32633,
+            )
+        )
+
+    tiles = gtiff.read_gtiff_ranged(spark, [path], partitions=8)
+
+    agg_schema = (
+        "tx long, ty long, w int, h int, sum_val long, min_val long, "
+        "max_val long, cks long"
+    )
+
+    def agg(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = np.frombuffer(r.data, dtype="<u2").reshape(
+                    r.h, r.w
+                ).astype(np.int64)
+                xs = np.arange(r.x0, r.x0 + r.w, dtype=np.int64)
+                ys = np.arange(r.y0, r.y0 + r.h, dtype=np.int64)
+                wgt = xs[None, :] * 31 + ys[:, None] * 17
+                rows.append(
+                    (
+                        int(r.tx), int(r.ty), int(r.w), int(r.h),
+                        int(a.sum()), int(a.min()), int(a.max()),
+                        int((a * wgt).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["tx", "ty", "w", "h", "sum_val", "min_val",
+                         "max_val", "cks"],
+            )
+
+    per_tile = tiles.mapInPandas(agg, agg_schema)
+    # geo columns from the PARSED tags (not the constants above):
+    # broadcast the 1-row metadata and evaluate the affine JVM-side
+    meta = gtiff.gtiff_meta_df(spark, path).select(
+        F.element_at("gt", 1).alias("g0"),
+        F.element_at("gt", 2).alias("g1"),
+        F.element_at("gt", 4).alias("g3"),
+        F.element_at("gt", 6).alias("g5"),
+        F.col("epsg"),
+    )
+    return (
+        per_tile.crossJoin(F.broadcast(meta))
+        .select(
+            "tx", "ty", "w", "h", "sum_val", "min_val", "max_val",
+            "cks",
+            (F.col("g0") + F.col("tx") * _GT_TS * F.col("g1"))
+            .alias("geo_x0"),
+            (F.col("g3") + F.col("ty") * _GT_TS * F.col("g5"))
+            .alias("geo_y0"),
+            F.col("epsg").cast("int").alias("epsg"),
+        )
+    )
+
+
+_SRC_GTIFF_ORACLE = f"""
+    WITH px AS (
+      SELECT a.x AS x, b.y AS y
+      FROM generate_series(0, {_GT_W - 1}) a(x)
+      CROSS JOIN generate_series(0, {_GT_H - 1}) b(y)),
+    v AS (SELECT x, y, (x * 7 + y * 13) % 251 AS val FROM px)
+    SELECT x // {_GT_TS} AS tx, y // {_GT_TS} AS ty,
+           CAST(LEAST({_GT_TS}, {_GT_W} - (x // {_GT_TS}) * {_GT_TS})
+                AS INT) AS w,
+           CAST(LEAST({_GT_TS}, {_GT_H} - (y // {_GT_TS}) * {_GT_TS})
+                AS INT) AS h,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(MIN(val) AS BIGINT) AS min_val,
+           CAST(MAX(val) AS BIGINT) AS max_val,
+           CAST(SUM(val * (x * 31 + y * 17)) AS BIGINT) AS cks,
+           {_GT_GT[0]} + (x // {_GT_TS}) * {_GT_TS} * {_GT_GT[1]}
+             AS geo_x0,
+           {_GT_GT[3]} + (y // {_GT_TS}) * {_GT_TS} * {_GT_GT[5]}
+             AS geo_y0,
+           CAST(32633 AS INT) AS epsg
+    FROM v GROUP BY 1, 2, 3, 4, 10, 11
+"""
+
+
 def _gcp_fit_fixture():
     """Deterministic order-2 GCP fit: 20 integer tie points sampled
     from a fixed quadratic ground truth (alg/gdal_crs.c CRS_compute
@@ -3640,6 +3757,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_web_clean": _q_tx_web_clean,
     "tx_fingerprint": _q_tx_fingerprint,
     "src_warc": _q_src_warc,
+    "src_gtiff": _q_src_gtiff,
     "dd_substring_spans": _q_dd_substring_spans,
     "geo_dissolve": _q_geo_dissolve,
     "dd_contamination": _q_dd_contamination,
@@ -3651,6 +3769,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ENGINE_ORACLES: dict[str, str] = {
     "src_warc": _SRC_WARC_ORACLE,
+    "src_gtiff": _SRC_GTIFF_ORACLE,
     "dd_substring_spans": _substring_spans_oracle_sql(),
     "geo_dissolve": _GEO_DISSOLVE_ORACLE,
     "dd_contamination": _DD_CONTAMINATION_ORACLE,
@@ -3901,6 +4020,11 @@ RETIRED_GATES: dict[str, str] = {
     "q3_shipping_topk": "q5_local_supplier (deeper join+agg tree) + "
                         "q_ogr_sql (ORDER BY/LIMIT top-k through the "
                         "parser); green in r01+r02",
+    # --- retired in r04 (each green in CORRECTNESS_r03) ---
+    "dd_embed_cosine": "sim_cosine_topk (same JVM aggregate dot/norm "
+                       "kernel over the same embeddings; the near-dup "
+                       "threshold is a filter over the ranked cosine "
+                       "this gate pins) + similarity pytest oracles",
     "dd_exact_prefix": "dd_dup_clusters (same exact-key grouping, plus "
                        "the distributed cluster contraction); green in "
                        "r01+r02",
