@@ -1422,6 +1422,109 @@ def _warp_utm_oracle_sql() -> str:
         FROM px"""
 
 
+# LCC warp fixture: src raster georeferenced in Lambert-93
+# (EPSG:2154 parameters — RGF93 2SP conic), dst grid in EPSG:3857.
+# Every dst pixel maps inside src (px 60..147 × 75..163) with ≥1e-4 px
+# clearance from pixel edges, so ulp-level libm spread between numpy
+# and DuckDB cannot flip a floor.
+_WLCC_PARAMS = (44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0)
+_WLCC_SRC_WH = 256
+_WLCC_SRC_GT = (600000.0, 500.0, 0.0, 6800000.0, 0.0, -500.0)
+_WLCC_DST_WH = 64
+_WLCC_DST_GT = (230000.0, 1024.0, 0.0, 6100000.0, 0.0, -1024.0)
+
+
+def _q_rs_warp_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED-transform warp Lambert-93 → EPSG:3857 (nearest): the
+    per-dst-pixel chain is ``proj.compose(WebMercatorToLonLat(),
+    LCCForwardTransform(...))`` — the transformer-pipeline operator
+    (alg/gdaltransformer.cpp:1379 GDALGenImgProjTransformer;
+    ogr/ogrct.cpp:2254) that lets any projected→projected warp run
+    through the same distributed gather without hand-composing
+    kernels. Value-exact against an oracle restating the spherical
+    mercator inverse and the Snyder LCC forward (PP 1395 eq.
+    15-1..15-11) in SQL."""
+    from gdal_spark import proj
+    from gdal_spark.operators.tiling import formula_tiles, warp_affine
+
+    ts = 64
+    tiles = formula_tiles(
+        spark, _WLCC_SRC_WH // ts, _WLCC_SRC_WH // ts, ts
+    )
+    tf = proj.compose(
+        proj.WebMercatorToLonLat(),
+        proj.LCCForwardTransform(*_WLCC_PARAMS),
+    )
+    return warp_affine(
+        tiles, _WLCC_SRC_GT, _WLCC_SRC_WH, _WLCC_SRC_WH,
+        _WLCC_DST_GT, _WLCC_DST_WH, _WLCC_DST_WH,
+        method="nearest", dst_block=32, src_tile_size=ts,
+        transform=tf,
+    )
+
+
+def _warp_lcc_oracle_sql() -> str:
+    """Mirrors the composed kernel operation-for-operation: dst pixel
+    center → 3857 metres → (lon, lat) via atan(sinh) → Snyder LCC
+    forward with the SAME derived constants (n, F, rho0 are computed
+    once by proj.LCC and embedded as repr'd float64 literals) → src
+    pixel floor via the exact inverse geotransform → formula value."""
+    from gdal_spark import proj
+
+    lcc = proj.LCC(*_WLCC_PARAMS)
+    e = proj._E2SQRT
+    g = _WLCC_DST_GT
+    sg = _WLCC_SRC_GT
+    igt = (-1200.0, 0.002, 13600.0, -0.002)  # exact doubles for sg
+    lon0 = float(np.radians(_WLCC_PARAMS[3]))
+    fe, fn = _WLCC_PARAMS[4], _WLCC_PARAMS[5]
+    return f"""
+        WITH dij AS (
+          SELECT di.i AS di, dj.j AS dj
+          FROM generate_series(0, {_WLCC_DST_WH - 1}) AS di(i)
+          CROSS JOIN generate_series(0, {_WLCC_DST_WH - 1}) AS dj(j)),
+        merc AS (
+          SELECT di, dj,
+                 {g[0]!r} + (di + 0.5e0) * {g[1]!r} AS mx,
+                 {g[3]!r} + (dj + 0.5e0) * {g[5]!r} AS my
+          FROM dij),
+        ll AS (
+          SELECT di, dj,
+                 RADIANS(DEGREES(mx / 6378137e0)) AS lam,
+                 RADIANS(DEGREES(ATAN(
+                   (EXP(my / 6378137e0) - EXP(-(my / 6378137e0)))
+                   / 2e0))) AS phi
+          FROM merc),
+        tt AS (
+          SELECT di, dj, lam,
+                 TAN(PI() / 4e0 - phi / 2e0)
+                 / POWER((1e0 - {e!r} * SIN(phi))
+                         / (1e0 + {e!r} * SIN(phi)),
+                         {e / 2.0!r}) AS t
+          FROM ll),
+        rt AS (
+          SELECT di, dj,
+                 6378137e0 * {lcc.F!r} * POWER(t, {lcc.n!r}) AS rho,
+                 {lcc.n!r} * (lam - {lon0!r}) AS th
+          FROM tt),
+        en AS (
+          SELECT di, dj,
+                 {fe!r} + rho * SIN(th) AS x,
+                 ({fn!r} + {lcc.rho0!r}) - rho * COS(th) AS y
+          FROM rt),
+        px AS (SELECT di, dj,
+                      CAST(FLOOR({igt[0]!r} + x * {igt[1]!r})
+                           AS BIGINT) AS ix,
+                      CAST(FLOOR({igt[2]!r} + y * {igt[3]!r})
+                           AS BIGINT) AS iy
+               FROM en)
+        SELECT di, dj,
+               CASE WHEN ix >= 0 AND ix < {_WLCC_SRC_WH}
+                     AND iy >= 0 AND iy < {_WLCC_SRC_WH}
+                    THEN (ix * 7 + iy * 13) % 251 ELSE -1 END AS val
+        FROM px"""
+
+
 _CONTOUR_N, _CONTOUR_TS, _CONTOUR_THR = 4, 64, 100
 # 0.5 deg/pixel: every inverse-geotransform coefficient is an exactly
 # representable double (2.0, 360.0, ...) — DuckDB's decimal-literal
@@ -3716,6 +3819,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_warp_bilinear": _warp_query("bilinear"),
     "rs_warp_cubic": _warp_query("cubic"),
     "rs_warp_utm": _q_rs_warp_utm,
+    "rs_warp_lcc": _q_rs_warp_lcc,
     "geo_clip_lines": _q_geo_clip_lines,
     "sp_utm_inverse": _q_sp_utm_inverse,
     "geo_area_geodesic": _q_geo_area_geodesic,
@@ -3781,6 +3885,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "tx_web_clean": _web_clean_oracle_sql(),
     "dd_dup_clusters": _DUP_CLUSTERS_ORACLE,
     "rs_warp_utm": _warp_utm_oracle_sql(),
+    "rs_warp_lcc": _warp_lcc_oracle_sql(),
     "geo_clip_lines": _clip_lines_oracle_sql(),
     "sp_utm_inverse": _utm_inverse_oracle_sql(),
     "geo_area_geodesic": _geodesic_oracle_sql(),
@@ -4021,6 +4126,11 @@ RETIRED_GATES: dict[str, str] = {
                         "q_ogr_sql (ORDER BY/LIMIT top-k through the "
                         "parser); green in r01+r02",
     # --- retired in r04 (each green in CORRECTNESS_r03) ---
+    "rs_warp_cubic": "rs_warp_utm + rs_warp_lcc (same distributed "
+                     "gather, projective/composed transforms); the "
+                     "cubic kernel itself keeps exact pytest pins "
+                     "(test_raster.py dyadic-grid + interior-integer "
+                     "reproduction)",
     "dd_embed_cosine": "sim_cosine_topk (same JVM aggregate dot/norm "
                        "kernel over the same embeddings; the near-dup "
                        "threshold is a filter over the ranked cosine "

@@ -274,6 +274,65 @@ class LCC:
         return rho * self.n / (_A * _lcc_m(phi))
 
 
+class ComposedTransform:
+    """Chain of picklable ``(gx, gy) -> (X, Y)`` numpy mappers applied
+    left → right — the engine's analog of the reference's transformer
+    chaining (GDALGenImgProjTransformer pipelines,
+    alg/gdaltransformer.cpp:1379; OGRCoordinateTransformation
+    composition via PROJ, ogr/ogrct.cpp:2254). Any warp between two
+    projected CRSs is ``compose(dst_to_geodetic, geodetic_to_src)``
+    without hand-writing the pair; each step stays a vectorized numpy
+    kernel, so the composition runs inside the same mapInPandas
+    gather as a single-step transform."""
+
+    def __init__(self, *steps):
+        self.steps = steps
+
+    def __call__(self, gx: np.ndarray, gy: np.ndarray):
+        for s in self.steps:
+            gx, gy = s(gx, gy)
+        return gx, gy
+
+
+def compose(*steps) -> ComposedTransform:
+    """``compose(f, g, ...)`` → transform applying f, then g, ... —
+    see :class:`ComposedTransform`."""
+    return ComposedTransform(*steps)
+
+
+_R_MERC = 6378137.0  # web-mercator sphere radius (EPSG:3857)
+
+
+class WebMercatorToLonLat:
+    """EPSG:3857 metres → (lon, lat) degrees: the spherical inverse
+    (lat via atan∘sinh). Chain head for warping ANY projected source
+    onto a web-mercator destination grid via :func:`compose`."""
+
+    def __call__(self, gx: np.ndarray, gy: np.ndarray):
+        lon = np.degrees(
+            np.asarray(gx, dtype=np.float64) / _R_MERC
+        )
+        lat = np.degrees(
+            np.arctan(
+                np.sinh(np.asarray(gy, dtype=np.float64) / _R_MERC)
+            )
+        )
+        return lon, lat
+
+
+class LonLatToWebMercator:
+    """(lon, lat) degrees → EPSG:3857 metres (spherical forward) —
+    chain tail for warping onto a projected grid from a geographic
+    source."""
+
+    def __call__(self, gx: np.ndarray, gy: np.ndarray):
+        x = _R_MERC * np.radians(np.asarray(gx, dtype=np.float64))
+        y = _R_MERC * np.arctanh(
+            np.sin(np.radians(np.asarray(gy, dtype=np.float64)))
+        )
+        return x, y
+
+
 class LCCForwardTransform:
     """Picklable (lon, lat) -> (x, y) for the general warp path."""
 

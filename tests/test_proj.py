@@ -279,3 +279,60 @@ class TestLCC:
         yi = np.clip(np.floor(sy).astype(np.int64), 0, src_h - 1)
         want = ((xi * 7 + yi * 13) % 251).astype(np.int64)
         np.testing.assert_array_equal(got, want)
+
+
+class TestCompose:
+    def test_compose_equals_nesting(self):
+        import numpy as np
+
+        from gdal_spark import proj
+
+        lon = np.linspace(1.5, 3.5, 40)
+        lat = np.linspace(46.0, 48.5, 40)
+        f = proj.LonLatToWebMercator()
+        g = proj.WebMercatorToLonLat()
+        h = proj.LCCForwardTransform(44.0, 49.0, 46.5, 3.0,
+                                     700000.0, 6600000.0)
+        chained = proj.compose(f, g, h)
+        x1, y1 = chained(lon, lat)
+        x2, y2 = h(*g(*f(lon, lat)))
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)
+
+    def test_mercator_round_trip(self):
+        import numpy as np
+
+        from gdal_spark import proj
+
+        lon = np.linspace(-179.0, 179.0, 37)
+        lat = np.linspace(-85.0, 85.0, 37)
+        rt = proj.compose(
+            proj.LonLatToWebMercator(), proj.WebMercatorToLonLat()
+        )
+        lon2, lat2 = rt(lon, lat)
+        np.testing.assert_allclose(lon2, lon, atol=1e-11)
+        np.testing.assert_allclose(lat2, lat, atol=1e-11)
+
+    def test_lcc_to_utm_composed_warp_chain(self):
+        """The projected→projected chain the composition exists for:
+        LCC metres → geodetic → UTM metres, equal to applying the
+        steps by hand and round-tripping back to sub-mm."""
+        import numpy as np
+
+        from gdal_spark import proj
+
+        params = (44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0)
+        x = np.linspace(650000.0, 750000.0, 25)
+        y = np.linspace(6.55e6, 6.65e6, 25)
+        tf = proj.compose(
+            proj.LCCInverseTransform(*params),
+            proj.UTMForwardTransform(31),
+        )
+        e, n = tf(x, y)
+        back = proj.compose(
+            proj.UTMInverseTransform(31),
+            proj.LCCForwardTransform(*params),
+        )
+        x2, y2 = back(e, n)
+        np.testing.assert_allclose(x2, x, atol=1e-3)
+        np.testing.assert_allclose(y2, y, atol=1e-3)
