@@ -3689,10 +3689,14 @@ def _rect_ring(x0, y0, x1, y1) -> np.ndarray:
 
 
 def _q_geo_st_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full ST predicate matrix (Intersects/Disjoint/Equals/Contains/
-    Within/Touches/Overlaps/Crosses) for every (A, B) polygon pair —
-    computed by the GENERAL polygon kernel (clip area + boundary
-    contact), gated against interval arithmetic on the rect fixture."""
+    """SPARSE ST predicate matrix (Intersects/Disjoint/Equals/
+    Contains/Within/Touches/Overlaps/Crosses) per bbox-overlapping
+    (A, B) polygon pair — computed by the GENERAL polygon kernel
+    (clip area + boundary contact), gated against interval arithmetic
+    on the rect fixture. Sparse is the scale contract (absent pair ⇒
+    disjoint; output bounded by candidates, never |A|·|B|); the
+    dense=True compat mode and the sparse/dense equivalence are
+    pytest-pinned in tests/test_layer_algebra.py."""
     from gdal_spark import wkb
     from gdal_spark.operators.layer_algebra import predicate_pairs
 
@@ -3747,7 +3751,8 @@ def _st_predicates_oracle_sql() -> str:
                      AND NOT cont AND NOT wthn THEN 1 ELSE 0 END
                AS BIGINT) AS st_overlaps,
           CAST(0 AS BIGINT) AS st_crosses
-        FROM p"""
+        FROM p
+        WHERE ix0 <= ix1 AND iy0 <= iy1"""
 
 
 _HAV_LON, _HAV_LAT = 13.4, 52.5

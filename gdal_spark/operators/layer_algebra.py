@@ -383,11 +383,22 @@ def predicate_pairs(
     b_pdf: pd.DataFrame,
     id_col: str = "a_id",
     b_id_col: str = "poly_id",
+    dense: bool = False,
 ) -> DataFrame:
     """ST predicate matrix per bbox-overlapping (A, B) pair →
     (a_id, b_id, intersects, .., crosses) as 0/1 longs — the
     polygon×polygon half of the SQLite-dialect predicate registry
-    (ogr/ogrsqlitesqlfunctions.cpp:876-883)."""
+    (ogr/ogrsqlitesqlfunctions.cpp:876-883).
+
+    SPARSE by default (the scale-safe contract): only pairs whose
+    envelopes overlap are emitted; a consumer treats an absent pair
+    as disjoint. At 100 TB the dense matrix's |A|·|B| output — rows
+    of mostly ``disjoint=1`` — is the bottleneck regardless of how
+    cheap each row is to compute; the envelope pretest
+    (ogrlayer.cpp:3427) already proves the absent rows' entire
+    predicate vector, so materializing them adds no information.
+    ``dense=True`` restores the full-matrix output for consumers that
+    require it (small B only)."""
     spark = a_df.sparkSession
     brc = spark.sparkContext.broadcast(_b_rings(b_pdf, b_id_col))
     preds = geometry._PREDICATES
@@ -411,12 +422,13 @@ def predicate_pairs(
                 )
                 ax0, ay0, ax1, ay1 = geometry.ring_bbox(ring)
                 for bid, bring, (bx0, by0, bx1, by1) in bset:
-                    # envelope pretest (ogrlayer.cpp:3427): the full
-                    # matrix still emits, but disjoint-bbox pairs skip
-                    # the clip/contact kernels entirely
+                    # envelope pretest (ogrlayer.cpp:3427): disjoint
+                    # envelopes are proven disjoint — dropped in
+                    # sparse mode, emitted kernel-free in dense mode
                     if (bx1 < ax0 or bx0 > ax1
                             or by1 < ay0 or by0 > ay1):
-                        rows.append((int(aid), bid, *disjoint_row))
+                        if dense:
+                            rows.append((int(aid), bid, *disjoint_row))
                         continue
                     d = geometry.polygon_pair_predicates(ring, bring)
                     rows.append(
@@ -427,6 +439,61 @@ def predicate_pairs(
             )
 
     return a_df.select(id_col, "geom_wkb").mapInPandas(run, schema)
+
+
+def predicate_pairs_join(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    id_a: str = "a_id",
+    id_b: str = "b_id",
+    cell: float = 32.0,
+) -> DataFrame:
+    """DataFrame×DataFrame ST predicate matrix — sparse only: the
+    same grid-cell-cover equi-join prefilter as
+    :func:`intersection_join` (no cross join, no driver-resident B),
+    then the polygon-pair kernel per surviving candidate. Candidates
+    whose exact envelopes don't overlap are dropped before the
+    kernel; consumers treat an absent (a, b) pair as disjoint. Output
+    cardinality is bounded by grid-cover candidates, never |A|·|B|."""
+    preds = geometry._PREDICATES
+    cols = [f"st_{p}" for p in preds]
+    schema = "a_id long, b_id long, " + ", ".join(
+        f"{c} long" for c in cols
+    )
+    pairs = _cell_cover_pairs(a_df, b_df, id_a, id_b, cell)
+    a_geo = a_df.select(F.col(id_a), F.col("geom_wkb").alias("a_wkb"))
+    b_geo = b_df.select(F.col(id_b), F.col("geom_wkb").alias("b_wkb"))
+    paired = pairs.join(a_geo, id_a).join(b_geo, id_b)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for aid, bid, abuf, bbuf in zip(
+                pdf[id_a], pdf[id_b], pdf["a_wkb"], pdf["b_wkb"]
+            ):
+                aring = geometry._open_ring(
+                    wkb.polygon_rings(bytes(abuf))[0][0]
+                )
+                bring = geometry._open_ring(
+                    wkb.polygon_rings(bytes(bbuf))[0][0]
+                )
+                ax0, ay0, ax1, ay1 = geometry.ring_bbox(aring)
+                bx0, by0, bx1, by1 = geometry.ring_bbox(bring)
+                if (bx1 < ax0 or bx0 > ax1
+                        or by1 < ay0 or by0 > ay1):
+                    continue  # cell-coarse candidate, envelope-exact no
+                d = geometry.polygon_pair_predicates(aring, bring)
+                rows.append(
+                    (int(aid), int(bid), *[int(d[p]) for p in preds])
+                )
+            yield pd.DataFrame(rows, columns=["a_id", "b_id", *cols])
+
+    out = paired.mapInPandas(run, schema)
+    if id_a != "a_id" or id_b != "b_id":
+        out = out.withColumnRenamed("a_id", id_a).withColumnRenamed(
+            "b_id", id_b
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -737,34 +804,19 @@ def _cell_key(ix: int, iy: int) -> int:
     return (ix + (1 << 20)) * (1 << 21) + (iy + (1 << 20))
 
 
-def intersection_join(
+def _cell_cover_pairs(
     a_df: DataFrame,
     b_df: DataFrame,
-    id_a: str = "a_id",
-    id_b: str = "b_id",
-    cell: float = 32.0,
-    min_area: float = 0.0,
+    id_a: str,
+    id_b: str,
+    cell: float,
 ) -> DataFrame:
-    """A ∩ B where BOTH layers are DataFrames — the r02 gap: every
-    layer-algebra mode took ``b_pdf: pd.DataFrame`` (method layer had
-    to fit on the driver and broadcast), while the reference's nested
-    loop works on any two layers (ogr/ogrlayer.cpp:3345 with
-    per-feature spatial-filter pushdown :3450). At 100 TB both layers
-    are big.
-
-    Plan: each side maps to (cell_id, id) grid-cover rows (a narrow
-    mapInPandas — fanout = cells per feature bbox); an EQUI-join on
-    cell_id co-locates candidate pairs (shuffle on cell keys, no
-    cross join, no broadcast of B); pairs dedupe on (a_id, b_id); the
-    two geometries join back by id and the per-pair convex-piece clip
-    kernel (the same one the broadcast path uses) runs in a final
-    mapInPandas. Skewed hot cells are bounded by the ``cell`` size
-    parameter (smaller cells → finer candidate pruning) and AQE skew
-    splitting on the pair shuffle.
-
-    Returns (a_id, b_id, piece_wkb, area) disjoint intersection
-    pieces — holed/multipart geometries on BOTH sides handled via
-    _decompose_full / _subject_parts."""
+    """Shared candidate prefilter for the DF×DF spatial operators:
+    each side maps to (cell_id, id) grid-cover rows (narrow
+    mapInPandas, fanout = cells per feature bbox), an EQUI-join on
+    cell_id co-locates candidates (shuffle on cell keys — no cross
+    join, no broadcast), then (a, b) dedupes. Output is the candidate
+    pair set; exact-geometry tests run downstream."""
 
     def cover(idc):
         def run(batches):
@@ -795,11 +847,42 @@ def intersection_join(
     b_cells = b_df.select(id_b, "geom_wkb").mapInPandas(
         cover(id_b), f"{id_b} long, cell_id long"
     )
-    pairs = (
+    return (
         a_cells.join(b_cells, "cell_id")
         .select(id_a, id_b)
         .distinct()
     )
+
+
+def intersection_join(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    id_a: str = "a_id",
+    id_b: str = "b_id",
+    cell: float = 32.0,
+    min_area: float = 0.0,
+) -> DataFrame:
+    """A ∩ B where BOTH layers are DataFrames — the r02 gap: every
+    layer-algebra mode took ``b_pdf: pd.DataFrame`` (method layer had
+    to fit on the driver and broadcast), while the reference's nested
+    loop works on any two layers (ogr/ogrlayer.cpp:3345 with
+    per-feature spatial-filter pushdown :3450). At 100 TB both layers
+    are big.
+
+    Plan: each side maps to (cell_id, id) grid-cover rows (a narrow
+    mapInPandas — fanout = cells per feature bbox); an EQUI-join on
+    cell_id co-locates candidate pairs (shuffle on cell keys, no
+    cross join, no broadcast of B); pairs dedupe on (a_id, b_id); the
+    two geometries join back by id and the per-pair convex-piece clip
+    kernel (the same one the broadcast path uses) runs in a final
+    mapInPandas. Skewed hot cells are bounded by the ``cell`` size
+    parameter (smaller cells → finer candidate pruning) and AQE skew
+    splitting on the pair shuffle.
+
+    Returns (a_id, b_id, piece_wkb, area) disjoint intersection
+    pieces — holed/multipart geometries on BOTH sides handled via
+    _decompose_full / _subject_parts."""
+    pairs = _cell_cover_pairs(a_df, b_df, id_a, id_b, cell)
     a_geo = a_df.select(
         F.col(id_a), F.col("geom_wkb").alias("a_wkb")
     )

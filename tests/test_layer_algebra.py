@@ -447,3 +447,83 @@ class TestIntersectionJoin:
             .executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSparsePredicates:
+    """Sparse-by-default predicate matrix (the 100 TB contract:
+    output bounded by bbox candidates, not |A|·|B|) + the DF×DF
+    cell-cover variant."""
+
+    def _fixtures(self, spark):
+        a_pdf = pd.DataFrame({
+            "a_id": [0, 1, 2],
+            "geom_wkb": [
+                wkb.polygon([sq(0, 0, 4, 4)]),
+                wkb.polygon([sq(10, 10, 14, 14)]),
+                wkb.polygon([sq(100, 100, 101, 101)]),
+            ],
+        })
+        b_pdf = pd.DataFrame({
+            "poly_id": [0, 1],
+            "geom_wkb": [
+                wkb.polygon([sq(2, 2, 6, 6)]),      # overlaps A0
+                wkb.polygon([sq(14, 10, 18, 14)]),  # touches A1 edge
+            ],
+        })
+        return spark.createDataFrame(a_pdf), a_pdf, b_pdf
+
+    def test_sparse_emits_only_candidates(self, spark):
+        from gdal_spark.operators.layer_algebra import predicate_pairs
+
+        a_df, _, b_pdf = self._fixtures(spark)
+        rows = predicate_pairs(a_df, b_pdf).collect()
+        got = {(r.a_id, r.b_id): r.asDict() for r in rows}
+        # only the bbox-overlapping pairs exist — NOT 3×2 = 6 rows
+        assert set(got) == {(0, 0), (1, 1)}
+        assert got[(0, 0)]["st_overlaps"] == 1
+        assert got[(1, 1)]["st_touches"] == 1
+
+    def test_dense_mode_adds_proven_disjoint_rows(self, spark):
+        from gdal_spark.operators.layer_algebra import predicate_pairs
+
+        a_df, _, b_pdf = self._fixtures(spark)
+        sparse = {
+            (r.a_id, r.b_id): r.asDict()
+            for r in predicate_pairs(a_df, b_pdf).collect()
+        }
+        dense = {
+            (r.a_id, r.b_id): r.asDict()
+            for r in predicate_pairs(a_df, b_pdf, dense=True).collect()
+        }
+        assert len(dense) == 6
+        for k, v in dense.items():
+            if k in sparse:
+                assert v == sparse[k]
+            else:  # implied row: pure disjoint vector
+                assert v["st_disjoint"] == 1
+                assert all(
+                    v[c] == 0
+                    for c in v
+                    if c.startswith("st_") and c != "st_disjoint"
+                )
+
+    def test_df_join_variant_matches_broadcast(self, spark):
+        from gdal_spark.operators.layer_algebra import (
+            predicate_pairs, predicate_pairs_join,
+        )
+
+        a_df, _, b_pdf = self._fixtures(spark)
+        b_df = spark.createDataFrame(
+            b_pdf.rename(columns={"poly_id": "b_id"})
+        )
+        want = {
+            (r.a_id, r.b_id): r.asDict()
+            for r in predicate_pairs(a_df, b_pdf).collect()
+        }
+        got = {
+            (r.a_id, r.b_id): r.asDict()
+            for r in predicate_pairs_join(
+                a_df, b_df, cell=4.0
+            ).collect()
+        }
+        assert got == want
