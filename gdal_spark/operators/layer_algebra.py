@@ -922,10 +922,54 @@ def intersection_join(
     return out
 
 
+class _AccIndex:
+    """Amortized bbox index for the dissolve accumulator: an STRtree
+    over the pieces present at the last rebuild plus a linear tail of
+    recent inserts; rebuilt when the tail outgrows the indexed part
+    (O(n log n) total build work). Turns the fold's per-piece
+    candidate lookup from O(pieces) into O(log pieces + hits) — the
+    hot-key dissolve is no longer quadratic in accumulated pieces."""
+
+    def __init__(self):
+        self.boxes: list[tuple] = []
+        self._tree = None
+        self._built_n = 0
+
+    def add(self, box: tuple) -> None:
+        self.boxes.append(box)
+
+    def query(self, sb: tuple) -> list[int]:
+        from ..strtree import STRtree
+
+        n = len(self.boxes)
+        if n - self._built_n > max(64, self._built_n):
+            self._tree = STRtree(np.array(self.boxes))
+            self._built_n = n
+        hits: list[int] = []
+        if self._tree is not None:
+            for i in self._tree.query(sb[0], sb[1], sb[2], sb[3]):
+                cb = self.boxes[int(i)]
+                # strict-overlap refilter (the tree test is inclusive)
+                if not (
+                    cb[2] <= sb[0] or sb[2] <= cb[0]
+                    or cb[3] <= sb[1] or sb[3] <= cb[1]
+                ):
+                    hits.append(int(i))
+        for i in range(self._built_n, n):
+            cb = self.boxes[i]
+            if not (
+                cb[2] <= sb[0] or sb[2] <= cb[0]
+                or cb[3] <= sb[1] or sb[3] <= cb[1]
+            ):
+                hits.append(i)
+        return hits
+
+
 def dissolve(
     df: DataFrame,
     key_col: str = "key",
     wkb_col: str = "geom_wkb",
+    prefold_salts: int | None = 16,
 ) -> DataFrame:
     """ST_Union aggregate / dissolve-by-attribute: union every
     (multi)polygon sharing a key into one geometry per key →
@@ -934,46 +978,46 @@ def dissolve(
     Reference: the SQLite-dialect aggregate ST_Union behind
     ``ogr2ogr ... "SELECT ST_Union(geometry) ... GROUP BY attr"``
     (GEOS cascaded union per group); semantics corpus
-    autotest/ogr/ogr_sql_sqlite.py. Spark shape: ONE shuffle on the
-    key, then a per-key fold in applyInPandas — each incoming
-    geometry decomposes to disjoint hole-free pieces
-    (``_decompose_full``: holes and multiparts handled exactly) and
-    only the part NOT already covered joins the accumulated union
-    (``erase_poly_convex`` against the union's convex decomposition,
-    bbox-prefiltered), so piece areas sum to the exact union area no
-    matter how the inputs overlap.
+    autotest/ogr/ogr_sql_sqlite.py. Each incoming geometry decomposes
+    to disjoint hole-free pieces (``_decompose_full``: holes and
+    multiparts handled exactly) and only the part NOT already covered
+    joins the accumulated union (``erase_poly_convex`` against the
+    union's convex decomposition, candidates via the amortized
+    :class:`_AccIndex` STRtree), so piece areas sum to the exact
+    union area no matter how the inputs overlap.
+
+    Scale shape (DEFAULT): the fold is associative, so it runs TWO
+    LEVELS — a pre-fold per (key, salt-of-geometry) group bounds any
+    hot key's level-1 task to ~1/``prefold_salts`` of its rows, then
+    a per-key re-fold merges at most ``prefold_salts`` pre-unions.
+    Both levels shuffle roughly the same bytes as the one-shuffle
+    plan (the level-2 exchange carries pre-dissolved unions), no
+    count pass or plan branch is needed, and a country-sized hot key
+    no longer serializes one task for its whole group.
+    ``prefold_salts=None`` selects the single-shuffle plan (small,
+    even key distributions).
 
     The emitted multipolygon is a disjoint TILING of the union (piece
     boundaries are not dissolved away) — area-exact and PIP-exact,
     which is what every downstream operator here consumes; minimal
     boundary extraction is the polygonize ring-tracing problem and
-    lives there.
-
-    Scale: per-key work is local to one task (the reference model:
-    one cascaded union per group). For a pathological key holding a
-    large fraction of the corpus, pre-fold per partition first
-    (``df.repartition(N, key, salt)`` + dissolve + dissolve again) —
-    the fold is associative, so two levels compose exactly.
+    lives there. The tiling (not its area) may differ between the
+    one- and two-level plans — fold order changes which erase residue
+    pieces appear, never what region they cover.
     """
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         acc_simple: list[np.ndarray] = []
         acc_convex: list[np.ndarray] = []
-        acc_boxes: list[tuple] = []
+        idx = _AccIndex()
         n = 0
-        for buf in pdf[wkb_col]:
+        has_n = "n_geoms" in pdf.columns
+        for pos, buf in enumerate(pdf[wkb_col]):
             simple, _convex, _bb, _area = _decompose_full(bytes(buf))
-            n += 1
+            n += int(pdf["n_geoms"].iloc[pos]) if has_n else 1
             for s in simple:
                 sb = geometry.ring_bbox(s)
-                clips = [
-                    acc_convex[i]
-                    for i, cb in enumerate(acc_boxes)
-                    if not (
-                        cb[2] <= sb[0] or sb[2] <= cb[0]
-                        or cb[3] <= sb[1] or sb[3] <= cb[1]
-                    )
-                ]
+                clips = [acc_convex[i] for i in idx.query(sb)]
                 residue = (
                     geometry.erase_poly_convex(s, clips) if clips
                     else [geometry._open_ring(s)]
@@ -990,7 +1034,7 @@ def dissolve(
                     )
                     for cp in parts:
                         acc_convex.append(cp)
-                        acc_boxes.append(geometry.ring_bbox(cp))
+                        idx.add(geometry.ring_bbox(cp))
         area = geometry.pieces_area(acc_simple)
         buf = wkb.multipolygon(
             [[np.vstack([p, p[:1]])] for p in acc_simple]
@@ -1004,10 +1048,30 @@ def dissolve(
             }
         )
 
-    return (
-        df.select(F.col(key_col).cast("long").alias(key_col), wkb_col)
-        .groupBy(key_col)
-        .applyInPandas(
-            fold, "key long, area double, n_geoms long, geom_wkb binary"
+    out_schema = "key long, area double, n_geoms long, geom_wkb binary"
+    src = df.select(
+        F.col(key_col).cast("long").alias(key_col), wkb_col
+    )
+    if prefold_salts is None:
+        return src.groupBy(key_col).applyInPandas(fold, out_schema)
+
+    pre = (
+        src.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(wkb_col)), F.lit(int(prefold_salts))),
         )
+        .groupBy(key_col, "__salt")
+        .applyInPandas(
+            lambda pdf: fold(pdf).assign(__salt=pdf["__salt"].iloc[0]),
+            out_schema + ", __salt long",
+        )
+    )
+    return (
+        pre.select(
+            F.col("key").alias(key_col),
+            F.col("geom_wkb").alias(wkb_col),
+            "n_geoms",
+        )
+        .groupBy(key_col)
+        .applyInPandas(fold, out_schema)
     )
