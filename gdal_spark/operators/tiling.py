@@ -2057,7 +2057,6 @@ def sieve(tiles: DataFrame, threshold: int) -> DataFrame:
         .unionByName(redges.join(sb, ["bt", "bl"], "left_semi"))
         .distinct()
     )
-    edge_rows = incident.collect()
     ends = (
         incident.select(F.col("at").alias("rtkey"), F.col("al").alias("rlab"))
         .unionByName(
@@ -2066,61 +2065,199 @@ def sieve(tiles: DataFrame, threshold: int) -> DataFrame:
         .distinct()
         .join(stats, ["rtkey", "rlab"])
     )
-    stat_rows = ends.unionByName(small.join(ends, ["rtkey", "rlab"],
-                                            "left_anti")).collect()
+
+    # 3. DISTRIBUTED progressive merge over the small-region subgraph
+    # (active set = small roots + their direct neighbours; everything
+    # else is provably inert: a region >= threshold never merges OUT,
+    # and receiving pixels changes neither its value nor its fate).
+    # Each round, every small region points at its largest current
+    # neighbour (ties -> smaller id, the sequential tie-break);
+    # pointers are kept only when they ascend a strict total order on
+    # (size, inverted id) — that makes the round's pointer set a DAG,
+    # which a pointer-doubling contraction collapses — then stats,
+    # edges and the cumulative orig->current map relabel through
+    # joins. The globally smallest small region's pointer always
+    # ascends, so every round merges at least one region: the fixed
+    # point (no region under threshold with a neighbour) terminates.
+    # The driver orchestrates rounds and holds COUNTS only — no edge
+    # or stats collect at any scale.
+    act_stats = ends.unionByName(
+        small.join(ends, ["rtkey", "rlab"], "left_anti")
+    ).localCheckpoint(eager=True)
+    act_edges = incident.localCheckpoint(eager=True)
+    total_map = None
+    rounds = 0
+    for _ in range(64):
+        small_now = act_stats.filter(F.col("rsize") < threshold)
+        sym = act_edges.unionByName(
+            act_edges.select(
+                F.col("bt").alias("at"), F.col("bl").alias("al"),
+                F.col("at").alias("bt"), F.col("al").alias("bl"),
+            )
+        )
+        nb = act_stats.select(
+            F.col("rtkey").alias("bt"), F.col("rlab").alias("bl"),
+            F.col("rsize").alias("nbsize"),
+        )
+        cand = (
+            small_now.select(
+                F.col("rtkey").alias("at"), F.col("rlab").alias("al"),
+                F.col("rsize").alias("ssize"),
+            )
+            .join(sym, ["at", "al"])
+            .join(nb, ["bt", "bl"])
+        )
+        from pyspark.sql import Window as _W
+
+        pick = (
+            cand.withColumn(
+                "rn",
+                F.row_number().over(
+                    _W.partitionBy("at", "al").orderBy(
+                        F.col("nbsize").desc(),
+                        F.col("bt").asc(),
+                        F.col("bl").asc(),
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            # strict ascent: source earlier than target in the
+            # (size asc, id desc) processing order -> DAG per round
+            .filter(
+                (F.col("ssize") < F.col("nbsize"))
+                | (
+                    (F.col("ssize") == F.col("nbsize"))
+                    & (
+                        (F.col("at") > F.col("bt"))
+                        | (
+                            (F.col("at") == F.col("bt"))
+                            & (F.col("al") > F.col("bl"))
+                        )
+                    )
+                )
+            )
+            .select(
+                F.col("at").alias("st"), F.col("al").alias("sl"),
+                F.col("bt").alias("tt"), F.col("bl").alias("tl"),
+            )
+        )
+        ptr = pick.localCheckpoint(eager=True)
+        if ptr.limit(1).count() == 0:
+            break
+        rounds += 1
+        # pointer-doubling contraction of the round's DAG
+        for _ in range(32):
+            hop = ptr.select(
+                F.col("st").alias("tt"), F.col("sl").alias("tl"),
+                F.col("tt").alias("ht"), F.col("tl").alias("hl"),
+            )
+            chained = ptr.join(hop, ["tt", "tl"], "left")
+            ptr2 = chained.select(
+                "st", "sl",
+                F.coalesce("ht", "tt").alias("tt"),
+                F.coalesce("hl", "tl").alias("tl"),
+            ).localCheckpoint(eager=True)
+            more = chained.filter(F.col("ht").isNotNull()).limit(1).count()
+            ptr = ptr2
+            if more == 0:
+                break
+        # relabel stats (root keeps its value; sizes sum)
+        m = ptr.select(
+            F.col("st").alias("rtkey"), F.col("sl").alias("rlab"),
+            F.col("tt"), F.col("tl"),
+        )
+        act_stats = (
+            act_stats.join(m, ["rtkey", "rlab"], "left")
+            .select(
+                F.coalesce("tt", "rtkey").alias("rtkey"),
+                F.coalesce("tl", "rlab").alias("rlab"),
+                "rsize", "rvalue",
+                F.col("tt").isNull().alias("is_root"),
+            )
+            .groupBy("rtkey", "rlab")
+            .agg(
+                F.sum("rsize").alias("rsize"),
+                F.max(
+                    F.when(F.col("is_root"), F.col("rvalue"))
+                ).alias("rvalue"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ma2 = ptr.select(
+            F.col("st").alias("at"), F.col("sl").alias("al"),
+            F.col("tt").alias("nat"), F.col("tl").alias("nal"),
+        )
+        mb2 = ptr.select(
+            F.col("st").alias("bt"), F.col("sl").alias("bl"),
+            F.col("tt").alias("nbt"), F.col("tl").alias("nbl"),
+        )
+        act_edges = (
+            act_edges.join(ma2, ["at", "al"], "left")
+            .join(mb2, ["bt", "bl"], "left")
+            .select(
+                F.coalesce("nat", "at").alias("at"),
+                F.coalesce("nal", "al").alias("al"),
+                F.coalesce("nbt", "bt").alias("bt"),
+                F.coalesce("nbl", "bl").alias("bl"),
+            )
+            .filter(
+                (F.col("at") != F.col("bt"))
+                | (F.col("al") != F.col("bl"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rm = ptr.select(
+            F.col("st").alias("ot"), F.col("sl").alias("ol"),
+            F.col("tt").alias("ct"), F.col("tl").alias("cl"),
+        )
+        if total_map is None:
+            total_map = rm
+        else:
+            upd = rm.select(
+                F.col("ot").alias("ct"), F.col("ol").alias("cl"),
+                F.col("ct").alias("nct"), F.col("cl").alias("ncl"),
+            )
+            total_map = (
+                total_map.join(upd, ["ct", "cl"], "left")
+                .select(
+                    "ot", "ol",
+                    F.coalesce("nct", "ct").alias("ct"),
+                    F.coalesce("ncl", "cl").alias("cl"),
+                )
+                .unionByName(
+                    rm.join(
+                        total_map.select("ot", "ol"),
+                        ["ot", "ol"],
+                        "left_anti",
+                    )
+                )
+            )
+        total_map = total_map.localCheckpoint(eager=True)
+
     sieve.last_stats = {
-        "collected_edges": len(edge_rows),
-        "collected_stats": len(stat_rows),
+        "collected_edges": 0,
+        "collected_stats": 0,
         "total_regions": stats.count(),
+        "rounds": rounds,
     }
 
-    size: dict[tuple, int] = {}
-    value: dict[tuple, int] = {}
-    nbrs: dict[tuple, set] = {}
-    for r in stat_rows:
-        k = (int(r.rtkey), int(r.rlab))
-        size[k] = int(r.rsize)
-        value[k] = int(r.rvalue)
-        nbrs.setdefault(k, set())
-    for r in edge_rows:
-        a, b = (int(r.at), int(r.al)), (int(r.bt), int(r.bl))
-        nbrs.setdefault(a, set()).add(b)
-        nbrs.setdefault(b, set()).add(a)
-
-    # 3. progressive merge on the driver (small-region subgraph only)
-    merged_into: dict[tuple, tuple] = {}
-
-    def resolve(a):
-        while a in merged_into:
-            a = merged_into[a]
-        return a
-
-    changed = True
-    while changed:
-        changed = False
-        for root in sorted(size, key=lambda k: (size.get(k, 0), k)):
-            root = resolve(root)
-            if size.get(root, 0) >= threshold or root in merged_into:
-                continue
-            cand = {resolve(n) for n in nbrs.get(root, ())} - {root}
-            if not cand:
-                continue
-            target = max(cand, key=lambda k: (size.get(k, 0), tuple(-x for x in k)))
-            merged_into[root] = target
-            size[target] += size.pop(root, 0)
-            nbrs.setdefault(target, set()).update(nbrs.pop(root, set()))
-            changed = True
-
     # 4. changed roots → per-tile (lab → value) change lists via JOIN
-    changed_items = [
-        (root[0], root[1], int(value[resolve(root)]))
-        for root in merged_into
-    ]
-    changed_df = spark.createDataFrame(
-        changed_items or [], "rtkey long, rlab long, newval long"
-    )
+    if total_map is None:
+        changed_df = spark.createDataFrame(
+            [], "rtkey long, rlab long, newval long"
+        )
+    else:
+        final_val = act_stats.select(
+            F.col("rtkey").alias("ct"), F.col("rlab").alias("cl"),
+            F.col("rvalue").alias("newval"),
+        )
+        changed_df = total_map.join(final_val, ["ct", "cl"]).select(
+            F.col("ot").alias("rtkey"), F.col("ol").alias("rlab"),
+            "newval",
+        )
     per_tile = (
-        rooted.join(F.broadcast(changed_df), ["rtkey", "rlab"])
+        rooted.join(changed_df, ["rtkey", "rlab"])
         .groupBy("tkey")
         .agg(
             F.collect_list(F.struct("lab", "newval")).alias("chg")

@@ -117,12 +117,13 @@ def test_footprint_outlines_valid_data(spark):
 
 
 def test_sieve_collects_only_small_region_subgraph(spark):
-    """Driver memory pin: a raster dominated by LARGE regions must not
-    collect its region table — only the small-region subgraph (the
-    100 TB safety property; a checkerboard with threshold=1 collects
-    nothing at all)."""
+    """Driver memory pin, now absolute: the progressive merge runs as
+    distributed join/agg rounds — the driver collects NO edges and NO
+    region stats at ANY raster shape (the 100 TB safety property).
+    A 65k-region checkerboard with threshold=1 also runs zero merge
+    rounds."""
     # 256x256 checkerboard: 65536 single-pixel regions, none below
-    # threshold=1 -> zero driver collection
+    # threshold=1 -> nothing to merge, zero rounds, zero collection
     n = 256
     yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
     board = ((xx + yy) % 2).astype(np.uint8)
@@ -133,9 +134,10 @@ def test_sieve_collects_only_small_region_subgraph(spark):
     assert st["total_regions"] == n * n
     assert st["collected_stats"] == 0
     assert st["collected_edges"] == 0
+    assert st["rounds"] == 0
 
-    # stripes (large) + a few specks: collection bounded by specks,
-    # not by the region count
+    # stripes (large) + a few specks: specks absorbed through the
+    # distributed rounds, still zero driver-side collection
     full = np.zeros((n, n), dtype=np.uint8)
     for band in range(n // 4):
         full[band * 4 : band * 4 + 2, :] = (band % 2) + 1
@@ -146,5 +148,22 @@ def test_sieve_collects_only_small_region_subgraph(spark):
     out = _assemble(tiling.sieve(tiles, threshold=4).collect(), n, n, 64)
     assert not (out == 7).any()  # every speck absorbed
     st = tiling.sieve.last_stats
-    assert st["collected_stats"] <= 6 * len(spots)
-    assert st["collected_stats"] < st["total_regions"] // 2
+    assert st["collected_stats"] == 0
+    assert st["collected_edges"] == 0
+    assert st["rounds"] >= 1
+
+
+def test_sieve_small_chain_merges_to_fixed_point(spark):
+    """A chain of equal-size small regions (the adversarial case for
+    round-synchronous merging: every pointer must ascend the total
+    order, chains contract by pointer doubling) collapses until no
+    region is below threshold."""
+    full = np.zeros((8, 16), dtype=np.uint8)
+    # a 1-pixel-tall chain of alternating values on a 0 background
+    for i in range(8):
+        full[4, i * 2] = (i % 3) + 1
+    tiles = _tiles_from_array(spark, full, 8)
+    out = _assemble(tiling.sieve(tiles, threshold=2).collect(), 16, 8, 8)
+    labels, nlab = raster.label_components(out)
+    sizes = np.bincount(labels.ravel())
+    assert (sizes >= 2).all()
