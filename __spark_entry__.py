@@ -3755,6 +3755,86 @@ def _st_predicates_oracle_sql() -> str:
         WHERE ix0 <= ix1 AND iy0 <= iy1"""
 
 
+def _q_sql_st_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST functions THROUGH THE SQL STRING PATH: ``spark.sql`` text
+    evaluating st_intersects in the JOIN condition and st_area /
+    st_perimeter / st_centroid_x|y / st_contains / st_within /
+    st_touches / st_npoints in the select list — the engine's analog
+    of the reference's SQLite-dialect function registry
+    (ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:876-1054),
+    wired by gdal_spark.stsql.register_st_functions to the same numpy
+    kernels the DataFrame operators use. The oracle restates every
+    value in closed rect-interval form (all quantities exact doubles:
+    integer rects, dyadic centers)."""
+    from gdal_spark import stsql
+    from gdal_spark import wkb as _wkb
+
+    stsql.register_st_functions(spark)
+    a, b = _sp_fixtures()
+    a_pdf = pd.DataFrame(
+        {
+            "a_id": [r[0] for r in a],
+            "g": [_wkb.polygon([_rect_ring(*r[1:])]) for r in a],
+        }
+    )
+    b_pdf = pd.DataFrame(
+        {
+            "b_id": [r[0] for r in b],
+            "g": [_wkb.polygon([_rect_ring(*r[1:])]) for r in b],
+        }
+    )
+    spark.createDataFrame(a_pdf).createOrReplaceTempView("st_a")
+    spark.createDataFrame(b_pdf).createOrReplaceTempView("st_b")
+    return spark.sql(
+        """
+        SELECT a.a_id, b.b_id,
+               CAST(st_contains(a.g, b.g) AS BIGINT) AS has_b,
+               CAST(st_within(a.g, b.g) AS BIGINT) AS in_b,
+               CAST(st_touches(a.g, b.g) AS BIGINT) AS tch,
+               st_area(a.g) AS area_a,
+               st_perimeter(b.g) AS perim_b,
+               st_centroid_x(a.g) AS cx_a,
+               st_centroid_y(a.g) AS cy_a,
+               st_npoints(a.g) AS np_a
+        FROM st_a a JOIN st_b b
+          ON st_intersects(a.g, b.g)
+        """
+    )
+
+
+def _sql_st_funcs_oracle_sql() -> str:
+    a, b = _sp_fixtures()
+    av = ", ".join(f"({p}, {x0}, {y0}, {x1}, {y1})" for p, x0, y0, x1, y1 in a)
+    bv = ", ".join(f"({p}, {x0}, {y0}, {x1}, {y1})" for p, x0, y0, x1, y1 in b)
+    return f"""
+        WITH ar(aid, ax0, ay0, ax1, ay1) AS (VALUES {av}),
+        br(bid, bx0, by0, bx1, by1) AS (VALUES {bv}),
+        p AS (
+          SELECT *,
+                 GREATEST(ax0, bx0) AS ix0, LEAST(ax1, bx1) AS ix1,
+                 GREATEST(ay0, by0) AS iy0, LEAST(ay1, by1) AS iy1,
+                 (bx0 >= ax0 AND bx1 <= ax1
+                  AND by0 >= ay0 AND by1 <= ay1) AS cont,
+                 (ax0 >= bx0 AND ax1 <= bx1
+                  AND ay0 >= by0 AND ay1 <= by1) AS wthn
+          FROM ar CROSS JOIN br)
+        SELECT aid AS a_id, bid AS b_id,
+          CAST(CASE WHEN cont AND ix0 < ix1 AND iy0 < iy1
+               THEN 1 ELSE 0 END AS BIGINT) AS has_b,
+          CAST(CASE WHEN wthn AND ix0 < ix1 AND iy0 < iy1
+               THEN 1 ELSE 0 END AS BIGINT) AS in_b,
+          CAST(CASE WHEN (ix0 = ix1 OR iy0 = iy1)
+               THEN 1 ELSE 0 END AS BIGINT) AS tch,
+          CAST((ax1 - ax0) * (ay1 - ay0) AS DOUBLE) AS area_a,
+          CAST(2 * ((bx1 - bx0) + (by1 - by0)) AS DOUBLE) AS perim_b,
+          (ax0 + ax1) / 2e0 AS cx_a,
+          (ay0 + ay1) / 2e0 AS cy_a,
+          CAST(5 AS BIGINT) AS np_a
+        FROM p
+        WHERE ix0 <= ix1 AND iy0 <= iy1
+    """
+
+
 _HAV_LON, _HAV_LAT = 13.4, 52.5
 _HAV_SQL_TPL = """
     WITH pts AS ({pts}),
@@ -3849,6 +3929,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_fill_all_touched": _q_rs_fill_all_touched,
     "rs_rasterize_add": _q_rs_rasterize_add,
     "q_ogr_sql": _q_ogr_sql,
+    "q_sql_st_funcs": _q_sql_st_funcs,
     "q_ogr_sql_join": _q_ogr_sql_join,
     "q_first_match_join": _q_first_match_join,
     "sp_pip_engine": _q_pip_engine,
@@ -3899,6 +3980,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "rs_rasterize_add": _rasterize_add_oracle_sql(),
     "geo_layer_algebra": _layer_algebra_oracle_sql(),
     "geo_st_predicates": _st_predicates_oracle_sql(),
+    "q_sql_st_funcs": _sql_st_funcs_oracle_sql(),
     "sp_pip_full_fixture": PIP_ORACLE_SQL.format(
         values=_testdata_edges_values()
     ),
@@ -4131,6 +4213,10 @@ RETIRED_GATES: dict[str, str] = {
                         "q_ogr_sql (ORDER BY/LIMIT top-k through the "
                         "parser); green in r01+r02",
     # --- retired in r04 (each green in CORRECTNESS_r03) ---
+    "q_groupby_having": "q1_pricing_summary (same grouped-agg shape) "
+                        "+ q5_local_supplier (join+agg+filter tree); "
+                        "HAVING itself is a Spark built-in post-agg "
+                        "filter, green in r01-r03",
     "rs_warp_cubic": "rs_warp_utm + rs_warp_lcc (same distributed "
                      "gather, projective/composed transforms); the "
                      "cubic kernel itself keeps exact pytest pins "

@@ -426,6 +426,11 @@ def _compile(ast, strict_fields: set | None = None):
             return hstore_get_value(cargs[0], args[1][1])
         if fn in ("upper", "lower", "length", "abs"):
             return getattr(F, fn)(cargs[0])
+        if fn.startswith("st_"):
+            # spatial functions resolve to the UDFs installed by
+            # gdal_spark.stsql.register_st_functions — the SQLite
+            # dialect registry analog (ogrsqlitesqlfunctions.cpp:876)
+            return F.call_udf(fn, *cargs)
         raise ValueError(f"OGR SQL: unknown function {fn}")
     if kind == "agg":
         fn, arg = ast[1], ast[2]
