@@ -3835,6 +3835,74 @@ def _sql_st_funcs_oracle_sql() -> str:
     """
 
 
+def _q_geo_buffer_makevalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-polygon ST_Buffer + ST_MakeValid, value-exact: convex,
+    holed (surviving sharp-cornered hole) and multipart buffers plus
+    bowtie / bowtie-hole / overlapping-invalid-multipart repairs, all
+    evaluated THROUGH THE SQL STRING PATH (st_area(st_buffer(g,2)) /
+    st_area(st_makevalid(g))). The oracle states each area in closed
+    form: rect buffer = A + P·d + 4 inscribed corner fans
+    (qs·½·d²·sin(π/16) each — the engine's shoelace over the sampled
+    arc polygon equals it to ulps), a >2d hole erodes to
+    (w-2d)(h-2d) exactly (corner fans provably lie inside the edge
+    strips), make-valid areas are integer. Quantized ×100, every
+    fixture value ≥0.07 from a rounding boundary.
+    Reference: ogr/ogrgeometry.cpp:4526 (Buffer), :3922 (MakeValid),
+    through ogrsqlitesqlfunctions.cpp:997's SQL surface."""
+    from gdal_spark import stsql
+    from gdal_spark import wkb as _wkb
+
+    stsql.register_st_functions(spark)
+    bow = np.array(
+        [[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], dtype=np.float64
+    )
+    bow_hole = np.array(
+        [[2, 2], [6, 6], [6, 2], [2, 6], [2, 2]], dtype=np.float64
+    )
+    rows = [
+        (0, "buffer", _wkb.polygon([_rect_ring(0, 0, 20, 10)])),
+        (1, "buffer", _wkb.polygon(
+            [_rect_ring(0, 0, 30, 20), _rect_ring(10, 5, 20, 12)]
+        )),
+        (2, "buffer", _wkb.multipolygon(
+            [[_rect_ring(100, 0, 108, 6)], [_rect_ring(130, 0, 142, 6)]]
+        )),
+        (3, "makevalid", _wkb.polygon([bow])),
+        (4, "makevalid", _wkb.polygon(
+            [_rect_ring(0, 0, 10, 10), bow_hole]
+        )),
+        (5, "makevalid", _wkb.multipolygon(
+            [[_rect_ring(0, 0, 4, 4)], [_rect_ring(2, 2, 6, 6)]]
+        )),
+    ]
+    pdf = pd.DataFrame(rows, columns=["gid", "op", "g"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("bm_fixture")
+    return spark.sql(
+        """
+        SELECT CAST(gid AS BIGINT) AS gid, op,
+               CAST(ROUND(CASE WHEN op = 'buffer'
+                          THEN st_area(st_buffer(g, 2.0))
+                          ELSE st_area(st_makevalid(g)) END * 100)
+                    AS BIGINT) AS area_q2
+        FROM bm_fixture
+        """
+    )
+
+
+_GEO_BUFFER_MAKEVALID_ORACLE = """
+    WITH v(gid, op, area) AS (VALUES
+      (0, 'buffer',    320e0 + 64e0 * SIN(PI() / 16e0)),
+      (1, 'buffer',    782e0 + 64e0 * SIN(PI() / 16e0)),
+      (2, 'buffer',    248e0 + 128e0 * SIN(PI() / 16e0)),
+      (3, 'makevalid', 2e0),
+      (4, 'makevalid', 92e0),
+      (5, 'makevalid', 28e0))
+    SELECT CAST(gid AS BIGINT) AS gid, op,
+           CAST(ROUND(area * 100) AS BIGINT) AS area_q2
+    FROM v
+"""
+
+
 _HAV_LON, _HAV_LAT = 13.4, 52.5
 _HAV_SQL_TPL = """
     WITH pts AS ({pts}),
@@ -3930,6 +3998,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_rasterize_add": _q_rs_rasterize_add,
     "q_ogr_sql": _q_ogr_sql,
     "q_sql_st_funcs": _q_sql_st_funcs,
+    "geo_buffer_makevalid": _q_geo_buffer_makevalid,
     "q_ogr_sql_join": _q_ogr_sql_join,
     "q_first_match_join": _q_first_match_join,
     "sp_pip_engine": _q_pip_engine,
@@ -3981,6 +4050,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "geo_layer_algebra": _layer_algebra_oracle_sql(),
     "geo_st_predicates": _st_predicates_oracle_sql(),
     "q_sql_st_funcs": _sql_st_funcs_oracle_sql(),
+    "geo_buffer_makevalid": _GEO_BUFFER_MAKEVALID_ORACLE,
     "sp_pip_full_fixture": PIP_ORACLE_SQL.format(
         values=_testdata_edges_values()
     ),
@@ -4213,6 +4283,10 @@ RETIRED_GATES: dict[str, str] = {
                         "q_ogr_sql (ORDER BY/LIMIT top-k through the "
                         "parser); green in r01+r02",
     # --- retired in r04 (each green in CORRECTNESS_r03) ---
+    "q_summary_ogr": "q_ogr_sql (same string front-end; the SUMMARY "
+                     "no-GROUP-BY mode compiles through the same "
+                     "_compile agg branch as q1's aggregates) + "
+                     "compat pytest",
     "q_groupby_having": "q1_pricing_summary (same grouped-agg shape) "
                         "+ q5_local_supplier (join+agg+filter tree); "
                         "HAVING itself is a Spark built-in post-agg "

@@ -117,10 +117,16 @@ def register_st_functions(spark) -> list[str]:
 
     @pandas_udf("binary")
     def _buf_udf(g: pd.Series, d: pd.Series) -> pd.Series:
+        from .operators.geom_ops import buffer_polygon
+
         out = []
         for b, dist in zip(g, d):
-            ring = geometry.buffer_ring(_first_ring(b), float(dist))
-            out.append(wkb.polygon([ring]))
+            pieces, _ = buffer_polygon(bytes(b), float(dist))
+            out.append(
+                wkb.multipolygon(
+                    [[np.vstack([p, p[:1]])] for p in pieces]
+                )
+            )
         return pd.Series(out)
 
     reg("st_buffer", _buf_udf)
@@ -140,9 +146,11 @@ def register_st_functions(spark) -> list[str]:
 
     @pandas_udf("binary")
     def _mkvalid_udf(g: pd.Series) -> pd.Series:
+        from .operators.geom_ops import make_valid_polygon
+
         out = []
         for b in g:
-            pieces = geometry.make_valid(_first_ring(b))
+            pieces, _ = make_valid_polygon(bytes(b))
             out.append(
                 wkb.multipolygon(
                     [[np.vstack([p, p[:1]])] for p in pieces]
