@@ -1262,27 +1262,113 @@ def _q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=3)
 
 
+# ANN recall fixture: 8 well-separated clusters of 2-sparse vectors
+# v = e_c + eps * e_63 (eps dyadic, exact in float32), so every
+# cosine has the CLOSED FORM (1[same cluster] + a*b) /
+# (sqrt(1+a^2) * sqrt(1+b^2)) the DuckDB oracle can state, and the
+# approximate indexes PROVABLY achieve recall 1: within-cluster
+# cosine >= 0.97 vs cross-cluster <= 0.04, and a perturbation
+# |eps| <= 6/32 can never flip a hyperplane sign (|w_p.v| >= 1-eps)
+# nor a nearest-centroid assignment. That converts both ANN gates
+# from rows-only to value-exact against the brute-force ranking.
+_ANN_CLUSTERS, _ANN_PER, _ANN_DIM = 8, 6, 64
+
+
+def _ann_fixture_rows() -> list[tuple[int, int, float]]:
+    """(vec_id, cluster, eps): ids 0..7 are the 8 cluster bases (so a
+    sorted head is one seed per cluster for build_centroids), the
+    rest follow."""
+    rows = []
+    for c in range(_ANN_CLUSTERS):
+        rows.append((c, c, 1.0 / 32.0))
+        for i in range(1, _ANN_PER):
+            rows.append(
+                (
+                    _ANN_CLUSTERS + c * (_ANN_PER - 1) + (i - 1),
+                    c,
+                    (i + 1) / 32.0,
+                )
+            )
+    return rows
+
+
+def _ann_fixture_df(spark: SparkSession) -> DataFrame:
+    vecs = []
+    for vid, c, eps in _ann_fixture_rows():
+        v = np.zeros(_ANN_DIM, dtype=np.float32)
+        v[c] = 1.0
+        v[_ANN_DIM - 1] = eps
+        vecs.append((vid, v.tolist()))
+    pdf = pd.DataFrame(vecs, columns=["vec_id", "embedding"])
+    return spark.createDataFrame(pdf).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+
+
+def _ann_oracle_sql() -> str:
+    """Exact brute-force cosine top-3 of the fixture in closed form
+    (2-sparse dot products) — rank gaps are ~1e-3, far beyond any
+    libm spread, so both engines order identically."""
+    vals = ", ".join(
+        f"({vid}, {c}, {eps!r})" for vid, c, eps in _ann_fixture_rows()
+    )
+    return f"""
+        WITH v(vec_id, c, eps) AS (VALUES {vals}),
+        q AS (SELECT vec_id AS qid, c AS qc, eps AS qeps FROM v
+              WHERE vec_id < {_ANN_CLUSTERS}),
+        pairs AS (
+          SELECT q.qid, v.vec_id,
+                 (CASE WHEN v.c = q.qc THEN 1e0 ELSE 0e0 END
+                  + v.eps * q.qeps)
+                 / (SQRT(1e0 + v.eps * v.eps)
+                    * SQRT(1e0 + q.qeps * q.qeps)) AS cos
+          FROM q CROSS JOIN v WHERE v.vec_id <> q.qid),
+        r AS (SELECT qid, vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY cos DESC, vec_id ASC) AS rnk
+              FROM pairs)
+        SELECT qid, rnk, vec_id FROM r WHERE rnk <= 3
+    """
+
+
 def _q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k on the provable-recall fixture: seeds = the 8
+    cluster bases, one Lloyd pass pins each centroid to its cluster
+    mean, every vector's nearest centroid is provably its own
+    cluster's, and each query's true top-3 lives in its probed list —
+    so the approximate result EQUALS the exact ranking the oracle
+    states (the IVF pruning itself is exercised: candidates per query
+    are ~1/8 of the table, pruned before the re-rank)."""
     from gdal_spark.operators.similarity import ann_ivf_topk, build_centroids
 
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    emb = _ann_fixture_df(spark)
+    queries = emb.filter(F.col("vec_id") < _ANN_CLUSTERS).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     cents = build_centroids(
-        emb.filter(F.col("vec_id") < 64).toPandas(), n_cells=8
+        emb.filter(F.col("vec_id") < _ANN_CLUSTERS)
+        .orderBy("vec_id")
+        .toPandas(),
+        n_cells=_ANN_CLUSTERS,
     )
-    return ann_ivf_topk(emb, queries, cents, k=3, n_probe=3)
+    return ann_ivf_topk(emb, queries, cents, k=3, n_probe=2)
 
 
 def _q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k on the provable-recall fixture: the eps perturbation
+    can never flip a hyperplane sign, so every cluster shares one
+    exact signature bucket containing its query's true top-3 — the
+    bucket equi-join prunes candidates yet the approximate ranking
+    EQUALS the exact oracle ranking."""
     from gdal_spark.operators.similarity import ann_lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    emb = _ann_fixture_df(spark)
+    queries = emb.filter(F.col("vec_id") < _ANN_CLUSTERS).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return ann_lsh_topk(emb, queries, dim=64, k=3, n_planes=8)
+    return ann_lsh_topk(emb, queries, dim=_ANN_DIM, k=3, n_planes=8)
 
 
 # ---------------------------------------------------------------------------
@@ -4051,6 +4137,8 @@ ENGINE_ORACLES: dict[str, str] = {
     "geo_st_predicates": _st_predicates_oracle_sql(),
     "q_sql_st_funcs": _sql_st_funcs_oracle_sql(),
     "geo_buffer_makevalid": _GEO_BUFFER_MAKEVALID_ORACLE,
+    "sim_ann_lsh": _ann_oracle_sql(),
+    "sim_ann_ivf": _ann_oracle_sql(),
     "sp_pip_full_fixture": PIP_ORACLE_SQL.format(
         values=_testdata_edges_values()
     ),
@@ -4222,7 +4310,7 @@ ENGINE_ORACLES: dict[str, str] = {
 # (rs_polygonize: connected-component labeling needs iteration; its
 # exact oracle is the flood-fill pytest in tests/test_tiling.py)
 NO_ORACLE = {
-    "dd_simhash", "sim_ann_lsh", "sim_ann_ivf", "rs_polygonize",
+    "dd_simhash", "rs_polygonize",
     "rs_sieve_checksum", "geo_hull_cells",
 }
 
