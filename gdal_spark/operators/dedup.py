@@ -218,10 +218,12 @@ def minhash_lsh_pairs(
     # The candidate set feeds THREE consumers (two semi-joins + the
     # pair restriction): persist so the banding computes once (the
     # shared InMemoryRelation is reused inside the single job). The
-    # cache is intentionally NOT unpersisted here — the returned plan
-    # still references it lazily, so there is no safe earlier release
-    # point; it ages out of the session's LRU store.
-    cand = cand.persist()
+    # returned plan still references the cache lazily, so there is no
+    # safe in-operator release point — it is TRACKED so long-lived
+    # sessions can release it via gdal_spark.cache.unpersist_all().
+    from .. import cache as _cache
+
+    cand = _cache.track(cand)
     return ngram_jaccard_pairs(
         df, id_col, text_col, n, threshold_num, threshold_den,
         candidates=cand,

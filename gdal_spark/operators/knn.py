@@ -64,9 +64,14 @@ def knn_join_df(
     if max_rings is None:
         max_rings = max(n_grid, 2)
 
-    pts = points.withColumn(
-        "cell_id", cells.cell_expr(F.col(lon_col), F.col(lat_col), res)
-    ).persist()
+    from .. import cache as _cache
+
+    pts = _cache.track(
+        points.withColumn(
+            "cell_id",
+            cells.cell_expr(F.col(lon_col), F.col(lat_col), res),
+        )
+    )
 
     n = 1 << res
     ix = F.least(
@@ -80,6 +85,7 @@ def knn_join_df(
     pending = queries.select(
         qid_col, qlon_col, qlat_col, ix.alias("__ix"), iy.alias("__iy")
     ).persist()
+    first_pending = pending
 
     done_parts: list[DataFrame] = []
     last_best: DataFrame | None = None
@@ -119,8 +125,11 @@ def knn_join_df(
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(qid_col, "rank", id_col, "__d2")
-            .persist()
         )
+        # best is persisted via the registry: the returned plan reads
+        # these caches (one per ring), so release happens at
+        # cache.unpersist_all(), not here
+        best = _cache.track(best)
         last_best = best
         guarantee = (ring * min_dim) ** 2
         stats = best.groupBy(qid_col).agg(
@@ -141,10 +150,18 @@ def knn_join_df(
         done_parts.append(
             best.join(F.broadcast(done_q), qid_col, "left_semi")
         )
+        prev_pending = pending
         pending = pending.join(
             F.broadcast(done_q), qid_col, "left_anti"
         ).persist()
-        if pending.limit(1).count() == 0:
+        empty = pending.limit(1).count() == 0
+        # the new pending is materialized; the previous ring's pending
+        # (except the tracked first one) has no remaining consumer
+        if prev_pending is not first_pending:
+            prev_pending.unpersist()
+        if empty:
+            pending.unpersist()
+            first_pending.unpersist()
             break
         ring *= 2
 

@@ -290,12 +290,16 @@ def erase_b_pieces(
     # the candidate set feeds TWO jobs (the touched-ids collect below
     # runs now; the groupBy subtraction runs when the caller acts):
     # persist so a nondeterministic A source cannot make the whole-B
-    # passthrough set inconsistent with the subtracted set. Stays
-    # cached until the session drops it — the returned plan still
-    # reads it, so there is no safe earlier unpersist point.
-    cands = a_df.select("geom_wkb").mapInPandas(
-        emit, "b_id long, a_ring binary"
-    ).persist()
+    # passthrough set inconsistent with the subtracted set. The
+    # returned plan still reads it, so there is no safe in-operator
+    # unpersist point — TRACKED for gdal_spark.cache.unpersist_all().
+    from .. import cache as _cache
+
+    cands = _cache.track(
+        a_df.select("geom_wkb").mapInPandas(
+            emit, "b_id long, a_ring binary"
+        )
+    )
     subject_by_bid = {
         bid: pieces for bid, pieces in zip(bset.ids, bset.simple)
     }

@@ -133,3 +133,18 @@ def test_partition_histogram_and_key_skew(spark):
         pass
     out = t.to_json(job="test")
     assert '"probe"' in out and '"job": "test"' in out
+
+
+def test_cache_registry_releases_tracked(spark):
+    """gdal_spark.cache: operators' long-lived persists are released
+    in one call; Spark recomputes from lineage afterwards."""
+    from gdal_spark import cache
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    tracked = cache.track(df)
+    assert tracked.count() == 100
+    assert tracked.storageLevel.useMemory
+    n = cache.unpersist_all()
+    assert n >= 1
+    assert not tracked.storageLevel.useMemory
+    assert tracked.count() == 100  # recompute from lineage still works
