@@ -390,10 +390,20 @@ def warp_affine(
     src_tile_size: int = 64,
     bilinear_scale: int = 64,
     transform=None,
+    cutline_wkb: bytes | None = None,
 ) -> DataFrame:
     """Warp src → dst grid, emitting (di, dj, val) dst pixels
     (val = nodata -1 outside src; bilinear values are
     round(bilinear_scale * v) for integer exactness).
+
+    ``cutline_wkb`` (optional) is a (multi)polygon in DST georef
+    coordinates: dst pixels whose CENTER falls outside it emit nodata
+    — the gdalwarp -cutline option (apps/gdalwarp_lib.cpp:246
+    LoadCutline / :249 TransformCutlineToSource; default
+    CUTLINE_ALL_TOUCHED=FALSE center semantics). The mask evaluates
+    per dst block inside the same gather task (the polygon ships in
+    the task closure; no extra stage or shuffle). Requires a
+    north-up dst geotransform.
 
     ``transform=None`` is the pure-affine path; otherwise a picklable
     ``transform(gx, gy) -> (X, Y)`` numpy callable reprojects DST
@@ -413,6 +423,13 @@ def warp_affine(
     analog, alg/gdalwarpoperation.cpp:930).
     """
     spark = src_tiles.sparkSession
+    cutline_parts = None
+    if cutline_wkb is not None:
+        if dst_gt[2] != 0.0 or dst_gt[4] != 0.0:
+            raise ValueError("cutline requires a north-up dst_gt")
+        from .. import wkb as _wkb
+
+        cutline_parts = _wkb.polygon_rings(bytes(cutline_wkb))
     igt = raster.inv_gt(src_gt)
     nbx = (dst_w + dst_block - 1) // dst_block
     nby = (dst_h + dst_block - 1) // dst_block
@@ -640,6 +657,20 @@ def warp_affine(
             out[bad] = raster.CUBIC_NODATA
         else:
             raise ValueError(f"unknown warp method {method!r}")
+        if cutline_parts is not None:
+            bx0 = dst_gt[0] + i0 * dst_gt[1]
+            by0 = dst_gt[3] + j0 * dst_gt[5]
+            inside = np.zeros((bh, bw), dtype=bool)
+            for part in cutline_parts:
+                inside |= raster.fill_polygon_mask(
+                    part, bw, bh, bx0, by0, dst_gt[1], dst_gt[5]
+                )
+            out[~inside] = (
+                raster.NODATA if method == "nearest"
+                else raster.CUBIC_NODATA if method in (
+                    "cubic", "cubicspline", "lanczos")
+                else raster.NODATA
+            )
         jj, ii = np.meshgrid(
             np.arange(bh, dtype=np.int64),
             np.arange(bw, dtype=np.int64),

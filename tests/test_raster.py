@@ -392,3 +392,45 @@ class TestCubicOverview:
                         )
                 ref[i, j] = min(max(np.floor(acc + 0.5), 0), 255)
         np.testing.assert_array_equal(got, ref)
+
+
+def test_warp_cutline_masks_outside(spark):
+    """gdalwarp -cutline composition: dst pixels whose center falls
+    outside the cutline polygon emit nodata; inside pixels are
+    identical to the uncut warp."""
+    from gdal_spark import wkb
+    from gdal_spark.operators.tiling import formula_tiles, warp_affine
+
+    ts = 64
+    src_gt = (0.0, 1.0, 0.0, 64.0, 0.0, -1.0)
+    dst_gt = (0.0, 1.0, 0.0, 64.0, 0.0, -1.0)  # identity warp
+    tiles = formula_tiles(spark, 1, 1, ts)
+    cut = wkb.polygon([np.array(
+        [[10.0, 54.0], [30.0, 54.0], [30.0, 34.0], [10.0, 34.0],
+         [10.0, 54.0]]
+    )])
+    plain = {
+        (r.di, r.dj): r.val
+        for r in warp_affine(
+            tiles, src_gt, ts, ts, dst_gt, ts, ts, method="nearest"
+        ).collect()
+    }
+    cutl = {
+        (r.di, r.dj): r.val
+        for r in warp_affine(
+            tiles, src_gt, ts, ts, dst_gt, ts, ts, method="nearest",
+            cutline_wkb=cut,
+        ).collect()
+    }
+    assert len(cutl) == ts * ts
+    n_in = 0
+    for (di, dj), v in cutl.items():
+        # pixel center geo coords under dst_gt
+        gx, gy = di + 0.5, 64.0 - (dj + 0.5)
+        inside = 10.0 < gx < 30.0 and 34.0 < gy < 54.0
+        if inside:
+            assert v == plain[(di, dj)]
+            n_in += 1
+        else:
+            assert v == raster.NODATA
+    assert n_in == 20 * 20
