@@ -46,6 +46,7 @@ HEADLINE = [
     "rs_warp_bilinear",
     "rs_warp_cubic",
     "rs_warp_utm",
+    "rs_warp_lcc",
     "rs_warp_aggregate",
     "rs_overview_resamplers",
     "rs_contour_lines",
@@ -64,13 +65,16 @@ HEADLINE = [
     "q3_shipping_topk",
     "q5_local_supplier",
     "q_ogr_sql",
+    "q_sql_st_funcs",
     "q_sessionize",
-    # vector aggregate union
+    # vector aggregate union + constructive ops via SQL
     "geo_dissolve",
+    "geo_buffer_makevalid",
     # GCP polynomial point probe (pure codegen)
     "sp_gcp_poly",
-    # container source round trip (WARC write + read, sf-sized)
+    # container source round trips (WARC sf-sized; GeoTIFF COG path)
     "src_warc",
+    "src_gtiff",
     # training-data pipeline ops
     "dd_exact_prefix",
     "dd_minhash_lsh",
@@ -81,6 +85,8 @@ HEADLINE = [
     "tx_repetition",
     "tx_web_clean",
     "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
 ]
 
 

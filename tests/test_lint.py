@@ -54,6 +54,8 @@ def test_iterrows_only_on_tile_cardinality():
                             # (pixels inside are vectorized numpy)
         "fillnodata.py",    # row = tile (quadrant-IDW fill per tile)
         "stats.py",         # row = tile (bincount partials per tile)
+        "gtiff.py",         # row = raster BLOCK (seek+decode per
+                            # block in the ranged COG scan)
     }
     offenders = []
     for p in _sources():
