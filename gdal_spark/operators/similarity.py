@@ -65,20 +65,26 @@ def cosine_topk(
 
 def hyperplane_signature(vec_col, dim: int, n_planes: int = 16):
     """Deterministic random-hyperplane LSH signature as a JVM
-    expression.  Plane p's weight for dimension d is a fixed arithmetic
-    hash mapped to ±1 — reproducible with no stored plane matrix."""
+    expression.  Plane p's weight for dimension d is the fixed
+    arithmetic hash w[p,d] = +1 if ((d+1)*2654435761 + p*40503) mod 97
+    < 48 else -1 — reproducible with no stored plane matrix. The
+    weights are evaluated HERE (plain Python ints) and embedded as
+    literal ±1 arrays, so each plane compiles to one zip_with multiply
+    + fold instead of a per-element hash expression — same values,
+    a fraction of the codegen-compile cost (the old per-element tree
+    dominated wall time on small inputs)."""
     bits = []
     for p in range(n_planes):
-        # w[p,d] = +1 if ((d+1)*2654435761 + p*40503) mod 97 < 48 else -1
+        w = [
+            1.0 if ((d + 1) * 2654435761 + p * 40503) % 97 < 48
+            else -1.0
+            for d in range(dim)
+        ]
         s = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.sequence(F.lit(1), F.lit(dim)),
-                lambda x, d: x.cast("double")
-                * F.when(
-                    ((d.cast("long") * 2654435761 + p * 40503) % 97) < 48,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
+                F.array(*[F.lit(v) for v in w]),
+                lambda x, wv: x.cast("double") * wv,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
