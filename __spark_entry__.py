@@ -1252,6 +1252,120 @@ def _web_clean_oracle_sql() -> str:
     FROM r2"""
 
 
+def _q_tx_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text front door (the CommonCrawl WET extraction contract;
+    reference analog: ogr2ogr's per-feature translate loop,
+    apps/ogr2ogr_lib.cpp:653, here bytes→fields over crawl markup).
+    Deterministic pages built from documents.text: head/title, a
+    style subtree, a pure-link <nav> (dropped at link density 0.5),
+    two <p> blocks splitting the words, an &amp; entity, and a
+    <script> subtree containing fake markup. The oracle states the
+    expected extraction in closed form from the same source columns,
+    so the parser must skip script/style/head, decode entities, break
+    at block tags, collapse whitespace, and apply the link-density
+    boilerplate filter exactly to hash-match."""
+    from gdal_spark.operators.html import extract_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = F.split("text", " ")
+    k = (F.size(ts) / 2).cast("int")
+    p1 = F.array_join(F.slice(ts, F.lit(1), k), " ")
+    p2 = F.array_join(F.slice(ts, k + 1, F.size(ts) - k), " ")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><style>p{color:red}</style></head><body>"
+            '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+            "<p>A &amp; B: "
+        ),
+        p1,
+        F.lit("</p><p>"),
+        p2,
+        F.lit('</p><script>var x = "<p>junk</p>";</script></body></html>'),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return extract_text(pages, max_link_density=0.5)
+
+
+_TX_HTML_EXTRACT_ORACLE = """
+    WITH b AS (SELECT doc_id, string_split(text, ' ') AS ts
+               FROM documents),
+    s AS (SELECT doc_id, ts, CAST(len(ts) // 2 AS INT) AS k FROM b),
+    p AS (SELECT doc_id,
+                 trim(regexp_replace(array_to_string(ts[1:k], ' '),
+                                     ' +', ' ', 'g')) AS p1,
+                 trim(regexp_replace(array_to_string(ts[k+1:len(ts)], ' '),
+                                     ' +', ' ', 'g')) AS p2
+          FROM s)
+    SELECT doc_id,
+           'A & B: ' || p1 || chr(10) || p2 AS text,
+           'Doc ' || doc_id AS title,
+           CAST(2 AS INTEGER) AS n_blocks,
+           CAST(1 AS INTEGER) AS n_dropped_blocks
+    FROM p"""
+
+
+def _q_dd_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line-level dedup (Wenzek et al. 2020 §3.1): documents
+    re-lined into 5-word lines plus an injected case-varying
+    copyright footer; every line whose trim+lowercase form occurs in
+    >= 2 distinct documents is boilerplate and removed from ALL of
+    them. The tiny shared vocabulary makes natural cross-document
+    line collisions common, so the dropped set is data-dependent —
+    the oracle recomputes the full frequency/filter/ordered-
+    reassembly pipeline in SQL rather than stating the answer."""
+    from gdal_spark.operators.html import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = F.split("text", " ")
+    nl = F.ceil(F.size(ts) / F.lit(5)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), nl),
+        lambda p: F.array_join(F.slice(ts, (p - 1) * 5 + 1, F.lit(5)), " "),
+    )
+    footer = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("Copyright 2026 ExampleCorp")
+    ).otherwise(F.lit("copyright 2026 examplecorp"))
+    body = F.concat(footer, F.lit("\n"), F.array_join(chunks, "\n"))
+    pages = docs.select("doc_id", body.alias("text"))
+    return line_dedup(pages, min_docs=2)
+
+
+_DD_LINE_DEDUP_ORACLE = """
+    WITH b AS (SELECT doc_id, string_split(text, ' ') AS ts
+               FROM documents),
+    pg AS (SELECT doc_id, ts,
+                  unnest(range(1, CAST(ceil(len(ts) / 5.0) AS BIGINT) + 1))
+                    AS p
+           FROM b),
+    lines AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+             CASE WHEN doc_id % 2 = 0 THEN 'Copyright 2026 ExampleCorp'
+                  ELSE 'copyright 2026 examplecorp' END AS line
+      FROM b
+      UNION ALL
+      SELECT doc_id, p AS pos,
+             array_to_string(ts[(p - 1) * 5 + 1 : least(p * 5, len(ts))],
+                             ' ') AS line
+      FROM pg),
+    freq AS (SELECT trim(lower(line)) AS nl, COUNT(DISTINCT doc_id) AS d
+             FROM lines GROUP BY 1),
+    common AS (SELECT nl FROM freq WHERE d >= 2),
+    tagged AS (SELECT l.doc_id, l.pos, l.line,
+                      (c.nl IS NOT NULL) AS is_common
+               FROM lines l
+               LEFT JOIN common c ON trim(lower(l.line)) = c.nl)
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT is_common THEN line END,
+                               chr(10) ORDER BY pos), '') AS text,
+           CAST(COALESCE(SUM(CASE WHEN NOT is_common THEN 1 END), 0)
+                AS BIGINT) AS n_lines_kept,
+           CAST(COALESCE(SUM(CASE WHEN is_common THEN 1 END), 0)
+                AS BIGINT) AS n_lines_dropped
+    FROM tagged GROUP BY doc_id"""
+
+
 def _q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.operators.similarity import cosine_topk
 
@@ -4100,6 +4214,8 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_token_count": _q_tx_tokens,
     "tx_repetition": _q_tx_repetition,
     "tx_web_clean": _q_tx_web_clean,
+    "tx_html_extract": _q_tx_html_extract,
+    "dd_line_dedup": _q_dd_line_dedup,
     "tx_fingerprint": _q_tx_fingerprint,
     "src_warc": _q_src_warc,
     "src_gtiff": _q_src_gtiff,
@@ -4124,6 +4240,8 @@ ENGINE_ORACLES: dict[str, str] = {
     "rs_viewshed": _viewshed_oracle_sql(),
     "tx_repetition": _REPETITION_ORACLE,
     "tx_web_clean": _web_clean_oracle_sql(),
+    "tx_html_extract": _TX_HTML_EXTRACT_ORACLE,
+    "dd_line_dedup": _DD_LINE_DEDUP_ORACLE,
     "dd_dup_clusters": _DUP_CLUSTERS_ORACLE,
     "rs_warp_utm": _warp_utm_oracle_sql(),
     "rs_warp_lcc": _warp_lcc_oracle_sql(),
@@ -4405,6 +4523,18 @@ RETIRED_GATES: dict[str, str] = {
                       "rolling-hash / gram-key machinery, driver-"
                       "verified); fingerprint exactness stays pinned in "
                       "tests/test_text.py; green in r01+r02",
+    # --- retired mid-r04 (each green in CORRECTNESS_r03) to admit the
+    #     HTML front-door gates (tx_html_extract, dd_line_dedup) ---
+    "geo_area_centroid": "geo_area_geodesic (planar + ellipsoidal "
+                         "area/perimeter over the same ring kernels) + "
+                         "geo_dissolve (value-exact union areas); "
+                         "centroid exactness stays pinned in "
+                         "tests/test_geometry.py; green r01-r03",
+    "q_semi_anti_join": "left_semi/left_anti are Spark built-ins; "
+                        "q5_local_supplier + q_ogr_sql_join pin the join "
+                        "trees through the parser, and geo_layer_algebra "
+                        "pins Clip/Erase row semantics (the OGR analog); "
+                        "green r01-r03",
 }
 
 

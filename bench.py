@@ -84,6 +84,8 @@ HEADLINE = [
     "tx_token_count",
     "tx_repetition",
     "tx_web_clean",
+    "tx_html_extract",
+    "dd_line_dedup",
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",
