@@ -3547,6 +3547,84 @@ def _utm_inverse_oracle_sql() -> str:
 # ---------------------------------------------------------------------------
 
 
+def _q_sp_datum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ED50 → WGS84 datum shift (different ellipsoids: International
+    1924 → WGS84) over synthetic European points: geodetic → ECEF →
+    geocentric translation (EPSG:1133) → Bowring recovery, vectorized
+    in mapInPandas (ogr/ogrct.cpp:2254 +towgs84 path). µ-degree
+    quantization absorbs libm ulp spread; the oracle evaluates the
+    identical arithmetic tree term-for-term in DuckDB."""
+    from gdal_spark.datum import (
+        ED50_TO_WGS84, INTL1924, WGS84, DatumShiftTransform,
+    )
+
+    src = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (-5.0 + ((F.col("doc_id") * 2654435761) % 2000001) * 1e-5)
+        .alias("lon"),
+        (35.0 + ((F.col("doc_id") * 2246822519) % 2000001) * 1e-5)
+        .alias("lat"),
+    )
+    tr = DatumShiftTransform(INTL1924, ED50_TO_WGS84, WGS84)
+
+    def run(batches):
+        for b in batches:
+            lon, lat = tr(
+                b["lon"].to_numpy(dtype=np.float64),
+                b["lat"].to_numpy(dtype=np.float64),
+            )
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "lon_q6": np.floor(lon * 1e6 + 0.5).astype(np.int64),
+                "lat_q6": np.floor(lat * 1e6 + 0.5).astype(np.int64),
+            })
+
+    return src.mapInPandas(run, "doc_id long, lon_q6 long, lat_q6 long")
+
+
+def _datum_shift_oracle_sql() -> str:
+    """The full geodetic→ECEF→translate→Bowring chain in SQL, with
+    constants repr'd from the kernel's floats and every product in
+    the kernel's association order."""
+    from gdal_spark.datum import INTL1924, WGS84
+
+    ai, e2i = repr(INTL1924.a), repr(INTL1924.e2)
+    aw, bw = repr(WGS84.a), repr(WGS84.b)
+    e2w, ep2w = repr(WGS84.e2), repr(WGS84.ep2)
+    return f"""
+        WITH src AS (
+          SELECT doc_id,
+                 -5.0 + ((doc_id * 2654435761) % 2000001) * 1e-5 AS lon,
+                 35.0 + ((doc_id * 2246822519) % 2000001) * 1e-5 AS lat
+          FROM documents),
+        g AS (SELECT doc_id, RADIANS(lon) AS lam, RADIANS(lat) AS phi
+              FROM src),
+        sc AS (SELECT doc_id, lam, SIN(phi) AS s, COS(phi) AS c FROM g),
+        nu AS (SELECT doc_id, lam, s, c,
+                      {ai} / SQRT(1e0 - {e2i} * s * s) AS nv
+               FROM sc),
+        ecef AS (SELECT doc_id,
+                        nv * c * COS(lam) - 87.0 AS x,
+                        nv * c * SIN(lam) - 98.0 AS y,
+                        nv * (1e0 - {e2i}) * s - 121.0 AS z
+                 FROM nu),
+        pp AS (SELECT doc_id, x, y, z, SQRT(x * x + y * y) AS p
+               FROM ecef),
+        th AS (SELECT doc_id, x, y, z, p,
+                      SIN(ATAN2(z * {aw}, p * {bw})) AS st,
+                      COS(ATAN2(z * {aw}, p * {bw})) AS ct
+               FROM pp),
+        geo AS (SELECT doc_id,
+                       ATAN2(y, x) AS lon2,
+                       ATAN2(z + {ep2w} * {bw} * st * st * st,
+                             p - {e2w} * {aw} * ct * ct * ct) AS lat2
+                FROM th)
+        SELECT doc_id,
+               CAST(FLOOR(DEGREES(lon2) * 1e6 + 0.5) AS BIGINT) AS lon_q6,
+               CAST(FLOOR(DEGREES(lat2) * 1e6 + 0.5) AS BIGINT) AS lat_q6
+        FROM geo"""
+
+
 def _q_geo_area_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ellipsoid-true ST_Area/ST_Length(use_ellipsoid) analog
     (ogr/ogrsqlitesqlfunctions.cpp:630,675): per polygon the authalic
@@ -4223,6 +4301,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_dissolve": _q_geo_dissolve,
     "dd_contamination": _q_dd_contamination,
     "sp_gcp_poly": _q_sp_gcp_poly,
+    "sp_datum_shift": _q_sp_datum_shift,
     "sim_cosine_topk": _q_sim_cosine,
     "sim_ann_lsh": _q_sim_ann,
     "sim_ann_ivf": _q_sim_ivf,
@@ -4235,6 +4314,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "geo_dissolve": _GEO_DISSOLVE_ORACLE,
     "dd_contamination": _DD_CONTAMINATION_ORACLE,
     "sp_gcp_poly": _gcp_poly_oracle_sql(),
+    "sp_datum_shift": _datum_shift_oracle_sql(),
     "rs_band_stats": _band_stats_oracle_sql(),
     "rs_dem_focal": _dem_focal_oracle_sql(),
     "rs_viewshed": _viewshed_oracle_sql(),
@@ -4535,6 +4615,11 @@ RETIRED_GATES: dict[str, str] = {
                         "trees through the parser, and geo_layer_algebra "
                         "pins Clip/Erase row semantics (the OGR analog); "
                         "green r01-r03",
+    "q5_local_supplier": "plain Spark SQL through SHARED_SQL (no engine "
+                         "code on the path); its multi-join+agg+filter "
+                         "shape stays pinned by q1_pricing_summary + "
+                         "q_ogr_sql_join (join through the parser); "
+                         "green r01-r03; admits sp_datum_shift",
 }
 
 

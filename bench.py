@@ -72,6 +72,8 @@ HEADLINE = [
     "geo_buffer_makevalid",
     # GCP polynomial point probe (pure codegen)
     "sp_gcp_poly",
+    # ED50->WGS84 datum shift (ECEF + Helmert + Bowring in mapInPandas)
+    "sp_datum_shift",
     # container source round trips (WARC sf-sized; GeoTIFF COG path)
     "src_warc",
     "src_gtiff",
