@@ -2277,6 +2277,85 @@ def _contour_polygons_oracle_sql() -> str:
         GROUP BY level"""
 
 
+_PIXFN_EXPR = (
+    "if(A > B, sqrt(A * B), (A - B) / (A + B + 1))"
+    " + clip(log10(A + 1), 0, 2)"
+)
+_PIXFN_TS, _PIXFN_N = 32, 2  # 64x64 derived raster
+
+
+def _q_rs_vrt_pixfn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VRT derived band through the muparser-style expression surface
+    (frmts/vrt/pixelfunctions.cpp:2757 ExprPixelFunc; builtin registry
+    :3852; vrtderivedrasterband.cpp source assembly): band A = the
+    formula fixture, band B = its 255-complement, an expression
+    exercising arithmetic, comparison, if/clip and log10. ONE tile-key
+    shuffle (pixfn.derived_tiles); µ-quantized pixels; the oracle is
+    the SAME parse tree rendered to SQL by pixfn.to_sql, so Spark and
+    DuckDB evaluate one expression source."""
+    from gdal_spark import pixfn
+    from gdal_spark.operators.tiling import formula_tiles
+
+    ts, n = _PIXFN_TS, _PIXFN_N
+    a = formula_tiles(spark, n, n, ts)
+
+    def inv(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["data"] = pdf["data"].map(
+                lambda by: bytes(255 - np.frombuffer(by, np.uint8))
+            )
+            yield pdf
+
+    b = formula_tiles(spark, n, n, ts).mapInPandas(inv, a.schema)
+    tiles = pixfn.derived_tiles({"A": a, "B": b}, _PIXFN_EXPR)
+
+    def explode(batches):
+        for pdf in batches:
+            outs = []
+            for _, r in pdf.iterrows():
+                w, h = int(r["w"]), int(r["h"])
+                v = np.frombuffer(r["data"], np.float64).reshape(h, w)
+                gx = (
+                    int(r["tx"]) * ts
+                    + np.tile(np.arange(w, dtype=np.int64), h)
+                )
+                gy = (
+                    int(r["ty"]) * ts
+                    + np.repeat(np.arange(h, dtype=np.int64), w)
+                )
+                outs.append(pd.DataFrame({
+                    "gx": gx,
+                    "gy": gy,
+                    "val_q6": np.floor(
+                        v.ravel() * 1e6 + 0.5
+                    ).astype(np.int64),
+                }))
+            yield pd.concat(outs, ignore_index=True)
+
+    return tiles.mapInPandas(explode, "gx long, gy long, val_q6 long")
+
+
+def _vrt_pixfn_oracle_sql() -> str:
+    from gdal_spark import pixfn
+
+    expr = pixfn.to_sql(_PIXFN_EXPR, {"A": "a", "B": "b"})
+    side = _PIXFN_TS * _PIXFN_N - 1
+    return f"""
+        WITH px AS (
+          SELECT s.gx, t.gy
+          FROM generate_series(0, {side}) s(gx),
+               generate_series(0, {side}) t(gy)),
+        bands AS (
+          SELECT gx, gy,
+                 CAST((gx * 7 + gy * 13) % 251 AS DOUBLE) AS a,
+                 CAST(255 - (gx * 7 + gy * 13) % 251 AS DOUBLE) AS b
+          FROM px)
+        SELECT gx, gy,
+               CAST(FLOOR(({expr}) * 1e6 + 0.5) AS BIGINT) AS val_q6
+        FROM bands"""
+
+
 def _q_rs_point_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster value enrichment of the doc point table, nearest-pixel
     (GDALInterpolateAtPoint analog)."""
@@ -4264,6 +4343,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_contour_lines": _q_rs_contour_lines,
     "rs_contour_polygons": _q_rs_contour_polygons,
     "rs_point_probe": _q_rs_point_probe,
+    "rs_vrt_pixfn": _q_rs_vrt_pixfn,
     "rs_polygonize": _q_rs_polygonize,
     "rs_sieve_checksum": _q_rs_sieve,
     "rs_proximity": _q_rs_proximity,
@@ -4315,6 +4395,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "dd_contamination": _DD_CONTAMINATION_ORACLE,
     "sp_gcp_poly": _gcp_poly_oracle_sql(),
     "sp_datum_shift": _datum_shift_oracle_sql(),
+    "rs_vrt_pixfn": _vrt_pixfn_oracle_sql(),
     "rs_band_stats": _band_stats_oracle_sql(),
     "rs_dem_focal": _dem_focal_oracle_sql(),
     "rs_viewshed": _viewshed_oracle_sql(),
@@ -4620,6 +4701,12 @@ RETIRED_GATES: dict[str, str] = {
                          "shape stays pinned by q1_pricing_summary + "
                          "q_ogr_sql_join (join through the parser); "
                          "green r01-r03; admits sp_datum_shift",
+    "rs_point_probe": "rs_warp_utm + rs_warp_lcc run the same tile-"
+                      "cover equi-join + gather at per-point dst "
+                      "coordinates (a warp IS a dense point probe "
+                      "grid); the bilinear probe kernel stays exactly "
+                      "pinned in tests/test_tiling.py; green r01-r03; "
+                      "admits rs_vrt_pixfn",
 }
 
 

@@ -57,6 +57,7 @@ HEADLINE = [
     "rs_fill_all_touched",
     "rs_rasterize_add",
     "rs_band_stats",
+    "rs_vrt_pixfn",
     "rs_dem_focal",
     "rs_viewshed",
     "sp_utm_inverse",

@@ -56,6 +56,7 @@ def test_iterrows_only_on_tile_cardinality():
         "stats.py",         # row = tile (bincount partials per tile)
         "gtiff.py",         # row = raster BLOCK (seek+decode per
                             # block in the ranged COG scan)
+        "pixfn.py",         # row = tile (band assembly per tile key)
     }
     offenders = []
     for p in _sources():
