@@ -48,6 +48,7 @@ decoding task.
 from __future__ import annotations
 
 import glob as _glob
+import hashlib
 import os
 import struct
 import zlib
@@ -756,4 +757,109 @@ def to_engine_tiles(df: DataFrame, z: int = 0) -> DataFrame:
         F.lit(int(z)).alias("z"),
         F.col("tx"), F.col("ty"),
         F.col("w"), F.col("h"), F.col("data"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed sink: tile DataFrame → GeoTIFF granule files
+# ---------------------------------------------------------------------------
+
+GTIFF_MANIFEST_SCHEMA = (
+    "path string, key long, w int, h int, n_blocks int, "
+    "n_bytes long, md5 string"
+)
+
+
+def write_gtiff_dir(
+    tiles: DataFrame,
+    out_dir: str,
+    *,
+    group_col: str | None = None,
+    compression: str = "deflate",
+    predictor: bool = False,
+    geotransform: tuple | None = None,
+    epsg: int | None = None,
+    bigtiff: bool = False,
+) -> DataFrame:
+    """Granule-parallel GeoTIFF sink: assemble the engine's uint8
+    tiles (TILE_SCHEMA: z, tx, ty, w, h, data) into one tiled
+    DEFLATE GeoTIFF per ``group_col`` value (default: one file per
+    ``z``), written from inside the task; returns the manifest
+    DataFrame (path, key, w, h, n_blocks, n_bytes, md5).
+
+    The write unit is a GRANULE (one group = one file = one task):
+    a 100 TB mosaic lands as many granule files written in parallel —
+    the COG-granule practice — because a TIFF's block offsets must be
+    known before its header can be written, so a single file cannot
+    stream from multiple tasks (the reference serializes block writes
+    into one file for the same reason: gcore/gdaldataset.cpp
+    RasterIO → GTiffDataset::WriteEncodedTile). Per-task memory is
+    one granule. Each file's geotransform is ``geotransform``
+    translated to the granule's min (tx, ty) tile origin.
+
+    Deterministic bytes per granule content (zlib level fixed, tiles
+    sorted); existing files are replaced atomically (tmp + rename) so
+    reruns converge. DEPLOYMENT: like write_warc_dir, ``out_dir``
+    must be a shared filesystem (or local mode) — tasks open plain
+    ``open()`` paths.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    key = F.col(group_col) if group_col else F.col("z")
+    src = tiles.select(
+        key.cast("long").alias("__key"), "tx", "ty", "w", "h", "data"
+    )
+    gt = tuple(float(v) for v in geotransform) if geotransform else None
+
+    def sink(kt, pdf: pd.DataFrame) -> pd.DataFrame:
+        k = int(kt[0])
+        ts_w = int(pdf["w"].max())
+        ts_h = int(pdf["h"].max())
+        tx0, ty0 = int(pdf["tx"].min()), int(pdf["ty"].min())
+        ntx = int(pdf["tx"].max()) - tx0 + 1
+        nty = int(pdf["ty"].max()) - ty0 + 1
+        mosaic = np.zeros((nty * ts_h, ntx * ts_w), dtype=np.uint8)
+        wmax = hmax = 0
+        for r in pdf.sort_values(["ty", "tx"]).itertuples(index=False):
+            a = np.frombuffer(r.data, np.uint8).reshape(r.h, r.w)
+            ys, xs = (r.ty - ty0) * ts_h, (r.tx - tx0) * ts_w
+            mosaic[ys:ys + r.h, xs:xs + r.w] = a
+            hmax = max(hmax, ys + r.h)
+            wmax = max(wmax, xs + r.w)
+        mosaic = mosaic[:hmax, :wmax]
+        file_gt = None
+        if gt is not None:
+            file_gt = (
+                gt[0] + tx0 * ts_w * gt[1] + ty0 * ts_h * gt[2],
+                gt[1], gt[2],
+                gt[3] + tx0 * ts_w * gt[4] + ty0 * ts_h * gt[5],
+                gt[4], gt[5],
+            )
+        use_tile = (ts_w % 16 == 0) and (ts_h % 16 == 0)
+        data = tiff_encode(
+            mosaic,
+            tile=(ts_w, ts_h) if use_tile else None,
+            compression=compression,
+            predictor=predictor,
+            geotransform=file_gt,
+            epsg=epsg,
+            bigtiff=bigtiff,
+        )
+        path = os.path.join(out_dir, f"granule-{k:06d}.tif")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        n_blocks = len(pdf)
+        return pd.DataFrame(
+            [(
+                path, k, wmax, hmax, n_blocks, len(data),
+                hashlib.md5(data).hexdigest(),
+            )],
+            columns=[
+                "path", "key", "w", "h", "n_blocks", "n_bytes", "md5",
+            ],
+        )
+
+    return src.groupBy("__key").applyInPandas(
+        sink, GTIFF_MANIFEST_SCHEMA
     )

@@ -180,3 +180,69 @@ def test_to_engine_tiles_composes(spark, tmp_path):
     for (tx, ty), v in cks.items():
         blk = a[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
         assert v == raster.tile_checksum(blk)
+
+
+# ---------------------------------------------------------------------------
+# distributed sink: write_gtiff_dir
+# ---------------------------------------------------------------------------
+
+
+def test_write_gtiff_dir_round_trip(spark, tmp_path):
+    from gdal_spark.operators.tiling import formula_tiles
+    from gdal_spark.raster import formula_block
+
+    gt = (1000.0, 10.0, 0.0, 2000.0, 0.0, -10.0)
+    tiles = formula_tiles(spark, 4, 4, 64)
+    man = gtiff.write_gtiff_dir(
+        tiles, str(tmp_path), geotransform=gt, epsg=32632
+    ).collect()
+    assert len(man) == 1 and man[0]["n_blocks"] == 16
+    assert man[0]["w"] == 256 and man[0]["h"] == 256
+    # read back through the file-parallel source
+    back = gtiff.read_gtiff(spark, man[0]["path"]).collect()
+    got = np.zeros((256, 256), dtype=np.uint8)
+    for r in back:
+        a = np.frombuffer(r["data"], np.uint8).reshape(r["h"], r["w"])
+        got[r["y0"]:r["y0"] + r["h"], r["x0"]:r["x0"] + r["w"]] = a
+    assert np.array_equal(got, formula_block(0, 0, 256, 256))
+    meta = gtiff.tiff_meta(open(man[0]["path"], "rb").read())
+    assert tuple(meta["gt"]) == gt
+    assert meta["epsg"] == 32632
+
+
+def test_write_gtiff_dir_grouped_and_deterministic(spark, tmp_path):
+    from gdal_spark.operators.tiling import formula_tiles
+    from pyspark.sql import functions as F
+
+    tiles = formula_tiles(spark, 4, 2, 32).withColumn(
+        "grp", F.col("ty")
+    )
+    m1 = {r["key"]: r for r in gtiff.write_gtiff_dir(
+        tiles, str(tmp_path / "a"), group_col="grp",
+        geotransform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+    ).collect()}
+    assert sorted(m1) == [0, 1]
+    # row-1 granule origin is translated to its tile origin
+    meta1 = gtiff.tiff_meta(open(m1[1]["path"], "rb").read())
+    assert meta1["gt"][3] == -32.0
+    # rerun converges to identical bytes (deterministic sink)
+    m2 = {r["key"]: r for r in gtiff.write_gtiff_dir(
+        tiles, str(tmp_path / "b"), group_col="grp",
+        geotransform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+    ).collect()}
+    for k in (0, 1):
+        assert m1[k]["md5"] == m2[k]["md5"]
+
+
+def test_write_gtiff_dir_non_multiple16_uses_strips(spark, tmp_path):
+    import pandas as pd
+
+    a = _rand((40, 40), "u1", seed=3)
+    pdf = pd.DataFrame(
+        [(0, 0, 0, 40, 40, a.tobytes())],
+        columns=["z", "tx", "ty", "w", "h", "data"],
+    )
+    tiles = spark.createDataFrame(pdf)
+    man = gtiff.write_gtiff_dir(tiles, str(tmp_path)).collect()
+    arr = gtiff.tiff_decode(open(man[0]["path"], "rb").read())
+    assert np.array_equal(arr.reshape(40, 40), a)
