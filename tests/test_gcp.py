@@ -107,7 +107,13 @@ class TestWarpParity:
         from gdal_spark.operators.tiling import formula_tiles, warp_affine
 
         src_gt = (100.0, 0.5, 0.0, 80.0, 0.0, -0.5)
-        dst_gt = (100.0, 1.0, 0.0, 80.0, 0.0, -1.0)
+        # dst origin offset a quarter dst-pixel from src so every dst
+        # CENTER maps to a HALF-integer src coord: with aligned origins
+        # the centers land exactly on src pixel corners, and the fitted
+        # identity's ~1e-15 coefficient noise flips floor(3.0-eps) to 2
+        # (GDAL's GWKNearest has the same boundary sensitivity — parity
+        # at exact pixel-corner hits is not a defined contract).
+        dst_gt = (100.25, 1.0, 0.0, 79.75, 0.0, -1.0)
         tiles = formula_tiles(spark, 4, 3, 16)  # 64 x 48
 
         # dst georef -> src georef is identity here; fit it from GCPs
