@@ -3,11 +3,16 @@
 Mirrors the engine's raster posture (SURVEY.md §1.2: pixels at rest are
 ``BinaryType`` + dtype tag): media travel as ``binary`` columns with a
 typed metadata struct; decode / feature-extract / resize / frame-sample
-are Arrow-batched ``mapInPandas`` stages. Real codecs (Pillow, libav)
-are NOT in this container, so decode is gated: a deterministic
-raw-gray container format ("FAKEIMG"/"FAKEVID") exercises the full
-distributed plumbing — schema, batch shape, 1→N frame explode — and
-real formats raise ``NotImplementedError`` at the clearly marked stub.
+are Arrow-batched ``mapInPandas`` stages.
+
+Image decode dispatches by magic number to REAL from-spec codecs where
+the engine has them — PNG (``gdal_spark.png``, RFC 2083) and baseline
+JPEG (``gdal_spark.jpeg``, ITU-T T.81) — plus the deterministic
+raw-gray FAKEIMG container used by fixtures. Other image formats
+(WebP, AVIF, ...) and all video codecs would need Pillow / libav,
+which are NOT in this container, and raise ``NotImplementedError`` at
+the clearly marked stub; FAKEVID exercises the full distributed video
+plumbing (schema, batch shape, 1→N frame explode).
 
 Container formats (deterministic, self-describing):
     FAKEIMG ``b"FIMG" + uint16 w + uint16 h + w*h uint8 gray pixels``
@@ -38,17 +43,43 @@ def encode_fake_image(arr: np.ndarray) -> bytes:
 
 
 def decode_image_bytes(buf: bytes) -> np.ndarray:
-    """Decode one image payload → 2-D uint8 array.
+    """Decode one image payload → 2-D uint8 array (color inputs are
+    reduced to BT.601 luma so every downstream stage sees one plane).
 
-    STUB BOUNDARY: only the FAKEIMG container decodes here. Real
-    formats would dispatch to Pillow — absent in this environment."""
+    Dispatch by magic: FAKEIMG (fixtures), PNG (from-spec
+    ``gdal_spark.png``), baseline JPEG (from-spec ``gdal_spark.jpeg``).
+
+    STUB BOUNDARY: other formats (WebP/AVIF/TIFF-in-image-pipe) would
+    dispatch to Pillow — absent in this environment."""
     if buf[:4] == IMG_MAGIC:
         w, h = struct.unpack("<HH", buf[4:8])
         return np.frombuffer(buf[8 : 8 + w * h], dtype=np.uint8).reshape(h, w)
-    raise NotImplementedError(
-        "real image codecs (PNG/JPEG via Pillow) are stubbed out in this "
-        "environment; only the FAKEIMG container is decodable"
-    )
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        from .. import png as _png
+
+        arr = _png.png_decode(bytes(buf))
+    elif buf[:2] == b"\xff\xd8":
+        from .. import jpeg as _jpeg
+
+        arr = _jpeg.jpeg_decode(bytes(buf))
+    else:
+        raise NotImplementedError(
+            "image codecs beyond FAKEIMG/PNG/JPEG (e.g. WebP via Pillow) "
+            "are stubbed out in this environment"
+        )
+    if arr.ndim == 3:  # RGB(A) → luma plane
+        rgb = arr[..., :3].astype(np.float64)
+        arr = np.clip(
+            np.floor(
+                0.299 * rgb[..., 0]
+                + 0.587 * rgb[..., 1]
+                + 0.114 * rgb[..., 2]
+                + 0.5
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+    return arr
 
 
 def encode_fake_video(frames: np.ndarray) -> bytes:

@@ -50,6 +50,7 @@ def test_iterrows_only_on_tile_cardinality():
                             # knn_join_df has no row loop)
         "dem.py",           # row = tile (focal kernels)
         "png.py",           # row = tile (encode+write per tile)
+        "jpeg.py",          # row = tile (encode+write per tile)
         "grid.py",          # row = TRIANGLE in the bucket fill loop
                             # (pixels inside are vectorized numpy)
         "fillnodata.py",    # row = tile (quadrant-IDW fill per tile)

@@ -19,8 +19,10 @@ def test_fake_video_roundtrip():
 
 
 def test_real_codec_is_stubbed():
+    # PNG/JPEG now decode for real (from-spec codecs); formats beyond
+    # them stay behind the documented stub
     with pytest.raises(NotImplementedError, match="stubbed"):
-        mm.decode_image_bytes(b"\x89PNG\r\n\x1a\n garbage")
+        mm.decode_image_bytes(b"RIFFxxxxWEBPgarbage")
 
 
 def test_image_features_distributed(spark):
