@@ -1,10 +1,17 @@
 """End-to-end north-rule pipeline job (spark-submit entry point).
 
 pages (Common-Crawl-style, synthesized distributed & deterministically)
+  → [--from-html] html → text via the byte-identity extraction kernel
   → extract geocoded features (mapInPandas, Arrow)
   → cell-cover broadcast spatial join + exact PIP
   → checkpointed bucket write with per-bucket lineage manifests
   → skew + stage metrics JSON on stdout (one line)
+
+``--from-html`` runs the full input_hint path: the scan reads
+(url, html) and the north-rule text column is PRODUCED by
+``extract.extract_text`` instead of read; ``--check-extract`` then
+proves the byte-identity invariant inside the same job (xxhash64 of
+extracted vs stored text per url, mismatches must be 0).
 
 Usage:
     python tools/run_pipeline.py --pages 200000 --cores 8 \
@@ -41,10 +48,16 @@ def main() -> int:
                     help="skip the checkpointed write (pure compute)")
     ap.add_argument("--skew-report", action="store_true",
                     help="emit per-key cell skew stats (extra pass)")
+    ap.add_argument("--from-html", action="store_true",
+                    help="scan (url, html) and extract text with the "
+                         "byte-identity kernel (full input_hint path)")
+    ap.add_argument("--check-extract", action="store_true",
+                    help="with --from-html: verify extracted text is "
+                         "byte-identical to the stored text per url")
     args = ap.parse_args()
 
     from gdal_spark import lineage, metrics, testdata
-    from gdal_spark.operators.extract import extract_features
+    from gdal_spark.operators.extract import extract_features, extract_text
     from gdal_spark.operators.spatial_join import spatial_join
     from gdal_spark.session import get_spark
 
@@ -53,12 +66,46 @@ def main() -> int:
     timer = metrics.StageTimer()
     t_all = time.perf_counter()
 
-    pages = testdata.pages_df(spark, args.pages, partitions=max(cores * 2, 8))
-    features = extract_features(pages)
+    result: dict = {}
+    parts = max(cores * 2, 8)
+    if args.from_html:
+        pages = testdata.pages_df(
+            spark, args.pages, partitions=parts, columns=["html"]
+        )
+        extracted = extract_text(pages).withColumnRenamed(
+            "text_extracted", "text"
+        )
+        if args.check_extract:
+            stored = testdata.pages_df(
+                spark, args.pages, partitions=parts, columns=["text"]
+            )
+            with timer("check_extract"):
+                mism = (
+                    extracted.select(
+                        "url", F.xxhash64("text").alias("h_ext")
+                    )
+                    .join(
+                        stored.select(
+                            "url", F.xxhash64("text").alias("h_store")
+                        ),
+                        "url",
+                    )
+                    .filter(F.col("h_ext") != F.col("h_store"))
+                    .count()
+                )
+            if mism:
+                print(
+                    f"BYTE-IDENTITY VIOLATION: {mism} urls", file=sys.stderr
+                )
+                return 1
+            result["extract_mismatches"] = 0
+        features = extract_features(extracted)
+    else:
+        pages = testdata.pages_df(spark, args.pages, partitions=parts)
+        features = extract_features(pages)
     polygons = testdata.polygons_pdf(100)
     joined = spatial_join(features, polygons, res_min=2, res_max=7)
 
-    result: dict = {}
     if args.no_write:
         with timer("join_count"):
             result["joined_rows"] = joined.count()
