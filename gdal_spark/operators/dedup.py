@@ -51,6 +51,42 @@ def _gram_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
+def ngram_hash_array(text_col, n: int = 3):
+    """Distinct word n-grams as 64-bit FINGERPRINTS, never
+    materializing a gram string: each word is xxhash64'd ONCE, then
+    every n-window combines the word hashes with a positional
+    polynomial (whole-stage codegen int64 math). A 13-gram that would
+    cost ~13x the text bytes as a string costs 8 bytes here — at
+    corpus scale the gram pass is CPU/memory-bound on exactly that
+    blowup. 64-bit collisions are ~n_grams²/2⁶⁵ (zero in practice)."""
+    wh = F.transform(word_array(text_col), lambda w: F.xxhash64(w))
+    # rotate-xor fold: position-sensitive, pure bitwise (ANSI-safe —
+    # no long multiply that could overflow-throw)
+    grams = F.when(
+        F.size(wh) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(wh) - (n - 1)),
+            lambda i: F.aggregate(
+                F.slice(wh, i, n),
+                F.lit(-3750763034362895579).cast("long"),  # seed
+                lambda acc, h: F.shiftleft(acc, 5)
+                .bitwiseOR(F.shiftrightunsigned(acc, 59))
+                .bitwiseXOR(h),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.array_distinct(grams)
+
+
+def _gram_hash_table(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(ngram_hash_array(F.col(text_col), n)).alias("gram"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -525,6 +561,7 @@ def contamination_pairs(
     bench_id_col: str = "bench_id",
     bench_text_col: str = "text",
     exclude_self: bool = False,
+    key: str = "hash",
 ) -> DataFrame:
     """Benchmark decontamination: flag (document, benchmark item)
     pairs sharing >= ``min_overlap`` DISTINCT word n-grams — the
@@ -547,15 +584,27 @@ def contamination_pairs(
     the BENCHMARK side is small by definition (eval sets are 10^3-10^5
     items, not 10^12), so its distinct-gram table broadcasts and the
     whole check is ONE broadcast hash join + one aggregation — the
-    corpus never shuffles its grams, and at ``key='hash'``-style scale
-    you'd hash the gram first (same reasoning as duplicated_spans;
-    kept as text here because the broadcast side bounds the join
-    build)."""
-    dg = _gram_table(docs, id_col, text_col, n)
-    bg = (
-        _gram_table(bench, bench_id_col, bench_text_col, n)
-        .withColumnRenamed("__id", "bench_id")
-    )
+    corpus never shuffles its grams. ``key='hash'`` (default) joins on
+    64-bit gram FINGERPRINTS (``ngram_hash_array``: each word hashed
+    once, windows combined by int64 polynomial in codegen) so no
+    13-word gram string is ever materialized — the corpus pass costs
+    8 bytes per gram instead of ~13x the text bytes;
+    ``key='text'`` keeps literal gram strings (collision-free by
+    construction, for audit runs)."""
+    if key == "hash":
+        dg = _gram_hash_table(docs, id_col, text_col, n)
+        bg = (
+            _gram_hash_table(bench, bench_id_col, bench_text_col, n)
+            .withColumnRenamed("__id", "bench_id")
+        )
+    elif key == "text":
+        dg = _gram_table(docs, id_col, text_col, n)
+        bg = (
+            _gram_table(bench, bench_id_col, bench_text_col, n)
+            .withColumnRenamed("__id", "bench_id")
+        )
+    else:
+        raise ValueError(f"key must be 'hash' or 'text', got {key!r}")
     joined = dg.join(F.broadcast(bg), "gram")
     if exclude_self:
         joined = joined.where(F.col("__id") != F.col("bench_id"))

@@ -1,5 +1,6 @@
 """ExactSubstr duplicated-span detection vs a brute-force oracle."""
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -186,3 +187,49 @@ def test_contamination_counts_distinct_grams(spark):
         ).count()
         == 0
     )
+
+
+def test_contamination_hash_equals_text_key(spark):
+    """key='hash' (8-byte gram fingerprints, no gram strings) must
+    produce the identical pair set and overlap counts as key='text'
+    (collision-free literal grams) on the same corpus."""
+    from gdal_spark.operators.dedup import contamination_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(30)),
+                "text": [
+                    " ".join(rng.choice(vocab, 25)) for _ in range(30)
+                ],
+            }
+        )
+    )
+    doc_texts = [r.text for r in docs.orderBy("doc_id").collect()]
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "bench_id": [0, 1],
+                # substrings of real docs guarantee shared grams
+                "text": [
+                    " ".join(doc_texts[0].split()[3:15]),
+                    " ".join(doc_texts[7].split()[0:12]),
+                ],
+            }
+        )
+    )
+    by_hash = {
+        (r.doc_id, r.bench_id): r.overlap
+        for r in contamination_pairs(
+            docs, bench, n=3, min_overlap=1, key="hash"
+        ).collect()
+    }
+    by_text = {
+        (r.doc_id, r.bench_id): r.overlap
+        for r in contamination_pairs(
+            docs, bench, n=3, min_overlap=1, key="text"
+        ).collect()
+    }
+    assert by_hash == by_text and by_hash
