@@ -575,6 +575,9 @@ _INDEX_SCHEMA = T.StructType(
         T.StructField("tile_h", T.IntegerType()),
         T.StructField("bands", T.IntegerType()),
         T.StructField("img_w", T.LongType()),
+        # per-file geotransform, denormalized per block so spatial
+        # window pruning is a plain JVM filter on this frame
+        T.StructField("gt", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -666,6 +669,7 @@ def gtiff_block_index(spark: SparkSession, paths: list[str]) -> DataFrame:
             for path_ in b["path"]:
                 with open(path_, "rb") as f:
                     m = tiff_meta(f)
+                gt = list(m["gt"]) if m["gt"] else None
                 for bi, tx, ty, x0, y0, cw, chh in block_windows(m):
                     rows.append(
                         (
@@ -673,7 +677,7 @@ def gtiff_block_index(spark: SparkSession, paths: list[str]) -> DataFrame:
                             m["offsets"][bi], m["bytecounts"][bi],
                             m["dtype"], m["endian"], m["compression"],
                             m["predictor"], m["tiled"], m["tile_w"],
-                            m["tile_h"], m["bands"], m["width"],
+                            m["tile_h"], m["bands"], m["width"], gt,
                         )
                     )
             yield pd.DataFrame(
@@ -769,14 +773,50 @@ def tile_index(
     return src.mapInPandas(run, TINDEX_SCHEMA)
 
 
+def _block_bbox_filter(idx: DataFrame, bbox: tuple) -> DataFrame:
+    """Keep only index rows whose block footprint intersects the
+    georef ``bbox = (minx, miny, maxx, maxy)`` — the gdal_translate
+    -projwin / GDALDataset::RasterIO window-pruning analog, as a plain
+    JVM filter over the (tiny) block-index frame: the four block
+    corners go through the per-row geotransform with least/greatest
+    expressions (rotated geotransforms handled), so at 100 TB the
+    decode stage never even enqueues a block outside the query window.
+    Files without a geotransform are kept (no basis to prune)."""
+    minx, miny, maxx, maxy = (float(v) for v in bbox)
+    g = [F.element_at(F.col("gt"), i + 1) for i in range(6)]
+    px0 = F.col("x0").cast("double")
+    py0 = F.col("y0").cast("double")
+    px1 = px0 + F.col("w").cast("double")
+    py1 = py0 + F.col("h").cast("double")
+    xs, ys = [], []
+    for px, py in ((px0, py0), (px1, py0), (px0, py1), (px1, py1)):
+        xs.append(g[0] + px * g[1] + py * g[2])
+        ys.append(g[3] + px * g[4] + py * g[5])
+    return idx.filter(
+        F.col("gt").isNull()
+        | (
+            (F.least(*xs) <= F.lit(maxx))
+            & (F.greatest(*xs) >= F.lit(minx))
+            & (F.least(*ys) <= F.lit(maxy))
+            & (F.greatest(*ys) >= F.lit(miny))
+        )
+    )
+
+
 def read_gtiff_ranged(
     spark: SparkSession,
     path_or_glob,
     partitions: int | None = None,
+    bbox: tuple | None = None,
 ) -> DataFrame:
     """The COG scan: header-only block index → repartition so decode
     parallelism is per-BLOCK (not per-file) → each task seek-reads
     exactly its own byte ranges. No pixel byte is ever shuffled.
+
+    ``bbox = (minx, miny, maxx, maxy)`` (optional, georef coords)
+    prunes the block index BEFORE the decode stage — only blocks whose
+    footprint intersects the window are read at all (see
+    :func:`_block_bbox_filter`).
 
     Accepts a glob string or an explicit path list. Requires paths
     every executor can ``open()`` (local mode / shared filesystem /
@@ -790,6 +830,8 @@ def read_gtiff_ranged(
     if not paths:
         raise FileNotFoundError(f"no files match {path_or_glob!r}")
     idx = gtiff_block_index(spark, paths)
+    if bbox is not None:
+        idx = _block_bbox_filter(idx, bbox)
     n = partitions or spark.sparkContext.defaultParallelism
     idx = idx.repartition(n, "path", "tx", "ty")
 

@@ -304,3 +304,37 @@ def test_tile_index_transform_densifies(spark, tmp_path):
     ring = _np.asarray(rings[0][0] if isinstance(rings[0], list) else rings[0])
     # densified: 4 edges x 33 points + closure
     assert len(ring) == 4 * 33 + 1
+
+
+def test_ranged_scan_bbox_prunes_blocks(spark, tmp_path):
+    """-projwin analog: only blocks intersecting the georef window are
+    decoded; the pruned scan's pixels equal the full scan's for those
+    blocks, and pruning happens on the index (no pixel read)."""
+    a = _rand((96, 128), "u2", seed=42)
+    p = str(tmp_path / "big.tif")
+    gt = (1000.0, 2.0, 0.0, 500.0, 0.0, -2.0)
+    with open(p, "wb") as f:
+        f.write(
+            gtiff.tiff_encode(
+                a, tile=(32, 32), compression="deflate",
+                geotransform=gt, epsg=32601,
+            )
+        )
+    # window covering only the top-left 32x32 block (+ a sliver of
+    # nothing else): georef x in [1000, 1063], y in [437, 500)
+    bbox = (1000.0, 500.0 - 63.0, 1000.0 + 63.0, 500.0)
+    full = gtiff.read_gtiff_ranged(spark, [p]).collect()
+    pruned = gtiff.read_gtiff_ranged(spark, [p], bbox=bbox).collect()
+    assert len(full) == (96 // 32) * (128 // 32)
+    assert len(pruned) == 1
+    r = pruned[0]
+    assert (r.tx, r.ty) == (0, 0)
+    want = next(q for q in full if (q.tx, q.ty) == (0, 0))
+    assert bytes(r.data) == bytes(want.data)
+    # a disjoint window selects nothing
+    assert (
+        gtiff.read_gtiff_ranged(
+            spark, [p], bbox=(0.0, 0.0, 10.0, 10.0)
+        ).count()
+        == 0
+    )
