@@ -82,6 +82,13 @@ explodes to the pixel buckets its bbox reaches (JVM sequence
 explode), ONE hash exchange on (bxi, byi), and a single
 FlatMapGroupsInPandas barycentric kernel that derives its pixels from
 the bucket key — the raster itself never shuffles, never ships.""",
+    "contamination_pairs": """Benchmark decontamination over hashed grams: the corpus side is
+pure whole-stage codegen — per-word xxhash64 + rotate-xor window
+fold + array_distinct + explode, 8 bytes per gram, no gram STRING
+ever materialized — the small eval set broadcasts
+(BroadcastHashJoin), and a partial HashAggregate combines map-side
+before the single exchange on (doc, bench). Corpus text never
+shuffles.""",
 }
 
 
@@ -189,6 +196,14 @@ def main() -> int:
         dissolve(
             a_df.withColumnRenamed("a_id", "key"), "key", "geom_wkb"
         )
+    )
+    from gdal_spark.operators.dedup import contamination_pairs
+
+    bench_docs = docs.filter(F.col("doc_id") % 211 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    plans["contamination_pairs"] = _plan(
+        contamination_pairs(docs, bench_docs, n=13)
     )
 
     out = io.StringIO()
