@@ -351,3 +351,45 @@ class LCCInverseTransform:
 
     def __call__(self, gx, gy):
         return LCC(*self.params).inverse(gx, gy)
+
+
+class _Identity:
+    def __call__(self, gx, gy):
+        return np.asarray(gx, dtype=np.float64), np.asarray(
+            gy, dtype=np.float64
+        )
+
+
+def _crs_legs(code: str):
+    """'EPSG:n' → (to_lonlat, from_lonlat) picklable leg pair.
+    Supported: 4326 (geographic, lon/lat axis order as the engine uses
+    throughout), 3857 (web mercator), 32601-32660 / 32701-32760
+    (WGS84 UTM north/south)."""
+    c = code.strip().upper()
+    if not c.startswith("EPSG:"):
+        raise ValueError(f"expected 'EPSG:n', got {code!r}")
+    n = int(c[5:])
+    if n == 4326:
+        return _Identity(), _Identity()
+    if n == 3857:
+        return WebMercatorToLonLat(), LonLatToWebMercator()
+    if 32601 <= n <= 32660:
+        z = n - 32600
+        return UTMInverseTransform(z, True), UTMForwardTransform(z, True)
+    if 32701 <= n <= 32760:
+        z = n - 32700
+        return UTMInverseTransform(z, False), UTMForwardTransform(z, False)
+    raise ValueError(f"unsupported CRS {code!r}")
+
+
+def crs_transform(src: str, dst: str) -> ComposedTransform:
+    """'EPSG:a' → 'EPSG:b' picklable coordinate transform — the
+    OGRCoordinateTransformation factory (ogr/ogrct.cpp:2254) for the
+    codes this engine projects natively. Same-code pairs collapse to
+    identity; everything else routes src→geodetic→dst through
+    :func:`compose`, exactly like PROJ pipelines."""
+    if src.strip().upper() == dst.strip().upper():
+        return ComposedTransform(_Identity())
+    src_inv, _ = _crs_legs(src)
+    _, dst_fwd = _crs_legs(dst)
+    return ComposedTransform(src_inv, dst_fwd)

@@ -171,4 +171,163 @@ def register_st_functions(spark) -> list[str]:
         )
 
     reg("st_npoints", _npoints_udf)
+
+    # --- text/binary conversions (ogrsqlitesqlfunctions.cpp:723-808) ---
+    @pandas_udf("string")
+    def _astext_udf(g: pd.Series) -> pd.Series:
+        return pd.Series([wkb.wkt(bytes(b)) for b in g], dtype="object")
+
+    reg("st_astext", _astext_udf)
+
+    @pandas_udf("binary")
+    def _asbinary_udf(g: pd.Series) -> pd.Series:
+        # geometry at rest IS WKB in this engine — identity, kept for
+        # SQL-compat with the reference's spatialite-blob conversion
+        return g
+
+    reg("st_asbinary", _asbinary_udf)
+
+    @pandas_udf("binary")
+    def _fromtext_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [wkb.from_wkt(str(t)) for t in s], dtype="object"
+        )
+
+    reg("st_geomfromtext", _fromtext_udf)
+
+    @pandas_udf("boolean")
+    def _isempty_udf(g: pd.Series) -> pd.Series:
+        def one(b) -> bool:
+            if b is None or len(b) == 0:
+                return True
+            _, payload = wkb.parse(bytes(b))
+            return (
+                len(payload) == 0
+                if isinstance(payload, list)
+                else np.asarray(payload).size == 0
+            )
+
+        return pd.Series([one(b) for b in g], dtype="bool")
+
+    reg("st_isempty", _isempty_udf)
+
+    # --- constructive-op AREAS (exact; the piece-decomposition
+    # kernels of layer_algebra applied per pair). The reference's
+    # ST_Intersection/Union return GEOS geometries; this engine's
+    # canonical constructive output is the piece table
+    # (layer_algebra.intersection_pieces etc.) — in SQL the exact
+    # measure is what aggregates need, so these return it directly. ---
+    def _pair_areas(a, b) -> tuple[float, float]:
+        from .operators.layer_algebra import _decompose_full
+
+        a_simple, _, abb, a_area = _decompose_full(bytes(a))
+        _, b_convex, bbb, b_area = _decompose_full(bytes(b))
+        inter = 0.0
+        if not (
+            abb is None or bbb is None
+            or abb[2] < bbb[0] or bbb[2] < abb[0]
+            or abb[3] < bbb[1] or bbb[3] < abb[1]
+        ):
+            for sa in a_simple:
+                for cb in b_convex:
+                    piece = geometry.clip_poly_convex(sa, cb)
+                    if len(piece) >= 3:
+                        inter += abs(
+                            geometry.ring_area(
+                                np.vstack([piece, piece[:1]])
+                            )
+                        )
+        return inter, a_area + b_area - inter
+
+    def pair_area(which):
+        @pandas_udf("double")
+        def u(a: pd.Series, b: pd.Series) -> pd.Series:
+            out = []
+            for x, y in zip(a, b):
+                inter, union = _pair_areas(x, y)
+                from_a = abs(
+                    sum(
+                        geometry.polygon_area(r)
+                        for r in wkb.polygon_rings(bytes(x))
+                    )
+                )
+                from_b = union - from_a + inter  # == area(B)
+                out.append(
+                    {
+                        "intersection": inter,
+                        "union": union,
+                        "difference": from_a - inter,
+                        "symdifference": from_a + from_b - 2 * inter,
+                    }[which]
+                )
+            return pd.Series(out, dtype="float64")
+
+        return u
+
+    for which in ("intersection", "union", "difference", "symdifference"):
+        reg(f"st_{which}_area", pair_area(which))
+
+    # --- ogr_deflate / ogr_inflate (ogrsqlitesqlfunctions.cpp:127,180) ---
+    import zlib
+
+    @pandas_udf("binary")
+    def _deflate_udf(b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [zlib.compress(bytes(x), 6) for x in b], dtype="object"
+        )
+
+    reg("ogr_deflate", _deflate_udf)
+
+    @pandas_udf("binary")
+    def _inflate_udf(b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [zlib.decompress(bytes(x)) for x in b], dtype="object"
+        )
+
+    reg("ogr_inflate", _inflate_udf)
+
+    # --- st_transform(geom, 'EPSG:a', 'EPSG:b') — the SQLite
+    # dialect's Transform() (ogrsqlitesqlfunctions.cpp:61), routed
+    # through proj.compose over every ring coordinate ---
+    @pandas_udf("binary")
+    def _transform_udf(
+        g: pd.Series, src: pd.Series, dst: pd.Series
+    ) -> pd.Series:
+        from .proj import crs_transform
+
+        out = []
+        for b, s, d in zip(g, src, dst):
+            tf = crs_transform(str(s), str(d))
+            gtype, payload = wkb.parse(bytes(b))
+            if gtype == wkb.POINT:
+                X, Y = tf(
+                    np.asarray([payload[0]]), np.asarray([payload[1]])
+                )
+                out.append(wkb.point(float(X[0]), float(Y[0])))
+            elif gtype == wkb.LINESTRING:
+                arr = np.asarray(payload)
+                X, Y = tf(arr[:, 0], arr[:, 1])
+                out.append(wkb.linestring(np.column_stack([X, Y])))
+            elif gtype == wkb.POLYGON:
+                rings = []
+                for r in payload:
+                    r = np.asarray(r)
+                    X, Y = tf(r[:, 0], r[:, 1])
+                    rings.append(np.column_stack([X, Y]))
+                out.append(wkb.polygon(rings))
+            elif gtype == wkb.MULTIPOLYGON:
+                polys = []
+                for rings_in in payload:
+                    rings = []
+                    for r in rings_in:
+                        r = np.asarray(r)
+                        X, Y = tf(r[:, 0], r[:, 1])
+                        rings.append(np.column_stack([X, Y]))
+                    polys.append(rings)
+                out.append(wkb.multipolygon(polys))
+            else:
+                raise ValueError(f"unsupported geometry type {gtype}")
+        return pd.Series(out, dtype="object")
+
+    reg("st_transform", _transform_udf)
     return names

@@ -162,3 +162,63 @@ def _fmt(v: float) -> str:
 
 def _ring_wkt(ring: np.ndarray) -> str:
     return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in np.asarray(ring))
+
+
+def _parse_coord_seq(s: str) -> np.ndarray:
+    pts = []
+    for pair in s.split(","):
+        xy = pair.split()
+        pts.append((float(xy[0]), float(xy[1])))
+    return np.asarray(pts, dtype=np.float64)
+
+
+def _split_groups(s: str) -> list[str]:
+    """Split 'a, b' at top-level commas where a/b are '(...)' groups."""
+    out, depth, start = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                out.append(s[start:i])
+    return out
+
+
+def from_wkt(text: str) -> bytes:
+    """WKT → WKB (ST_GeomFromText analog,
+    ogrsqlitesqlfunctions.cpp:779). POINT / LINESTRING / POLYGON /
+    MULTIPOLYGON, matching the writer above."""
+    s = text.strip()
+    head = s.split("(", 1)[0].strip().upper()
+    body = s[s.index("(") :] if "(" in s else ""
+    if head == "POINT":
+        c = _parse_coord_seq(body.strip()[1:-1])
+        return point(float(c[0, 0]), float(c[0, 1]))
+    if head == "LINESTRING":
+        return linestring(_parse_coord_seq(body.strip()[1:-1]))
+    if head == "POLYGON":
+        rings = [_parse_coord_seq(g) for g in _split_groups(body[1:-1])]
+        return polygon(rings)
+    if head == "MULTIPOLYGON":
+        inner = body.strip()[1:-1]
+        polys = []
+        depth = 0
+        start = None
+        # top-level groups are '((...),(...))' per polygon
+        for i, ch in enumerate(inner):
+            if ch == "(":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    grp = inner[start : i + 1]
+                    polys.append(
+                        [_parse_coord_seq(g) for g in _split_groups(grp[1:-1])]
+                    )
+        return multipolygon(polys)
+    raise ValueError(f"unsupported WKT type {head!r}")

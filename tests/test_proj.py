@@ -336,3 +336,52 @@ class TestCompose:
         x2, y2 = back(e, n)
         np.testing.assert_allclose(x2, x, atol=1e-3)
         np.testing.assert_allclose(y2, y, atol=1e-3)
+
+
+class TestCrsTransform:
+    def test_identity_and_roundtrips(self):
+        from gdal_spark.proj import crs_transform
+
+        lon = np.array([-120.0, 0.0, 13.37, 150.0])
+        lat = np.array([-45.0, 0.0, 52.5, 60.0])
+        same = crs_transform("EPSG:4326", "epsg:4326")
+        X, Y = same(lon, lat)
+        np.testing.assert_allclose(X, lon)
+        np.testing.assert_allclose(Y, lat)
+        for dst in ("EPSG:3857", "EPSG:32633", "EPSG:32733"):
+            fwd = crs_transform("EPSG:4326", dst)
+            inv = crs_transform(dst, "EPSG:4326")
+            gx, gy = fwd(lon, lat)
+            lo, la = inv(gx, gy)
+            np.testing.assert_allclose(lo, lon, atol=1e-8)
+            np.testing.assert_allclose(la, lat, atol=1e-8)
+
+    def test_projected_to_projected_composes(self):
+        from gdal_spark.proj import crs_transform, utm_forward
+
+        # UTM 33N -> 3857 equals 33N -> 4326 -> 3857 by construction;
+        # check against the direct legs
+        e, n, _ = utm_forward(
+            np.array([52.0]), np.array([15.0]), zone=33, northern=True
+        )
+        tf = crs_transform("EPSG:32633", "EPSG:3857")
+        x, y = tf(e, n)
+        direct = crs_transform("EPSG:4326", "EPSG:3857")
+        x2, y2 = direct(np.array([15.0]), np.array([52.0]))
+        np.testing.assert_allclose(x, x2, atol=1e-6)
+        np.testing.assert_allclose(y, y2, atol=1e-6)
+
+    def test_south_utm_false_northing(self):
+        from gdal_spark.proj import crs_transform
+
+        tf = crs_transform("EPSG:4326", "EPSG:32733")
+        _, n = tf(np.array([15.0]), np.array([-30.0]))
+        assert 6_000_000 < float(n[0]) < 10_000_000
+
+    def test_unsupported_raises(self):
+        from gdal_spark.proj import crs_transform
+
+        with pytest.raises(ValueError):
+            crs_transform("EPSG:4326", "EPSG:2154")
+        with pytest.raises(ValueError):
+            crs_transform("UTM33", "EPSG:4326")

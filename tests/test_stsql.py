@@ -104,3 +104,81 @@ def test_ogr_dialect_routes_st_functions(st):
         {"t": df},
     ).collect()
     assert [(r.fid, r.a) for r in out] == [(1, 12.0)]
+
+
+def test_text_binary_conversions(st):
+    spark = st
+    rows = spark.sql(
+        "SELECT gid, st_astext(g) AS w, st_asbinary(g) AS b, "
+        "st_isempty(g) AS e FROM geoms ORDER BY gid"
+    ).collect()
+    assert rows[0].w.startswith("POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))")
+    assert not rows[0].e
+    # from_wkt round trip through SQL
+    back = spark.sql(
+        "SELECT st_area(st_geomfromtext(st_astext(g))) AS a, "
+        "st_area(g) AS a0 FROM geoms"
+    ).collect()
+    for r in back:
+        assert r.a == pytest.approx(r.a0, abs=1e-9)
+
+
+def test_constructive_areas_exact(st):
+    spark = st
+    r = spark.sql(
+        "SELECT st_intersection_area(a.g, b.g) AS i, "
+        "st_union_area(a.g, b.g) AS u, "
+        "st_difference_area(a.g, b.g) AS d, "
+        "st_symdifference_area(a.g, b.g) AS s "
+        "FROM geoms a JOIN geoms b ON a.gid = 0 AND b.gid = 1"
+    ).collect()[0]
+    # rect(0,0,4,3) ∩ rect(2,1,8,5) = rect(2,1,4,3) → area 4
+    assert r.i == pytest.approx(4.0, abs=1e-9)
+    assert r.u == pytest.approx(12.0 + 24.0 - 4.0, abs=1e-9)
+    assert r.d == pytest.approx(12.0 - 4.0, abs=1e-9)
+    assert r.s == pytest.approx(12.0 + 24.0 - 8.0, abs=1e-9)
+    # a donut's hole is excluded from the intersection
+    r2 = spark.sql(
+        "SELECT st_intersection_area(a.g, b.g) AS i "
+        "FROM geoms a JOIN geoms b ON a.gid = 2 AND b.gid = 2"
+    ).collect()[0]
+    assert r2.i == pytest.approx(23.0, abs=1e-9)
+
+
+def test_deflate_inflate_round_trip(st):
+    spark = st
+    rows = spark.sql(
+        "SELECT gid, ogr_inflate(ogr_deflate(g)) AS rt, g FROM geoms"
+    ).collect()
+    for r in rows:
+        assert bytes(r.rt) == bytes(r.g)
+        comp = spark.sql(
+            f"SELECT length(ogr_deflate(g)) < length(g) + 16 AS small "
+            f"FROM geoms WHERE gid = {r.gid}"
+        ).collect()[0]
+        assert comp.small
+
+
+def test_st_transform_in_sql(st):
+    spark = st
+    # 4326 → 3857 → 4326 round trip preserves coordinates
+    r = spark.sql(
+        "SELECT st_astext(st_transform(st_transform("
+        "st_geomfromtext('POINT (13.37 52.5)'), "
+        "'EPSG:4326', 'EPSG:3857'), 'EPSG:3857', 'EPSG:4326')) AS w"
+    ).collect()[0]
+    x, y = (
+        float(v) for v in r.w.replace("POINT (", "").rstrip(")").split()
+    )
+    assert x == pytest.approx(13.37, abs=1e-9)
+    assert y == pytest.approx(52.5, abs=1e-9)
+    # 4326 → UTM 33N: central-meridian point lands on 500 km easting
+    r2 = spark.sql(
+        "SELECT st_transform(st_geomfromtext('POINT (15 52)'), "
+        "'EPSG:4326', 'EPSG:32633') AS g"
+    ).collect()[0]
+    from gdal_spark import wkb as _wkb
+
+    _, (e, n) = _wkb.parse(bytes(r2.g))
+    assert e == pytest.approx(500000.0, abs=1e-6)
+    assert 5_700_000 < n < 5_800_000
