@@ -330,4 +330,90 @@ def register_st_functions(spark) -> list[str]:
         return pd.Series(out, dtype="object")
 
     reg("st_transform", _transform_udf)
+
+    # --- st_distance (OGRGeometry::Distance, ogrgeometry.cpp:3562):
+    # min Euclidean distance between two geometries. POINT and
+    # (MULTI)POLYGON combos; 0 when the filled regions touch or
+    # overlap. For non-intersecting boundaries the min is attained at
+    # a vertex of one against an edge of the other, so vertex↔ring
+    # sweeps both ways are exact. ---
+    def _geom_points(b):
+        """All vertices as (N, 2) + whether the geometry is areal."""
+        gtype, payload = wkb.parse(bytes(b))
+        if gtype == wkb.POINT:
+            return np.asarray([payload], dtype=np.float64), False
+        if gtype == wkb.POLYGON:
+            parts = [payload]
+        elif gtype == wkb.MULTIPOLYGON:
+            parts = payload
+        else:
+            raise ValueError(
+                "st_distance supports POINT and (MULTI)POLYGON"
+            )
+        pts = np.vstack(
+            [np.asarray(r, dtype=np.float64) for p in parts for r in p]
+        )
+        return pts, True
+
+    def _dist_one(a, b) -> float:
+        pa, areal_a = _geom_points(a)
+        pb, areal_b = _geom_points(b)
+        # containment / overlap → 0
+        if areal_a and areal_b:
+            inter, _ = _pair_areas(a, b)
+            if inter > 0.0:
+                return 0.0
+        if areal_a and not areal_b:
+            for rings in wkb.polygon_rings(bytes(a)):
+                if geometry.points_in_polygon(
+                    pb[:, 0], pb[:, 1], rings, boundary_is_inside=True
+                ).any():
+                    return 0.0
+        if areal_b and not areal_a:
+            for rings in wkb.polygon_rings(bytes(b)):
+                if geometry.points_in_polygon(
+                    pa[:, 0], pa[:, 1], rings, boundary_is_inside=True
+                ).any():
+                    return 0.0
+        # boundary min distance: vertices of one vs rings of the other
+        best = np.inf
+        rb = (
+            [r for p in wkb.polygon_rings(bytes(b)) for r in p]
+            if areal_b
+            else []
+        )
+        ra = (
+            [r for p in wkb.polygon_rings(bytes(a)) for r in p]
+            if areal_a
+            else []
+        )
+        for r in rb:
+            best = min(
+                best,
+                float(
+                    geometry.points_to_ring_distance(
+                        pa[:, 0], pa[:, 1], r
+                    ).min()
+                ),
+            )
+        for r in ra:
+            best = min(
+                best,
+                float(
+                    geometry.points_to_ring_distance(
+                        pb[:, 0], pb[:, 1], r
+                    ).min()
+                ),
+            )
+        if not ra and not rb:  # point vs point
+            best = float(np.hypot(*(pa[0] - pb[0])))
+        return best
+
+    @pandas_udf("double")
+    def _distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_dist_one(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    reg("st_distance", _distance_udf)
     return names

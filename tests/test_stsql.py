@@ -182,3 +182,34 @@ def test_st_transform_in_sql(st):
     _, (e, n) = _wkb.parse(bytes(r2.g))
     assert e == pytest.approx(500000.0, abs=1e-6)
     assert 5_700_000 < n < 5_800_000
+
+
+def test_st_distance(st):
+    spark = st
+    # disjoint rects: rect(0,0,4,3) gid0 and donut at (10,10,16,14)
+    # gid2 — min distance is corner (4,3) to corner (10,10)
+    r = spark.sql(
+        "SELECT st_distance(a.g, b.g) AS d "
+        "FROM geoms a JOIN geoms b ON a.gid = 0 AND b.gid = 2"
+    ).collect()[0]
+    assert r.d == pytest.approx(np.hypot(6.0, 7.0), abs=1e-9)
+    # overlapping rects → 0
+    r2 = spark.sql(
+        "SELECT st_distance(a.g, b.g) AS d "
+        "FROM geoms a JOIN geoms b ON a.gid = 0 AND b.gid = 1"
+    ).collect()[0]
+    assert r2.d == 0.0
+    # point variants: inside → 0, outside → exact
+    r3 = spark.sql(
+        "SELECT st_distance(st_geomfromtext('POINT (1 1)'), g) AS din, "
+        "st_distance(st_geomfromtext('POINT (-3 0)'), g) AS dout "
+        "FROM geoms WHERE gid = 0"
+    ).collect()[0]
+    assert r3.din == 0.0
+    assert r3.dout == pytest.approx(3.0, abs=1e-12)
+    # point-point
+    r4 = spark.sql(
+        "SELECT st_distance(st_geomfromtext('POINT (0 0)'), "
+        "st_geomfromtext('POINT (3 4)')) AS d"
+    ).collect()[0]
+    assert r4.d == pytest.approx(5.0, abs=1e-12)
