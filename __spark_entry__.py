@@ -4315,6 +4315,58 @@ def _lang_id_oracle_sql() -> str:
         SELECT doc_id, {case} AS lang_guess FROM s"""
 
 
+def _q_dd_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixture (the GPT-3 appendix-A / MassiveText
+    weighting rule): 2.3 epochs of en, 1.0 of de, 0.4 of fr, 0.25 of
+    everything else. The keep/copy decision is a pure function of the
+    ROW — 13 hex digits of md5(doc_id ':' seed) compared against each
+    rate's hex threshold — so the sample is identical under any
+    partitioning and any engine with a standard md5() reproduces it
+    bit-for-bit (this gate's oracle does). Epoch ids are 0-based copy
+    numbers. One codegen filter + one explode(sequence); no shuffle."""
+    from gdal_spark.operators.sampling import weighted_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return weighted_mixture(
+        docs,
+        {"en": 2.3, "de": 1.0, "fr": 0.4},
+        key_col="lang",
+        id_col="doc_id",
+        seed=7,
+        default_weight=0.25,
+        hash="md5",
+    )
+
+
+def _sample_mixture_oracle_sql() -> str:
+    from gdal_spark.operators.sampling import _hex_threshold
+
+    weights = {"en": 2.3, "de": 1.0, "fr": 0.4}
+    default = 0.25
+    base = "CASE lang"
+    thresh = "CASE lang"
+    for k, w in weights.items():
+        base += f" WHEN '{k}' THEN {int(w)}"
+        thresh += f" WHEN '{k}' THEN '{_hex_threshold(w - int(w))}'"
+    base += f" ELSE {int(default)} END"
+    thresh += f" ELSE '{_hex_threshold(default - int(default))}' END"
+    return f"""
+        WITH keyed AS (
+          SELECT doc_id, lang,
+                 substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 13) AS k
+          FROM documents
+        ), counted AS (
+          SELECT doc_id, lang,
+                 CAST({base}
+                      + CASE WHEN k < {thresh} THEN 1 ELSE 0 END
+                      AS BIGINT) AS n
+          FROM keyed
+        )
+        SELECT doc_id, lang,
+               unnest(generate_series(CAST(0 AS BIGINT), n - 1)) AS epoch
+        FROM counted WHERE n > 0"""
+
+
 ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_layer_algebra": _q_geo_layer_algebra,
     "geo_st_predicates": _q_geo_st_predicates,
@@ -4385,9 +4437,11 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk": _q_sim_cosine,
     "sim_ann_lsh": _q_sim_ann,
     "sim_ann_ivf": _q_sim_ivf,
+    "dd_sample_mixture": _q_dd_sample_mixture,
 }
 
 ENGINE_ORACLES: dict[str, str] = {
+    "dd_sample_mixture": _sample_mixture_oracle_sql(),
     "src_warc": _SRC_WARC_ORACLE,
     "src_gtiff": _SRC_GTIFF_ORACLE,
     "dd_substring_spans": _substring_spans_oracle_sql(),
@@ -4707,6 +4761,11 @@ RETIRED_GATES: dict[str, str] = {
                       "grid); the bilinear probe kernel stays exactly "
                       "pinned in tests/test_tiling.py; green r01-r03; "
                       "admits rs_vrt_pixfn",
+    "sim_cosine_topk": "sim_ann_lsh + sim_ann_ivf are now value-exact "
+                       "against the brute-force top-k oracle — the "
+                       "exact cosine kernel this gate ran IS their "
+                       "oracle, so it stays driver-verified through "
+                       "them; green r01-r03; admits dd_sample_mixture",
 }
 
 
