@@ -58,6 +58,7 @@ def test_iterrows_only_on_tile_cardinality():
         "gtiff.py",         # row = raster BLOCK (seek+decode per
                             # block in the ranged COG scan)
         "pixfn.py",         # row = tile (band assembly per tile key)
+        "pansharpen.py",    # row = pan tile (upsample+combine per tile)
     }
     offenders = []
     for p in _sources():
