@@ -102,3 +102,69 @@ def band_statistics(tiles: DataFrame) -> DataFrame:
         ).alias("stddev_v"),
         F.col("cnt").alias("cnt"),
     )
+
+
+_PRIMES = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43], dtype=np.int64)
+
+
+def checksum_image(
+    tiles: DataFrame,
+    x_off: int = 0,
+    y_off: int = 0,
+    x_size: int | None = None,
+    y_size: int | None = None,
+    tile_size: int = 64,
+) -> DataFrame:
+    """GDALChecksumImage analog (alg/gdalchecksum.cpp:48-230): each
+    pixel of the window contributes ``value % primes[i % 11]`` where
+    ``i`` is the pixel's row-major linear index within the window and
+    the primes cycle {7,11,...,43}; the sum is masked to 16 bits.
+
+    This is the checksum the reference's ENTIRE autotest suite pins
+    rasters with (autotest/.../checksum uses), so matching it exactly
+    is the strongest cross-implementation parity primitive available.
+
+    Spark shape: the prime index is a pure function of the pixel's
+    GLOBAL coordinates (i = (gy - y_off) * x_size + (gx - x_off)), so
+    each tile computes its partial independently of visit order and
+    one sum() reduces them — checksum addition commutes, the
+    distributed result is BIT-identical to the reference's sequential
+    scan. Returns a 1-row DataFrame (checksum int).
+
+    Tiles: (tx, ty, w, h, data) uint8 on a ``tile_size`` grid.
+    Window defaults to the full grid extent.
+    """
+    if x_size is None or y_size is None:
+        raise ValueError("x_size and y_size are required")
+
+    def run(batches):
+        for pdf in batches:
+            parts = []
+            for tx, ty, w, h, data in zip(
+                pdf["tx"], pdf["ty"], pdf["w"], pdf["h"], pdf["data"]
+            ):
+                w, h = int(w), int(h)
+                arr = np.frombuffer(data, np.uint8)[: w * h].reshape(h, w)
+                gx0, gy0 = int(tx) * tile_size, int(ty) * tile_size
+                # clip tile to the checksum window
+                cx0 = max(gx0, x_off)
+                cy0 = max(gy0, y_off)
+                cx1 = min(gx0 + w, x_off + x_size)
+                cy1 = min(gy0 + h, y_off + y_size)
+                if cx0 >= cx1 or cy0 >= cy1:
+                    continue
+                sub = arr[cy0 - gy0 : cy1 - gy0, cx0 - gx0 : cx1 - gx0]
+                lin = (
+                    (cy0 - y_off + np.arange(sub.shape[0])[:, None])
+                    * x_size
+                    + (cx0 - x_off + np.arange(sub.shape[1])[None, :])
+                )
+                parts.append(
+                    int((sub.astype(np.int64) % _PRIMES[lin % 11]).sum())
+                )
+            yield pd.DataFrame({"partial": parts or [0]})
+
+    partials = tiles.mapInPandas(run, "partial long")
+    return partials.agg(
+        (F.sum("partial") % F.lit(65536)).cast("int").alias("checksum")
+    )
