@@ -1,0 +1,349 @@
+"""GeoPackage source/sink — the OGR GPKG driver analog
+(``ogr/ogrsf_frmts/gpkg``), built on stdlib ``sqlite3`` and the
+PUBLIC OGC GeoPackage spec.
+
+Reference semantics: ``ogrgeopackageutility.cpp:200-360`` — the
+StandardGeoPackageBinary blob: magic ``GP``, version, flags byte
+(bit 0 = header byte order, bits 1-3 = envelope contents, bit 4 =
+empty), int32 srs_id, optional envelope doubles (order minx, maxx,
+miny, maxy), then plain WKB; points carry no envelope (:280-289).
+Discovery goes through ``gpkg_contents`` / ``gpkg_geometry_columns``
+like OGRGeoPackageDataSource::Open.
+
+Spark shape:
+* :func:`read_gpkg` — file-parallel: one task per .gpkg granule
+  (imagery/feature tiles are commonly sharded this way), sqlite3
+  opened read-only inside the task, GPB decoded to plain WKB binary
+  so everything downstream (spatial join, layer algebra, GeoParquet
+  sink) consumes it unchanged.
+* :func:`read_gpkg_ranged` — the single-big-file scale path: the
+  driver probes min/max rowid (two O(1) index lookups), builds a
+  JVM-side range DataFrame of rowid chunks, and EACH CHUNK scans
+  ``WHERE rowid BETWEEN ? AND ?`` in its own task — a 500 GB gpkg
+  reads with full cluster parallelism and zero driver row handling
+  (the sqlite B-tree makes each chunk an index range scan).
+* :func:`write_gpkg_dir` — partition-parallel sink: one .gpkg per
+  partition with spec-required metadata tables
+  (gpkg_spatial_ref_sys / gpkg_contents / gpkg_geometry_columns),
+  manifest row per file.
+
+DEPLOYMENT: paths are opened with plain sqlite3 inside tasks — the
+same shared-filesystem/local-mode contract as the WARC/GeoTIFF
+sinks; object stores need a download-to-scratch step (sqlite cannot
+range-read HTTP).
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import struct
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import geoparquet as _gpq
+
+_SQLITE_TO_SPARK = {
+    "INTEGER": "long",
+    "INT": "long",
+    "MEDIUMINT": "long",
+    "REAL": "double",
+    "DOUBLE": "double",
+    "FLOAT": "double",
+    "TEXT": "string",
+    "BLOB": "binary",
+    "BOOLEAN": "boolean",
+    "DATETIME": "string",
+    "DATE": "string",
+}
+
+
+# --------------------------------------------------------------------------
+# GPB blob codec
+# --------------------------------------------------------------------------
+
+
+def gpb_to_wkb(blob: bytes) -> bytes:
+    """StandardGeoPackageBinary -> plain WKB
+    (GPkgHeaderFromWKB, ogrgeopackageutility.cpp:352+)."""
+    b = bytes(blob)
+    if len(b) < 8 or b[0] != 0x47 or b[1] != 0x50:
+        raise ValueError("not a GeoPackage geometry blob")
+    flags = b[3]
+    env_code = (flags >> 1) & 0x07
+    env_n = {0: 0, 1: 4, 2: 6, 3: 6, 4: 8}.get(env_code)
+    if env_n is None:
+        raise ValueError(f"invalid GPB envelope code {env_code}")
+    return b[8 + 8 * env_n :]
+
+
+def wkb_to_gpb(wkb: bytes, srs_id: int = 0) -> bytes:
+    """Plain WKB -> StandardGeoPackageBinary with the reference's
+    writer conventions (GPkgGeometryFromOGR: little-endian header,
+    version 0, XY envelope for non-points, none for points;
+    envelope order minx, maxx, miny, maxy)."""
+    wkb = bytes(wkb)
+    is_point = wkb[1:5] in (
+        struct.pack("<I", 1), struct.pack(">I", 1)
+    )
+    flags = 0x01  # little-endian header
+    env = b""
+    if not is_point:
+        x0, y0, x1, y1 = _gpq.wkb_bbox(wkb)
+        flags |= 1 << 1  # envelope code 1 (XY)
+        env = struct.pack("<4d", x0, x1, y0, y1)
+    return b"GP\x00" + bytes([flags]) + struct.pack("<i", srs_id) + env + wkb
+
+
+# --------------------------------------------------------------------------
+# discovery (driver-side, O(metadata))
+# --------------------------------------------------------------------------
+
+
+def gpkg_tables(path: str) -> list[str]:
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        rows = con.execute(
+            "SELECT table_name FROM gpkg_contents "
+            "WHERE data_type = 'features' ORDER BY table_name"
+        ).fetchall()
+        return [r[0] for r in rows]
+    finally:
+        con.close()
+
+
+def gpkg_table_info(path: str, table: str) -> tuple[list[tuple[str, str]], str]:
+    """[(column, spark_type)], geometry_column for a feature table."""
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        geom_col = con.execute(
+            "SELECT column_name FROM gpkg_geometry_columns "
+            "WHERE table_name = ?", (table,)
+        ).fetchone()
+        if geom_col is None:
+            raise ValueError(f"{table!r} is not a registered feature table")
+        geom_col = geom_col[0]
+        cols = []
+        for _, name, decl, *_ in con.execute(
+            f'PRAGMA table_info("{table}")'
+        ).fetchall():
+            base = (decl or "BLOB").split("(")[0].upper()
+            cols.append(
+                (name, "binary" if name == geom_col
+                 else _SQLITE_TO_SPARK.get(base, "string"))
+            )
+        return cols, geom_col
+    finally:
+        con.close()
+
+
+def _select_sql(table: str, cols: list[tuple[str, str]]) -> str:
+    names = ", ".join(f'"{c}"' for c, _ in cols)
+    return f'SELECT rowid, {names} FROM "{table}"'
+
+
+def _rows_to_pdf(rows, cols, geom_col) -> pd.DataFrame:
+    data = {"rowid": [r[0] for r in rows]}
+    for j, (name, typ) in enumerate(cols, start=1):
+        vals = [r[j] for r in rows]
+        if name == geom_col:
+            vals = [None if v is None else gpb_to_wkb(v) for v in vals]
+        data[name] = vals
+    return pd.DataFrame(data)
+
+
+def _spark_schema(cols) -> str:
+    return "rowid long, " + ", ".join(f"`{c}` {t}" for c, t in cols)
+
+
+def read_gpkg(
+    spark: SparkSession, paths: list[str], table: str
+) -> DataFrame:
+    """File-parallel GeoPackage scan: one task per granule, GPB
+    decoded to plain WKB in the ``geometry`` column. Schema comes
+    from the first granule (homogeneous shards assumed, like every
+    multi-file driver)."""
+    cols, geom_col = gpkg_table_info(paths[0], table)
+    sql = _select_sql(table, cols)
+
+    def gen(batches):
+        for pdf in batches:
+            for p in pdf["path"]:
+                con = sqlite3.connect(f"file:{p}?mode=ro", uri=True)
+                try:
+                    rows = con.execute(sql).fetchall()
+                finally:
+                    con.close()
+                if rows:
+                    yield _rows_to_pdf(rows, cols, geom_col)
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    return pdf.repartition(len(paths)).mapInPandas(
+        gen, _spark_schema(cols)
+    )
+
+
+def read_gpkg_ranged(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    rows_per_task: int = 100_000,
+) -> DataFrame:
+    """Single-big-file scale path: split by rowid ranges so ONE .gpkg
+    reads with full parallelism — the chunk list is a JVM-side
+    spark.range (never a driver Python list), each task runs an
+    index-range ``WHERE rowid BETWEEN`` scan."""
+    cols, geom_col = gpkg_table_info(path, table)
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        lo_hi = con.execute(
+            f'SELECT MIN(rowid), MAX(rowid) FROM "{table}"'
+        ).fetchone()
+    finally:
+        con.close()
+    if lo_hi[0] is None:
+        return spark.createDataFrame([], _spark_schema(cols))
+    lo, hi = int(lo_hi[0]), int(lo_hi[1])
+    n_chunks = (hi - lo) // rows_per_task + 1
+    sql = _select_sql(table, cols) + " WHERE rowid BETWEEN ? AND ?"
+
+    def gen(batches):
+        for pdf in batches:
+            for cid in pdf["id"]:
+                a = lo + int(cid) * rows_per_task
+                b = min(hi, a + rows_per_task - 1)
+                con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+                try:
+                    rows = con.execute(sql, (a, b)).fetchall()
+                finally:
+                    con.close()
+                if rows:
+                    yield _rows_to_pdf(rows, cols, geom_col)
+
+    rng = spark.range(0, n_chunks, 1, min(n_chunks, 64))
+    return rng.mapInPandas(gen, _spark_schema(cols))
+
+
+# --------------------------------------------------------------------------
+# sink
+# --------------------------------------------------------------------------
+
+_GPKG_META_DDL = [
+    """CREATE TABLE gpkg_spatial_ref_sys (
+         srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+         organization TEXT NOT NULL, organization_coordsys_id INTEGER
+         NOT NULL, definition TEXT NOT NULL, description TEXT)""",
+    """CREATE TABLE gpkg_contents (
+         table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL,
+         identifier TEXT UNIQUE, description TEXT DEFAULT '',
+         last_change DATETIME, min_x DOUBLE, min_y DOUBLE,
+         max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)""",
+    """CREATE TABLE gpkg_geometry_columns (
+         table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+         geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+         z TINYINT NOT NULL, m TINYINT NOT NULL,
+         CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))""",
+]
+
+
+def write_gpkg_dir(
+    df: DataFrame,
+    out_dir: str,
+    table: str = "features",
+    geometry_col: str = "geometry",
+    srs_id: int = 0,
+) -> DataFrame:
+    """Partition-parallel GeoPackage sink: one spec-complete .gpkg
+    per partition (metadata tables + feature table, GPB blobs with
+    envelopes, contents row carrying the file-local extent), manifest
+    (path, n_rows). Same shared-FS contract as the other granule
+    sinks."""
+    os.makedirs(out_dir, exist_ok=True)
+    cols = df.columns
+    if geometry_col not in cols:
+        raise ValueError(f"missing geometry column {geometry_col!r}")
+    attr_cols = [c for c in cols if c != geometry_col]
+    fields = dict(df.dtypes)
+    decl = {
+        "bigint": "INTEGER", "int": "INTEGER", "double": "REAL",
+        "string": "TEXT", "binary": "BLOB", "boolean": "BOOLEAN",
+    }
+    src = df.withColumn("__pid", F.spark_partition_id())
+
+    def sink(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pid = int(pdf["__pid"].iloc[0])
+        path = os.path.join(out_dir, f"part-{pid:05d}.gpkg")
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        con = sqlite3.connect(tmp)
+        try:
+            con.execute("PRAGMA application_id = 0x47504B47")  # 'GPKG'
+            con.execute("PRAGMA user_version = 10300")
+            for ddl in _GPKG_META_DDL:
+                con.execute(ddl)
+            con.execute(
+                "INSERT INTO gpkg_spatial_ref_sys VALUES "
+                "('undefined', 0, 'NONE', 0, 'undefined', NULL)"
+            )
+            col_ddl = ", ".join(
+                f'"{c}" {decl.get(fields[c], "TEXT")}' for c in attr_cols
+            )
+            con.execute(
+                f'CREATE TABLE "{table}" (fid INTEGER PRIMARY KEY'
+                + (", " + col_ddl if col_ddl else "")
+                + f', "{geometry_col}" BLOB)'
+            )
+            boxes = []
+            rows = []
+            for tup in zip(
+                *(pdf[c] for c in attr_cols + [geometry_col])
+            ):
+                *attrs, wkb = tup
+                attrs = [
+                    a.item() if isinstance(a, np.generic) else a
+                    for a in attrs
+                ]
+                gpb = None
+                if wkb is not None:
+                    gpb = wkb_to_gpb(bytes(wkb), srs_id)
+                    boxes.append(_gpq.wkb_bbox(bytes(wkb)))
+                rows.append((*attrs, gpb))
+            ph = ", ".join("?" * (len(attr_cols) + 1))
+            names = ", ".join(
+                f'"{c}"' for c in attr_cols + [geometry_col]
+            )
+            con.executemany(
+                f'INSERT INTO "{table}" ({names}) VALUES ({ph})', rows
+            )
+            bx = np.asarray(boxes or [(0, 0, 0, 0)], dtype=np.float64)
+            con.execute(
+                "INSERT INTO gpkg_contents VALUES "
+                "(?, 'features', ?, '', datetime('now'), ?, ?, ?, ?, ?)",
+                (
+                    table, table,
+                    float(bx[:, 0].min()), float(bx[:, 1].min()),
+                    float(bx[:, 2].max()), float(bx[:, 3].max()),
+                    srs_id,
+                ),
+            )
+            con.execute(
+                "INSERT INTO gpkg_geometry_columns VALUES "
+                "(?, ?, 'GEOMETRY', ?, 0, 0)",
+                (table, geometry_col, srs_id),
+            )
+            con.commit()
+        finally:
+            con.close()
+        os.replace(tmp, path)
+        yield pd.DataFrame({"path": [path], "n_rows": [len(pdf)]})
+
+    return src.repartition("__pid").mapInPandas(
+        sink, "path string, n_rows long"
+    )
