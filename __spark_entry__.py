@@ -2826,6 +2826,46 @@ def _addmode_edges_values() -> str:
     return ", ".join(vals)
 
 
+_CKSUM_WINDOWS = [(0, 0, 256, 192), (37, 21, 150, 101), (64, 64, 64, 64)]
+
+
+def _q_rs_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALChecksumImage analog (alg/gdalchecksum.cpp:48-230) — THE
+    parity primitive the reference's whole autotest suite pins rasters
+    with: per pixel ``value % primes[linear_index % 11]`` over the
+    cycling prime set {7..43}, summed and masked to 16 bits. The
+    prime index is a pure function of the pixel's global window
+    coordinates, so per-tile partials reduce with one commutative sum
+    and the distributed result is BIT-identical to the reference's
+    sequential scan at any partitioning. Three windows (full raster,
+    unaligned interior, tile-aligned) per run."""
+    from gdal_spark.operators.stats import checksum_image
+    from gdal_spark.operators.tiling import formula_tiles
+
+    tiles = formula_tiles(spark, 4, 3, 64)
+    out = None
+    for wid, (x0, y0, xs, ys) in enumerate(_CKSUM_WINDOWS):
+        part = checksum_image(
+            tiles, x0, y0, xs, ys, tile_size=64
+        ).select(F.lit(wid).alias("window_id"), "checksum")
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+def _checksum_oracle_sql() -> str:
+    parts = []
+    for wid, (x0, y0, xs, ys) in enumerate(_CKSUM_WINDOWS):
+        parts.append(f"""
+        SELECT {wid} AS window_id,
+               CAST(SUM(((x*7 + y*13) % 251) %
+                    ([7,11,13,17,19,23,29,31,37,41,43])
+                    [((y - {y0}) * {xs} + (x - {x0})) % 11 + 1])
+                    % 65536 AS INT) AS checksum
+        FROM generate_series({x0}, {x0 + xs - 1}) a(x)
+        CROSS JOIN generate_series({y0}, {y0 + ys - 1}) b(y)""")
+    return " UNION ALL ".join(parts)
+
+
 def _q_rs_rasterize_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE_ALG=ADD rasterization (additive burn, alg/gdalrasterize
     .cpp): coverage-depth histogram of an overlapping polygon stack."""
@@ -4406,6 +4446,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_fill_polygons": _q_rs_fill_polygons,
     "rs_fill_all_touched": _q_rs_fill_all_touched,
     "rs_rasterize_add": _q_rs_rasterize_add,
+    "rs_checksum_gdal": _q_rs_checksum,
     "q_ogr_sql": _q_ogr_sql,
     "q_sql_st_funcs": _q_sql_st_funcs,
     "geo_buffer_makevalid": _q_geo_buffer_makevalid,
@@ -4466,6 +4507,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "geo_layer_algebra_big": _layer_algebra_oracle_sql(),
     "rs_fill_all_touched": _fill_all_touched_oracle_sql(),
     "rs_rasterize_add": _rasterize_add_oracle_sql(),
+    "rs_checksum_gdal": _checksum_oracle_sql(),
     "geo_layer_algebra": _layer_algebra_oracle_sql(),
     "geo_st_predicates": _st_predicates_oracle_sql(),
     "q_sql_st_funcs": _sql_st_funcs_oracle_sql(),
@@ -4766,6 +4808,15 @@ RETIRED_GATES: dict[str, str] = {
                        "exact cosine kernel this gate ran IS their "
                        "oracle, so it stays driver-verified through "
                        "them; green r01-r03; admits dd_sample_mixture",
+    "rs_rasterize_add": "rs_fill_all_touched runs the same polygon "
+                        "rasterization machinery (scanline fill + "
+                        "ALL_TOUCHED edge walk); the MERGE_ALG=ADD "
+                        "accumulate kernel stays exactly pinned in "
+                        "tests/test_tiling.py (depth histogram vs "
+                        "numpy stack oracle); green r03; admits "
+                        "rs_checksum_gdal (GDALChecksumImage exact — "
+                        "the parity primitive the reference's whole "
+                        "autotest suite uses)",
 }
 
 
