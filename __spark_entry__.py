@@ -4407,6 +4407,64 @@ def _sample_mixture_oracle_sql() -> str:
         FROM counted WHERE n > 0"""
 
 
+def _q_rs_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: weighted-Brovey pansharpen (alg/gdalpansharpen.cpp)
+    of a 1024x1024 pan + 3 x 512x512 MS bands at ratio 2 — per-band
+    halo exchange + one co-partitioned tile join + one Arrow combine
+    kernel (exactness pinned in tests/test_pansharpen.py)."""
+    from gdal_spark.operators.pansharpen import pansharpen
+    from gdal_spark.operators.tiling import formula_tiles
+
+    pan = formula_tiles(spark, 8, 8, 128)
+    ms = [formula_tiles(spark, 8, 8, 64) for _ in range(3)]
+    return pansharpen(pan, ms, [0.4, 0.35, 0.25], 2)
+
+
+def _q_rs_pct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: median-cut PCT (alg/gdalmediancut.cpp) — the
+    DISTRIBUTED bounded histogram (driver sees <= 32768 rows at any
+    raster size), driver-side exact box splits, then the distributed
+    nearest-color cube map back over the tiles
+    (alg/gdaldither.cpp non-dither path)."""
+    import pyspark.sql.functions as F_
+
+    from gdal_spark.operators import pct
+    from gdal_spark.operators.tiling import formula_tiles
+
+    # three offset formula planes as R/G/B tile payloads on one grid
+    base = formula_tiles(spark, 8, 8, 64)
+
+    def shifted(df, k):
+        # value shift keeps payload bytes = uint8 formula plane
+        return df.select(
+            "tx", "ty", "w", "h", F_.col("data").alias(f"b{k}")
+        )
+
+    rgb = (
+        shifted(base, 0)
+        .join(shifted(formula_tiles(spark, 8, 8, 64), 1), ["tx", "ty", "w", "h"])
+        .join(shifted(formula_tiles(spark, 8, 8, 64), 2), ["tx", "ty", "w", "h"])
+        .select(
+            "tx", "ty", "w", "h",
+            F_.col("b0").alias("r"),
+            F_.col("b1").alias("g"),
+            F_.col("b2").alias("b"),
+        )
+    )
+    table = pct.median_cut_pct(pct.rgb_histogram(rgb, bits=5), 64)
+    return pct.pct_map_tiles(rgb, table, bits=5)
+
+
+#: timed by bench.py but NEVER part of the driver gate list — these
+#: operators' exactness is pinned in pytest (see docstrings); the
+#: bench entries exist so their distributed plans have recorded
+#: throughput alongside the gated queries.
+BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rs_pansharpen": _q_rs_pansharpen,
+    "rs_pct_map": _q_rs_pct_map,
+}
+
+
 ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_layer_algebra": _q_geo_layer_algebra,
     "geo_st_predicates": _q_geo_st_predicates,
@@ -4837,12 +4895,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name in SHARED_SQL:
         out[name] = _sql_query(name)
     out.update(ENGINE_QUERIES)
+    out.update(BENCH_ONLY)
     return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = all_queries()
     for name in RETIRED_GATES:
+        out.pop(name, None)
+    for name in BENCH_ONLY:
         out.pop(name, None)
     return out
 

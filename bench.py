@@ -92,6 +92,12 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "dd_sample_mixture",
+    # round-4 additions: GDAL-exact checksum reduce, pansharpen,
+    # median-cut PCT (bench-only; exactness pinned in pytest)
+    "rs_checksum_gdal",
+    "rs_pansharpen",
+    "rs_pct_map",
 ]
 
 
