@@ -22,7 +22,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
+from .. import raster
 from .tiling import TILE_SCHEMA, add_halo
 
 
@@ -249,3 +251,62 @@ def color_relief(
             )
 
     return tiles.mapInPandas(run, TILE_SCHEMA)
+
+
+def apply_vertical_shift(
+    dem_tiles: DataFrame,
+    dem_gt: tuple,
+    dem_w: int,
+    dem_h: int,
+    grid_tiles: DataFrame,
+    grid_gt: tuple,
+    grid_w: int,
+    grid_h: int,
+    grid_tile_size: int = 64,
+    inverse: bool = False,
+    src_unit_to_meter: float = 1.0,
+    dst_unit_to_meter: float = 1.0,
+    shift_scale: int = 65536,
+) -> DataFrame:
+    """GDALApplyVerticalShiftGrid analog
+    (alg/gdalapplyverticalshiftgrid.cpp:274-330): resample the shift
+    grid onto the DEM's grid with BILINEAR (the reference's default)
+    and emit ``(src * src_unit_to_meter ± shift) / dst_unit_to_meter``
+    per pixel (``+`` forward geoid→ellipsoid, ``-`` inverse,
+    :250-261). DEM pixels whose grid sample falls outside the shift
+    grid keep nodata semantics (the reference errors there; we emit
+    NULL shift so callers choose).
+
+    Spark-first composition — zero new machinery: the grid resample
+    IS :func:`tiling.warp_affine` (grid georef → DEM georef, bilinear,
+    ``bilinear_scale=shift_scale`` for 2^-16 quantization), the DEM
+    side is :func:`tiling.pixels_df`, and the apply is one
+    co-partitioned equi-join on the pixel key plus a codegen
+    projection. At scale both sides are pixel tables partitioned by
+    the same (gx, gy) key, so the join is a single co-located
+    shuffle; the alternative per-tile gather would save the DEM-side
+    exchange but duplicate the whole warp path — the composition is
+    the design the module keeps.
+
+    Returns (gx, gy, elevation double, shift double)."""
+    from . import tiling as _tiling
+
+    warped = _tiling.warp_affine(
+        grid_tiles, grid_gt, grid_w, grid_h, dem_gt, dem_w, dem_h,
+        method="bilinear", src_tile_size=grid_tile_size,
+        bilinear_scale=shift_scale,
+    ).select(
+        F.col("di").alias("gx"),
+        F.col("dj").alias("gy"),
+        F.when(F.col("val") != raster.NODATA,
+               F.col("val") / float(shift_scale)).alias("shift"),
+    )
+    dem_px = _tiling.pixels_df(dem_tiles, nonzero_only=False)
+    sgn = -1.0 if inverse else 1.0
+    return dem_px.join(warped, ["gx", "gy"], "left").select(
+        "gx", "gy",
+        ((F.col("val") * F.lit(float(src_unit_to_meter))
+          + F.lit(sgn) * F.col("shift"))
+         / F.lit(float(dst_unit_to_meter))).alias("elevation"),
+        "shift",
+    )
