@@ -4459,9 +4459,85 @@ def _q_rs_pct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: operators' exactness is pinned in pytest (see docstrings); the
 #: bench entries exist so their distributed plans have recorded
 #: throughput alongside the gated queries.
+def _gpkg_bench_fixture(n: int = 50_000) -> str:
+    """The reference's own ogr2ogr benchmark source
+    (autotest/benchmark/test_ogr2ogr.py:26-43): n point features with
+    20 string fields `field{i}` = `value{i}`, point (400000+i, i), in
+    one GPKG. Built once per machine with stdlib sqlite3 (cached —
+    the rig times the TRANSLATE, not the fixture)."""
+    import sqlite3
+
+    from gdal_spark import gpkg as _gpkg
+    from gdal_spark import wkb as _wkb
+
+    path = f"/tmp/gdal_spark_bench/ogr2ogr_src_{n}.gpkg"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    con = sqlite3.connect(tmp)
+    con.execute("PRAGMA application_id = 0x47504B47")
+    for ddl in _gpkg._GPKG_META_DDL:
+        con.execute(ddl)
+    con.execute(
+        "INSERT INTO gpkg_spatial_ref_sys VALUES "
+        "('undefined', 0, 'NONE', 0, 'undefined', NULL)"
+    )
+    fields = ", ".join(f'"field{i}" TEXT' for i in range(20))
+    con.execute(
+        f'CREATE TABLE test (fid INTEGER PRIMARY KEY, {fields}, '
+        '"geometry" BLOB)'
+    )
+    vals = [f"value{i}" for i in range(20)]
+    rows = (
+        tuple(vals) + (_gpkg.wkb_to_gpb(_wkb.point(400000.0 + i, float(i))),)
+        for i in range(n)
+    )
+    ph = ", ".join("?" * 21)
+    names = ", ".join(f'"field{i}"' for i in range(20)) + ', "geometry"'
+    con.executemany(f"INSERT INTO test ({names}) VALUES ({ph})", rows)
+    con.execute(
+        "INSERT INTO gpkg_contents VALUES (?, 'features', ?, '', "
+        "datetime('now'), 400000, 0, ?, ?, 0)",
+        ("test", "test", 400000.0 + n, float(n)),
+    )
+    con.execute(
+        "INSERT INTO gpkg_geometry_columns VALUES "
+        "('test', 'geometry', 'POINT', 0, 0, 0)"
+    )
+    con.commit()
+    con.close()
+    os.replace(tmp, path)
+    return path
+
+
+def _q_src_gpkg_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the reference's ogr2ogr benchmark rig
+    (autotest/benchmark/test_ogr2ogr.py — VectorTranslate of a
+    50,000-feature 20-field point GPKG to a new GPKG), run through
+    this engine's rowid-ranged parallel GPKG scan + partition-parallel
+    GPKG sink. Returns the sink manifest."""
+    import shutil
+
+    from gdal_spark import gpkg as _gpkg
+
+    src = _gpkg_bench_fixture()
+    out = "/tmp/gdal_spark_bench/ogr2ogr_out"
+    shutil.rmtree(out, ignore_errors=True)
+    df = _gpkg.read_gpkg_ranged(spark, src, "test", rows_per_task=6250)
+    return _gpkg.write_gpkg_dir(
+        df.drop("rowid", "fid"), out, table="test"
+    )
+
+
+#: timed by bench.py but NEVER part of the driver gate list — these
+#: operators' exactness is pinned in pytest (see docstrings); the
+#: bench entries exist so their distributed plans have recorded
+#: throughput alongside the gated queries.
 BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_pansharpen": _q_rs_pansharpen,
     "rs_pct_map": _q_rs_pct_map,
+    "src_gpkg_copy": _q_src_gpkg_copy,
 }
 
 

@@ -98,6 +98,9 @@ HEADLINE = [
     "rs_checksum_gdal",
     "rs_pansharpen",
     "rs_pct_map",
+    # the reference's own ogr2ogr benchmark rig (50k-feature 20-field
+    # point GPKG -> GPKG translate; autotest/benchmark/test_ogr2ogr.py)
+    "src_gpkg_copy",
 ]
 
 
