@@ -82,6 +82,22 @@ explodes to the pixel buckets its bbox reaches (JVM sequence
 explode), ONE hash exchange on (bxi, byi), and a single
 FlatMapGroupsInPandas barycentric kernel that derives its pixels from
 the bucket key — the raster itself never shuffles, never ships.""",
+    "pansharpen": """Weighted Brovey: each MS band's halo exchange shuffles only
+tile PERIMETERS (strips mapInPandas -> one groupBy per band), then the
+multi-way equi-join on (tx, ty) ships each pan tile its three padded
+MS tiles — at fixture scale the planner BROADCASTS the smaller sides
+(visible below); past the threshold the same key degrades gracefully
+to co-partitioned shuffles — and ONE MapInPandas does
+upsample+combine for all bands.
+No pixel ever shuffles twice; no driver stage.""",
+    "checksum_image": """GDALChecksumImage: per-tile partials in one mapInPandas (the
+prime index is a pure function of global coords, so partials commute),
+then a single partial->final HashAggregate pair — the shuffle carries
+ONE LONG PER TILE regardless of raster size.""",
+    "sample_mixture": """Hash-gated epoch mixture: the keep/copy decision and the
+epoch explode are one codegen projection + explode(sequence) over the
+scan — ZERO exchanges, repartition-proof by construction (the gate is
+a pure per-row hash).""",
     "contamination_pairs": """Benchmark decontamination over hashed grams: the corpus side is
 pure whole-stage codegen — per-word xxhash64 + rotate-xor window
 fold + array_distinct + explode, 8 bytes per gram, no gram STRING
@@ -179,6 +195,31 @@ def main() -> int:
         tin_grid_distributed(
             spark, spark.createDataFrame(tin_pdf), entry._TIN_GRID,
             entry._TIN_GRID, 0.0, 0.0, 4.0, cell_size=64.0,
+        )
+    )
+    from gdal_spark.operators.pansharpen import pansharpen as _psh
+
+    plans["pansharpen"] = _plan(
+        _psh(
+            formula_tiles(spark, 4, 4, 128),
+            [formula_tiles(spark, 4, 4, 64) for _ in range(3)],
+            [0.4, 0.35, 0.25], 2,
+        )
+    )
+    from gdal_spark.operators.stats import checksum_image as _cks
+
+    plans["checksum_image"] = _plan(
+        _cks(formula_tiles(spark, 4, 3, 64), 0, 0, 256, 192, tile_size=64)
+    )
+    from gdal_spark.operators.sampling import weighted_mixture as _wm
+
+    plans["sample_mixture"] = _plan(
+        _wm(
+            docs_early := spark.read.parquet(
+                os.path.join(SF, "documents.parquet")
+            ).select("doc_id", "lang"),
+            {"en": 2.3, "de": 1.0}, key_col="lang", id_col="doc_id",
+            seed=7, default_weight=0.25,
         )
     )
     pages = testdata.pages_df(spark, 1000, partitions=4)
