@@ -240,3 +240,27 @@ def write_geojson_seq(
     return src.repartition("__pid").mapInPandas(
         sink, "path string, n_rows long"
     )
+
+
+def read_geojson_seq_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_geojson_seq` — the OGR
+    GeoJSONSeq driver's append-friendly arrival model: a text
+    file-arrival stream over a landing directory, each new
+    .geojsonl micro-batched through the SAME parse kernel as the
+    batch scan (parity by construction). Stateless projection: no
+    watermark or state store; downstream composes with
+    ``streaming.stream_spatial_join`` for the geocoded-arrival
+    pipeline."""
+    lines = spark.readStream.format("text").load(path)
+
+    def gen(batches):
+        for pdf in batches:
+            objs = []
+            for ln in pdf["value"]:
+                s = ln.strip().lstrip("\x1e")
+                if s:
+                    objs.append(json.loads(s))
+            if objs:
+                yield _parse_features(objs)
+
+    return lines.mapInPandas(gen, _FEATURE_SCHEMA)

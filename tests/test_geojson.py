@@ -132,3 +132,36 @@ def test_rs_framed_lines(spark, tmp_path):
     p.write_text("\x1e" + json.dumps(feat) + "\n\x1e"
                  + json.dumps(feat) + "\n")
     assert gj.read_geojson_seq(spark, str(p)).count() == 2
+
+
+def test_seq_stream_matches_batch(spark, tmp_path):
+    """Streaming arrival twin parses identically to the batch scan
+    (same kernel; parity by construction, verified end-to-end)."""
+    out = str(tmp_path / "land")
+    df = _df(spark).repartition(2)
+    assert (
+        gj.write_geojson_seq(df, out, id_col="fid")
+        .toPandas()["n_rows"].sum() == 6
+    )
+    stream = gj.read_geojson_seq_stream(spark, out)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("gj_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT feature_id, geometry FROM gj_stream ORDER BY feature_id"
+    ).collect()
+    want = (
+        gj.read_geojson_seq(spark, out)
+        .select("feature_id", "geometry")
+        .orderBy("feature_id")
+        .collect()
+    )
+    assert len(got) == 6
+    assert [
+        (r["feature_id"], bytes(r["geometry"])) for r in got
+    ] == [(r["feature_id"], bytes(r["geometry"])) for r in want]
