@@ -1,0 +1,540 @@
+"""Mapbox Vector Tiles source/sink — the OGR MVT driver analog
+(``ogr/ogrsf_frmts/mvt``), from the PUBLIC Mapbox Vector Tile spec
+v2.1 (protobuf ``Tile`` message; geometry command stream with
+zigzag-delta integers).
+
+From-spec like the PNG/JPEG/WARC codecs: the protobuf wire format is
+hand-rolled (varint + length-delimited fields only — MVT needs
+nothing else), no protobuf library involved.
+
+Encoding layout (spec §4):
+* Tile: repeated Layer = field 3.
+* Layer: version=2 (15), name (1), repeated Feature (2), keys (3),
+  values (4), extent (5, default 4096).
+* Feature: id (1), packed tags (2) as alternating key/value indexes,
+  type (3: 1=POINT 2=LINESTRING 3=POLYGON), packed geometry (4) as
+  command integers ``(id & 0x7) | (count << 3)`` with MoveTo=1,
+  LineTo=2, ClosePath=7 and zigzag-encoded coordinate deltas.
+* Value: one-of string (1) / double (3) / int64 (4) / bool (7).
+
+Spark shape: features assign to tiles with the existing
+``mercator`` tile math (codegen Columns), geometries CLIP to the
+buffered tile rect with the existing Sutherland-Hodgman /
+Cyrus-Beck kernels, one ``groupBy(z, tx, ty).applyInPandas``
+encodes each tile, and the executor-side writer lands
+``z/x/y.mvt`` exactly like the PNG/JPEG sinks (shared-FS
+contract). A decoder (same wire-format code, inverted) backs the
+round-trip tests and the MVT *source* path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import geometry as geom
+from . import mercator, wkb as _wkb
+
+# ------------------------------------------------------------------
+# minimal protobuf wire codec (varint + length-delimited)
+# ------------------------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    n &= (1 << 64) - 1
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _key(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    return _key(field, 2) + _varint(len(payload)) + payload
+
+
+def _vi(field: int, value: int) -> bytes:
+    return _key(field, 0) + _varint(value)
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def varint(self) -> int:
+        out = 0
+        shift = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+
+    def fields(self):
+        while self.pos < len(self.buf):
+            tag = self.varint()
+            field, wire = tag >> 3, tag & 0x7
+            if wire == 0:
+                yield field, self.varint()
+            elif wire == 2:
+                ln = self.varint()
+                yield field, self.buf[self.pos : self.pos + ln]
+                self.pos += ln
+            elif wire == 5:
+                yield field, self.buf[self.pos : self.pos + 4]
+                self.pos += 4
+            elif wire == 1:
+                yield field, self.buf[self.pos : self.pos + 8]
+                self.pos += 8
+            else:
+                raise ValueError(f"unsupported wire type {wire}")
+
+
+# ------------------------------------------------------------------
+# geometry command stream
+# ------------------------------------------------------------------
+
+POINT, LINESTRING, POLYGON = 1, 2, 3
+
+
+def encode_geometry(parts: list[np.ndarray], gtype: int) -> list[int]:
+    """Integer tile coords -> MVT command stream (spec §4.3).
+    ``parts``: list of (N, 2) int arrays — points as one (N, 2) part,
+    each linestring a part, polygon rings as parts (closing vertex
+    omitted; ClosePath emitted)."""
+    cmds: list[int] = []
+    cx = cy = 0
+    if gtype == POINT:
+        pts = parts[0]
+        cmds.append((1 & 0x7) | (len(pts) << 3))
+        for x, y in pts:
+            cmds.append(_zigzag(int(x) - cx))
+            cmds.append(_zigzag(int(y) - cy))
+            cx, cy = int(x), int(y)
+        return cmds
+    for part in parts:
+        p = np.asarray(part, dtype=np.int64)
+        if gtype == POLYGON and len(p) > 1 and (p[0] == p[-1]).all():
+            p = p[:-1]
+        cmds.append((1 & 0x7) | (1 << 3))  # MoveTo 1
+        cmds.append(_zigzag(int(p[0, 0]) - cx))
+        cmds.append(_zigzag(int(p[0, 1]) - cy))
+        cx, cy = int(p[0, 0]), int(p[0, 1])
+        rest = p[1:]
+        cmds.append((2 & 0x7) | (len(rest) << 3))  # LineTo n
+        for x, y in rest:
+            cmds.append(_zigzag(int(x) - cx))
+            cmds.append(_zigzag(int(y) - cy))
+            cx, cy = int(x), int(y)
+        if gtype == POLYGON:
+            cmds.append(7)  # ClosePath
+    return cmds
+
+
+def decode_geometry(cmds: list[int], gtype: int) -> list[np.ndarray]:
+    parts: list[np.ndarray] = []
+    cur: list[list[int]] = []
+    cx = cy = 0
+    i = 0
+    while i < len(cmds):
+        cid = cmds[i] & 0x7
+        cnt = cmds[i] >> 3
+        i += 1
+        if cid == 1:  # MoveTo
+            if cur and gtype != POINT:
+                parts.append(np.asarray(cur))
+                cur = []
+            for _ in range(cnt):
+                cx += _unzigzag(cmds[i]); cy += _unzigzag(cmds[i + 1])
+                i += 2
+                cur.append([cx, cy])
+        elif cid == 2:  # LineTo
+            for _ in range(cnt):
+                cx += _unzigzag(cmds[i]); cy += _unzigzag(cmds[i + 1])
+                i += 2
+                cur.append([cx, cy])
+        elif cid == 7:  # ClosePath
+            cur.append(list(cur[0]))
+            parts.append(np.asarray(cur))
+            cur = []
+        else:
+            raise ValueError(f"unknown command {cid}")
+    if cur:
+        parts.append(np.asarray(cur))
+    return parts
+
+
+# ------------------------------------------------------------------
+# value encoding
+# ------------------------------------------------------------------
+
+
+def _encode_value(v) -> bytes:
+    import struct
+
+    if isinstance(v, bool):
+        return _vi(7, 1 if v else 0)
+    if isinstance(v, (int, np.integer)):
+        return _vi(4, int(v) & ((1 << 64) - 1))
+    if isinstance(v, (float, np.floating)):
+        return _key(3, 1) + struct.pack("<d", float(v))
+    return _ld(1, str(v).encode("utf-8"))
+
+
+def _decode_value(buf: bytes):
+    import struct
+
+    for field, val in _Reader(buf).fields():
+        if field == 1:
+            return val.decode("utf-8")
+        if field == 3:
+            return struct.unpack("<d", val)[0]
+        if field == 4:
+            v = val
+            return v - (1 << 64) if v >= (1 << 63) else v
+        if field == 7:
+            return bool(val)
+    return None
+
+
+# ------------------------------------------------------------------
+# tile encode / decode
+# ------------------------------------------------------------------
+
+
+def encode_tile(
+    layer_name: str,
+    features: list[dict],
+    extent: int = 4096,
+) -> bytes:
+    """features: [{"id": int, "type": 1|2|3, "parts": [(N,2) int
+    arrays], "props": {k: v}}] -> Tile bytes."""
+    keys: list[str] = []
+    vals: list[bytes] = []
+    kidx: dict[str, int] = {}
+    vidx: dict[bytes, int] = {}
+    feats = bytearray()
+    for f in features:
+        tags: list[int] = []
+        for k, v in (f.get("props") or {}).items():
+            if v is None:
+                continue
+            if k not in kidx:
+                kidx[k] = len(keys)
+                keys.append(k)
+            ev = _encode_value(v)
+            if ev not in vidx:
+                vidx[ev] = len(vals)
+                vals.append(ev)
+            tags.extend((kidx[k], vidx[ev]))
+        body = bytearray()
+        if f.get("id") is not None:
+            body += _vi(1, int(f["id"]))
+        if tags:
+            packed = b"".join(_varint(t) for t in tags)
+            body += _ld(2, packed)
+        body += _vi(3, int(f["type"]))
+        gcmds = encode_geometry(f["parts"], int(f["type"]))
+        body += _ld(4, b"".join(_varint(c) for c in gcmds))
+        feats += _ld(2, bytes(body))
+    layer = bytearray()
+    layer += _vi(15, 2)  # version
+    layer += _ld(1, layer_name.encode("utf-8"))
+    layer += bytes(feats)
+    for k in keys:
+        layer += _ld(3, k.encode("utf-8"))
+    for v in vals:
+        layer += _ld(4, v)
+    layer += _vi(5, extent)
+    return bytes(_ld(3, bytes(layer)))
+
+
+def decode_tile(buf: bytes) -> list[dict]:
+    """Tile bytes -> [{"name", "extent", "features": [...]}]."""
+    layers = []
+    for field, val in _Reader(buf).fields():
+        if field != 3:
+            continue
+        name = ""
+        extent = 4096
+        keys: list[str] = []
+        vals: list = []
+        raw_feats: list[bytes] = []
+        for lf, lv in _Reader(val).fields():
+            if lf == 1:
+                name = lv.decode("utf-8")
+            elif lf == 2:
+                raw_feats.append(lv)
+            elif lf == 3:
+                keys.append(lv.decode("utf-8"))
+            elif lf == 4:
+                vals.append(_decode_value(lv))
+            elif lf == 5:
+                extent = lv
+        feats = []
+        for fb in raw_feats:
+            fid = None
+            gtype = 0
+            tags: list[int] = []
+            cmds: list[int] = []
+            for ff, fv in _Reader(fb).fields():
+                if ff == 1:
+                    fid = fv
+                elif ff == 2:
+                    r = _Reader(fv)
+                    while r.pos < len(fv):
+                        tags.append(r.varint())
+                elif ff == 3:
+                    gtype = fv
+                elif ff == 4:
+                    r = _Reader(fv)
+                    while r.pos < len(fv):
+                        cmds.append(r.varint())
+            props = {
+                keys[tags[i]]: vals[tags[i + 1]]
+                for i in range(0, len(tags), 2)
+            }
+            feats.append(
+                {
+                    "id": fid,
+                    "type": gtype,
+                    "parts": decode_geometry(cmds, gtype),
+                    "props": props,
+                }
+            )
+        layers.append({"name": name, "extent": extent, "features": feats})
+    return layers
+
+
+# ------------------------------------------------------------------
+# distributed sink
+# ------------------------------------------------------------------
+
+
+def _tile_local(
+    coords: np.ndarray, tx: int, ty_tms: int, zoom: int, extent: int
+) -> np.ndarray:
+    """lon/lat -> integer tile-local coords (y DOWN per spec)."""
+    mx, my = mercator.lat_lon_to_meters(coords[:, 0], coords[:, 1])
+    minx, miny, maxx, maxy = mercator.tile_bounds_meters(
+        tx, ty_tms, zoom
+    )
+    fx = (mx - minx) / (maxx - minx) * extent
+    fy = (maxy - my) / (maxy - miny) * extent
+    return np.column_stack(
+        [np.floor(fx + 0.5), np.floor(fy + 0.5)]
+    ).astype(np.int64)
+
+
+def write_tiles_mvt(
+    features: DataFrame,
+    out_dir: str,
+    zoom: int,
+    layer_name: str = "features",
+    extent: int = 4096,
+    buffer_px: int = 64,
+    geometry_col: str = "geometry",
+    id_col: str | None = None,
+    prop_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distributed MVT sink at one zoom level: tile assignment is a
+    codegen Column (every tile whose BUFFERED window a feature's bbox
+    touches — the explode stays tiny because features are small vs
+    tiles), geometries clip per tile with the existing rect/segment
+    kernels, one applyInPandas per (z, x, y) encodes, and the file
+    lands executor-side as ``z/x/y.mvt``. Returns the manifest
+    (z, tx, ty, path, n_bytes, n_features)."""
+    os.makedirs(out_dir, exist_ok=True)
+    props = prop_cols or []
+    n = 1 << zoom
+
+    def assign(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for i in range(len(pdf)):
+                buf = bytes(pdf[geometry_col].iloc[i])
+                gt, payload = _wkb.parse(buf)
+                from . import geoparquet as _gpq
+
+                x0, y0, x1, y1 = _gpq.wkb_bbox(buf)
+                mx0, my0 = mercator.lat_lon_to_meters(
+                    np.array([x0]), np.array([y0])
+                )
+                mx1, my1 = mercator.lat_lon_to_meters(
+                    np.array([x1]), np.array([y1])
+                )
+                res = (
+                    mercator.tile_bounds_meters(0, 0, zoom)[2]
+                    - mercator.tile_bounds_meters(0, 0, zoom)[0]
+                )
+                pad = buffer_px / extent * res
+                tx0, ty0 = mercator.meters_to_tile(
+                    np.array([mx0[0] - pad]), np.array([my0[0] - pad]),
+                    zoom,
+                )
+                tx1, ty1 = mercator.meters_to_tile(
+                    np.array([mx1[0] + pad]), np.array([my1[0] + pad]),
+                    zoom,
+                )
+                for tx in range(
+                    max(0, int(tx0[0])), min(n - 1, int(tx1[0])) + 1
+                ):
+                    for ty in range(
+                        max(0, int(ty0[0])), min(n - 1, int(ty1[0])) + 1
+                    ):
+                        rows.append((tx, ty, i, buf))
+            # re-emit feature payloads per assigned tile
+            out = pd.DataFrame(
+                rows, columns=["tx", "ty_tms", "__i", "wkb"]
+            )
+            if len(out):
+                for c in props + ([id_col] if id_col else []):
+                    out[c] = pdf[c].iloc[out["__i"]].to_numpy()
+            else:
+                for c in props + ([id_col] if id_col else []):
+                    out[c] = []
+            yield out.drop(columns="__i")
+
+    fields = [
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty_tms", T.LongType()),
+        T.StructField("wkb", T.BinaryType()),
+    ]
+    src_fields = dict(features.dtypes)
+    mapping = {
+        "bigint": T.LongType(), "int": T.IntegerType(),
+        "double": T.DoubleType(), "string": T.StringType(),
+        "boolean": T.BooleanType(),
+    }
+    for c in props + ([id_col] if id_col else []):
+        fields.append(
+            T.StructField(c, mapping.get(src_fields[c], T.StringType()))
+        )
+    assigned = features.mapInPandas(assign, T.StructType(fields))
+
+    pad_units = buffer_px
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = int(pdf["tx"].iloc[0])
+        ty_tms = int(pdf["ty_tms"].iloc[0])
+        feats = []
+        for i in range(len(pdf)):
+            buf = bytes(pdf["wkb"].iloc[i])
+            gt, payload = _wkb.parse(buf)
+            parts: list[np.ndarray] = []
+            ftype = None
+            lo, hi = -pad_units, extent + pad_units
+            if gt == _wkb.POINT:
+                pt = _tile_local(
+                    np.array([payload]), tx, ty_tms, zoom, extent
+                )
+                keep = (
+                    (pt[:, 0] >= lo) & (pt[:, 0] <= hi)
+                    & (pt[:, 1] >= lo) & (pt[:, 1] <= hi)
+                )
+                if keep.any():
+                    parts, ftype = [pt[keep]], POINT
+            elif gt in (_wkb.LINESTRING, _wkb.MULTILINESTRING):
+                lines = [payload] if gt == _wkb.LINESTRING else payload
+                rect = np.array(
+                    [[lo, lo], [hi, lo], [hi, hi], [lo, hi]], float
+                )
+                for ls in lines:
+                    local = _tile_local(
+                        np.asarray(ls), tx, ty_tms, zoom, extent
+                    ).astype(float)
+                    t_lo, t_hi, valid = geom.clip_segments_convex(
+                        local[:-1], local[1:], rect
+                    )
+                    run: list[np.ndarray] = []
+                    for k in range(len(local) - 1):
+                        if not valid[k]:
+                            if len(run) > 1:
+                                parts.append(
+                                    np.asarray(run, dtype=np.int64)
+                                )
+                            run = []
+                            continue
+                        a = local[k] + t_lo[k] * (local[k + 1] - local[k])
+                        b = local[k] + t_hi[k] * (local[k + 1] - local[k])
+                        if not run:
+                            run = [np.round(a)]
+                        run.append(np.round(b))
+                        if t_hi[k] < 1.0:
+                            if len(run) > 1:
+                                parts.append(
+                                    np.asarray(run, dtype=np.int64)
+                                )
+                            run = []
+                    if len(run) > 1:
+                        parts.append(np.asarray(run, dtype=np.int64))
+                if parts:
+                    ftype = LINESTRING
+            elif gt in (_wkb.POLYGON, _wkb.MULTIPOLYGON):
+                polys = [payload] if gt == _wkb.POLYGON else payload
+                for rings in polys:
+                    for ring in rings:
+                        local = _tile_local(
+                            np.asarray(ring), tx, ty_tms, zoom, extent
+                        ).astype(float)
+                        clipped = geom.clip_ring_to_rect(
+                            local, lo, lo, hi, hi
+                        )
+                        if len(clipped) >= 3:
+                            parts.append(
+                                np.round(clipped).astype(np.int64)
+                            )
+                if parts:
+                    ftype = POLYGON
+            if ftype is None:
+                continue
+            fprops = {c: pdf[c].iloc[i] for c in props}
+            fid = int(pdf[id_col].iloc[i]) if id_col else None
+            feats.append(
+                {"id": fid, "type": ftype, "parts": parts,
+                 "props": fprops}
+            )
+        ty_xyz = (1 << zoom) - 1 - ty_tms
+        d = os.path.join(out_dir, str(zoom), str(tx))
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{ty_xyz}.mvt")
+        data = encode_tile(layer_name, feats, extent)
+        with open(path, "wb") as f:
+            f.write(data)
+        return pd.DataFrame(
+            {
+                "z": [zoom], "tx": [tx], "ty": [ty_xyz],
+                "path": [path], "n_bytes": [len(data)],
+                "n_features": [len(feats)],
+            }
+        )
+
+    return assigned.groupBy("tx", "ty_tms").applyInPandas(
+        encode,
+        "z int, tx long, ty long, path string, n_bytes long, "
+        "n_features long",
+    )
