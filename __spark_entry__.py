@@ -4455,6 +4455,22 @@ def _q_rs_pct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pct.pct_map_tiles(rgb, table, bits=5)
 
 
+def _q_tx_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: BPE tokenizer end-to-end over the documents table —
+    distributed word histogram (codegen regexp explode + one groupBy),
+    driver-side merge fold over the bounded top-words histogram, then
+    the Arrow encode kernel over every document (Zipf word cache).
+    Exactness pinned in tests/test_bpe.py."""
+    from gdal_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe.train_bpe(
+        bpe.word_histogram(docs), num_merges=300, min_count=2,
+        max_words=50_000,
+    )
+    return bpe.bpe_encode(docs, merges).select("doc_id", "n_tokens")
+
+
 #: timed by bench.py but NEVER part of the driver gate list — these
 #: operators' exactness is pinned in pytest (see docstrings); the
 #: bench entries exist so their distributed plans have recorded
@@ -4538,6 +4554,7 @@ BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_pansharpen": _q_rs_pansharpen,
     "rs_pct_map": _q_rs_pct_map,
     "src_gpkg_copy": _q_src_gpkg_copy,
+    "tx_bpe": _q_tx_bpe,
 }
 
 

@@ -101,6 +101,8 @@ HEADLINE = [
     # the reference's own ogr2ogr benchmark rig (50k-feature 20-field
     # point GPKG -> GPKG translate; autotest/benchmark/test_ogr2ogr.py)
     "src_gpkg_copy",
+    # BPE train (bounded histogram) + encode over the documents table
+    "tx_bpe",
 ]
 
 

@@ -81,29 +81,51 @@ def train_bpe(
     else:
         counts = [(w, c) for w, c in hist if c >= min_count]
 
-    # word -> symbol tuple (chars + end marker)
-    vocab: dict[tuple[str, ...], int] = {}
+    # word list: (symbols, count) — plus the standard subword-nmt
+    # incremental index (pair -> counts, pair -> words containing it)
+    # so each merge only touches AFFECTED words instead of refolding
+    # the whole vocabulary: O(occurrences) per merge, not O(vocab).
+    words: list[list[str]] = []
+    wcnt: list[int] = []
     for w, c in counts:
-        sym = tuple(w) + (END,)
-        vocab[sym] = vocab.get(sym, 0) + c
+        words.append(list(w) + [END])
+        wcnt.append(c)
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, sym in enumerate(words):
+        c = wcnt[wi]
+        for a, b in zip(sym, sym[1:]):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+            pair_words.setdefault((a, b), set()).add(wi)
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for sym, c in vocab.items():
-            for a, b in zip(sym, sym[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + c
-        if not pairs:
+        if not pair_counts:
             break
         # max count, lexicographically-smallest tiebreak -> deterministic
-        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
         if cnt < min_count:
             break
         merges.append((a, b))
         ab = a + b
-        new_vocab: dict[tuple[str, ...], int] = {}
-        for sym, c in vocab.items():
-            out = []
+        affected = pair_words.pop((a, b), set())
+        pair_counts.pop((a, b), None)
+        for wi in affected:
+            sym = words[wi]
+            c = wcnt[wi]
+            # remove this word's old pair contributions
+            for p in zip(sym, sym[1:]):
+                if p in pair_counts:
+                    pair_counts[p] -= c
+                    if pair_counts[p] <= 0:
+                        del pair_counts[p]
+                    ws = pair_words.get(p)
+                    if ws is not None:
+                        ws.discard(wi)
+            out: list[str] = []
             i = 0
             while i < len(sym):
                 if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
@@ -112,9 +134,13 @@ def train_bpe(
                 else:
                     out.append(sym[i])
                     i += 1
-            t = tuple(out)
-            new_vocab[t] = new_vocab.get(t, 0) + c
-        vocab = new_vocab
+            words[wi] = out
+            # add back the new contributions
+            for p in zip(out, out[1:]):
+                if p == (a, b):
+                    continue  # fully merged away this round
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(wi)
     return merges
 
 
