@@ -4471,6 +4471,19 @@ def _q_tx_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_encode(docs, merges).select("doc_id", "n_tokens")
 
 
+def _q_tx_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: CCNet-style perplexity scoring via the UNBOUNDED
+    join path — trigram stupid-backoff model trained on the corpus
+    (three counting aggs), then positions explode with their backoff
+    ladder and join the count tables; exactness pinned against the
+    broadcast-path twin in tests/test_lm.py."""
+    from gdal_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = lm.train_ngram_lm(docs, order=3)
+    return lm.score_perplexity_join(docs, model)
+
+
 #: timed by bench.py but NEVER part of the driver gate list — these
 #: operators' exactness is pinned in pytest (see docstrings); the
 #: bench entries exist so their distributed plans have recorded
@@ -4555,6 +4568,7 @@ BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_pct_map": _q_rs_pct_map,
     "src_gpkg_copy": _q_src_gpkg_copy,
     "tx_bpe": _q_tx_bpe,
+    "tx_perplexity": _q_tx_perplexity,
 }
 
 

@@ -103,6 +103,8 @@ HEADLINE = [
     "src_gpkg_copy",
     # BPE train (bounded histogram) + encode over the documents table
     "tx_bpe",
+    # trigram stupid-backoff perplexity via the unbounded join path
+    "tx_perplexity",
 ]
 
 
