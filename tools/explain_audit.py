@@ -82,6 +82,12 @@ explodes to the pixel buckets its bbox reaches (JVM sequence
 explode), ONE hash exchange on (bxi, byi), and a single
 FlatMapGroupsInPandas barycentric kernel that derives its pixels from
 the bucket key — the raster itself never shuffles, never ships.""",
+    "perplexity_join": """Stupid-backoff perplexity, UNBOUNDED join path: tokenize +
+backoff-ladder gram strings are pure codegen over ONE posexplode; the
+per-order count tables enter as plain hash joins (broadcast at
+fixture scale, co-partitioned SMJ past the threshold — same graceful
+degradation as pansharpen); the CASE backoff fold and the log10 sum
+are all JVM; one final per-doc HashAggregate. No Python anywhere.""",
     "pansharpen": """Weighted Brovey: each MS band's halo exchange shuffles only
 tile PERIMETERS (strips mapInPandas -> one groupBy per band), then the
 multi-way equi-join on (tx, ty) ships each pan tile its three padded
@@ -220,6 +226,15 @@ def main() -> int:
             ).select("doc_id", "lang"),
             {"en": 2.3, "de": 1.0}, key_col="lang", id_col="doc_id",
             seed=7, default_weight=0.25,
+        )
+    )
+    from gdal_spark.operators import lm as _lm
+
+    _docs_lm = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    plans["perplexity_join"] = _plan(
+        _lm.score_perplexity_join(
+            _docs_lm.select("doc_id", "text"),
+            _lm.train_ngram_lm(_docs_lm.select("doc_id", "text"), 3),
         )
     )
     pages = testdata.pages_df(spark, 1000, partitions=4)
