@@ -152,3 +152,30 @@ def weighted_mixture(
         )
         .drop("__n_copies")
     )
+
+
+def sample_by_rate(
+    df: DataFrame,
+    rate_col,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    max_rate: float = 1.0,
+) -> DataFrame:
+    """Per-ROW acceptance sampling: keep each row with probability
+    ``rate_col / max_rate`` (a Column or column name computed
+    upstream), decided by the same repartition-proof hash uniform as
+    :func:`weighted_sample`.
+
+    This is the IMPORTANCE-RESAMPLING primitive (DSIR, Xie et al.
+    2023: weight = target-LM likelihood / source-LM likelihood;
+    CCNet's perplexity-bucket subsampling): compose
+    ``operators.lm.score_perplexity*`` into a weight column, then
+    one codegen filter draws the reweighted corpus — zero shuffles,
+    deterministic under any layout, seed-swappable for independent
+    draws. Rows with NULL or non-positive rate drop."""
+    rate = F.col(rate_col) if isinstance(rate_col, str) else rate_col
+    u = _unit(id_col, seed)
+    return df.filter(
+        rate.isNotNull() & (rate > 0)
+        & (u < rate / F.lit(float(max_rate)))
+    )

@@ -102,3 +102,36 @@ def test_bad_rates_raise(corpus):
         weighted_sample(corpus, {"en": 1.5})
     with pytest.raises(ValueError):
         weighted_mixture(corpus, {"en": -1.0})
+
+
+def test_sample_by_rate_concentration_and_determinism(spark):
+    from gdal_spark.operators.sampling import sample_by_rate
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        # rate 0.8 for even ids, 0.2 for odd
+        F.when(F.col("id") % 2 == 0, 0.8).otherwise(0.2).alias("r"),
+    )
+    kept = sample_by_rate(df, "r", seed=3).toPandas()
+    even = (kept["doc_id"] % 2 == 0).sum()
+    odd = (kept["doc_id"] % 2 == 1).sum()
+    assert abs(even / 10000 - 0.8) < 0.02
+    assert abs(odd / 10000 - 0.2) < 0.02
+    # repartition-proof: identical surviving set
+    kept2 = sample_by_rate(
+        df.repartition(17), "r", seed=3
+    ).toPandas()
+    assert sorted(kept2["doc_id"]) == sorted(kept["doc_id"])
+    # different seed -> different draw, same concentration
+    kept3 = sample_by_rate(df, "r", seed=4).toPandas()
+    assert sorted(kept3["doc_id"]) != sorted(kept["doc_id"])
+
+
+def test_sample_by_rate_null_and_zero_drop(spark):
+    from gdal_spark.operators.sampling import sample_by_rate
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 0.0), (3, 1.0)], "doc_id long, r double"
+    )
+    got = sample_by_rate(df, "r").collect()
+    assert [r["doc_id"] for r in got] == [3]
