@@ -92,6 +92,8 @@ def test_schema_preserved(spark):
     df = spark.createDataFrame(
         [(1, "x", GEOMS[0])], "fid long, name string, geometry binary"
     )
-    out = rp.reproject_geometries(df, _Affine())
+    # executor-side pickling needs an importable transform (test-local
+    # classes don't ship) — any library transform works
+    out = rp.reproject_geometries(df, proj.UTMForwardTransform(zone=31))
     assert out.columns == ["fid", "name", "geometry"]
     assert out.count() == 1
