@@ -129,15 +129,24 @@ def write_geoparquet(
         body = pdf[cols]
         types: set[str] = set()
         boxes = []
+        # NULL geometries are legal in the spec (the reference Parquet
+        # driver writes them); they contribute neither to
+        # geometry_types nor to the file bbox.
         for buf in body[geometry_col]:
+            if buf is None:
+                continue
             gt, _ = _wkb.parse(bytes(buf))
             types.add(_TYPE_NAMES[gt])
             boxes.append(wkb_bbox(bytes(buf)))
-        bx = np.asarray(boxes, dtype=np.float64)
-        bbox = (
-            float(bx[:, 0].min()), float(bx[:, 1].min()),
-            float(bx[:, 2].max()), float(bx[:, 3].max()),
-        )
+        if boxes:
+            bx = np.asarray(boxes, dtype=np.float64)
+            bbox = (
+                float(bx[:, 0].min()), float(bx[:, 1].min()),
+                float(bx[:, 2].max()), float(bx[:, 3].max()),
+            )
+        else:
+            # all-null partition: bbox is optional per spec — omit it.
+            bbox = None
         meta = geo_metadata(geometry_col, sorted(types), bbox, crs_json)
         table = pa.Table.from_pandas(body, preserve_index=False)
         table = table.replace_schema_metadata(
@@ -148,14 +157,16 @@ def write_geoparquet(
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         pq.write_table(table, tmp)
         os.replace(tmp, path)
+        mb = bbox if bbox is not None else (
+            float("nan"),) * 4
         yield pd.DataFrame(
             {
                 "path": [path],
                 "n_rows": [len(body)],
-                "xmin": [bbox[0]],
-                "ymin": [bbox[1]],
-                "xmax": [bbox[2]],
-                "ymax": [bbox[3]],
+                "xmin": [mb[0]],
+                "ymin": [mb[1]],
+                "xmax": [mb[2]],
+                "ymax": [mb[3]],
             }
         )
 

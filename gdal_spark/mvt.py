@@ -497,7 +497,7 @@ def write_tiles_mvt(
             elif gt in (_wkb.POLYGON, _wkb.MULTIPOLYGON):
                 polys = [payload] if gt == _wkb.POLYGON else payload
                 for rings in polys:
-                    for ring in rings:
+                    for ri, ring in enumerate(rings):
                         local = _tile_local(
                             np.asarray(ring), tx, ty_tms, zoom, extent
                         ).astype(float)
@@ -505,9 +505,19 @@ def write_tiles_mvt(
                             local, lo, lo, hi, hi
                         )
                         if len(clipped) >= 3:
-                            parts.append(
-                                np.round(clipped).astype(np.int64)
-                            )
+                            arr = np.round(clipped).astype(np.int64)
+                            # MVT 2.1 §4.3.4.4: the exterior ring must
+                            # have POSITIVE surveyor's-formula area in
+                            # y-down tile coords, interior rings
+                            # negative (GDAL's reader enforces this by
+                            # reversal, ogrmvtdataset.cpp:3827).  The
+                            # engine's outer-CCW WKB convention plus
+                            # the y-flip of _tile_local lands exteriors
+                            # negative, so orient explicitly here.
+                            sa = geom.ring_area(arr.astype(np.float64))
+                            if (ri == 0) != (sa > 0):
+                                arr = arr[::-1].copy()
+                            parts.append(arr)
                 if parts:
                     ftype = POLYGON
             if ftype is None:

@@ -254,19 +254,31 @@ def score_perplexity_join(
     )
     score = score.otherwise(uni_val) if score is not None else uni_val
 
-    return (
+    scored = (
         pos_df.select(
             id_col, "n_tokens", F.log10(score).alias("lp")
         )
         .groupBy(id_col, "n_tokens")
         .agg(F.sum("lp").alias("log10_prob"))
+    )
+    # posexplode emits no rows for zero-token documents, which would
+    # make them vanish here while the broadcast twin emits
+    # (n_tokens=0, log10_prob=0, perplexity=NULL) — left-join the
+    # scores back onto the full doc list so both paths agree.
+    return (
+        base.select(id_col, "n_tokens")
+        .join(scored.drop("n_tokens"), id_col, "left")
         .select(
-            id_col, "n_tokens", "log10_prob",
+            id_col, "n_tokens",
+            F.coalesce(
+                F.col("log10_prob"), F.lit(0.0)
+            ).alias("log10_prob"),
             F.when(
                 F.col("n_tokens") > 0,
                 F.pow(
                     F.lit(10.0),
-                    -F.col("log10_prob") / F.col("n_tokens"),
+                    -F.coalesce(F.col("log10_prob"), F.lit(0.0))
+                    / F.col("n_tokens"),
                 ),
             ).alias("perplexity"),
         )

@@ -277,13 +277,33 @@ def write_osm_pbf(
 
 def blob_index(path: str) -> list[tuple[int, int, int]]:
     """(header_end_offset, blob_size, seq) of every OSMData blob —
-    walks only the framing (seek + 16-ish bytes per blob)."""
+    walks only the framing: read the 4-byte length + BlobHeader, then
+    ``seek(datasize, 1)`` past the blob body. Bytes touched on the
+    driver are O(blobs × ~16 B), never the file size — a planet-scale
+    ~80 GB .osm.pbf indexes without buffering any feature bytes."""
     out = []
+    seq = 0
     with open(path, "rb") as f:
-        buf = f.read()
-    for seq, (btype, _off, hend, dsize) in enumerate(_read_frames(buf)):
-        if btype == "OSMData":
-            out.append((hend, dsize, seq))
+        while True:
+            lenbuf = f.read(4)
+            if len(lenbuf) < 4:
+                break
+            (hlen,) = struct.unpack(">i", lenbuf)
+            header = f.read(hlen)
+            if len(header) < hlen:
+                break
+            btype = ""
+            dsize = 0
+            for fld, v in _Reader(header).fields():
+                if fld == 1:
+                    btype = v.decode()
+                elif fld == 3:
+                    dsize = v
+            hend = f.tell()
+            if btype == "OSMData":
+                out.append((hend, dsize, seq))
+            f.seek(dsize, 1)
+            seq += 1
     return out
 
 

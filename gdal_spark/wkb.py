@@ -104,6 +104,11 @@ def _parse_geom(r: _Reader):
     byte_order = r.u8()
     fmt = "<" if byte_order == 1 else ">"
     code = r.u32(fmt)
+    if code & 0x20000000:
+        # EWKB SRID flag (PostGIS): a 4-byte SRID follows the type
+        # word before any coordinates — consume it, else the SRID
+        # bytes would be read as the first coordinate.
+        r.u32(fmt)
     gtype = _geom_type(code)
     if gtype == POINT:
         x, y = struct.unpack_from(fmt + "dd", r.buf, r.pos)

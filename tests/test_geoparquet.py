@@ -95,3 +95,39 @@ def test_missing_geometry_column_raises(spark):
         gpq.write_geoparquet(
             _geoms_df(spark).drop("geometry"), "/tmp/nope"
         )
+
+
+def test_null_geometries_survive_write_and_read(spark, tmp_path):
+    """NULL geometry is legal GeoParquet (the reference Parquet driver
+    writes it): nulls are skipped for geometry_types/bbox, an all-null
+    partition omits bbox from its footer, and rows round-trip."""
+    out = str(tmp_path / "gp_null")
+    rows = [
+        (1, wkb.point(1.0, 2.0)),
+        (2, None),
+        (3, wkb.point(3.0, 4.0)),
+    ]
+    df = spark.createDataFrame(rows, "fid long, geometry binary")
+    man = gpq.write_geoparquet(df.repartition(2), out).toPandas()
+    assert man["n_rows"].sum() == 3
+    back, meta = gpq.read_geoparquet(spark, out)
+    got = back.orderBy("fid").collect()
+    assert [r["fid"] for r in got] == [1, 2, 3]
+    assert got[1]["geometry"] is None
+    col = meta["columns"][meta["primary_column"]]
+    assert col["geometry_types"] == ["Point"]
+    assert col["bbox"] == [1.0, 2.0, 3.0, 4.0]
+
+    # all-null frame: footer omits bbox entirely (spec: bbox optional)
+    out2 = str(tmp_path / "gp_allnull")
+    df2 = spark.createDataFrame([(1, None), (2, None)],
+                                "fid long, geometry binary")
+    man2 = gpq.write_geoparquet(df2.coalesce(1), out2).toPandas()
+    assert man2["n_rows"].sum() == 2
+    import os as _os
+    p = [f for f in _os.listdir(out2) if f.endswith(".parquet")][0]
+    md = pq.ParquetFile(_os.path.join(out2, p)).schema_arrow.metadata
+    footer = json.loads(md[b"geo"])
+    fcol = footer["columns"][footer["primary_column"]]
+    assert "bbox" not in fcol
+    assert fcol["geometry_types"] == []

@@ -94,3 +94,28 @@ def test_perplexity_positive_and_finite(spark):
     for r in rows:
         assert r["perplexity"] > 1.0
         assert math.isfinite(r["perplexity"])
+
+
+def test_zero_token_docs_survive_both_paths(spark):
+    """Empty/whitespace documents must surface from BOTH scoring
+    paths with identical rows (n_tokens=0, log10_prob=0,
+    perplexity=NULL) — posexplode emits no rows for them, so the
+    join path needs the left-join-back onto the doc list."""
+    train = _docs(spark)
+    model = lm.train_ngram_lm(train, order=2)
+    docs = spark.createDataFrame(
+        [(10, "the cat sat"), (11, ""), (12, "   ")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r for r in lm.score_perplexity(docs, model).collect()}
+    b = {r["doc_id"]: r
+         for r in lm.score_perplexity_join(docs, model).collect()}
+    assert set(a) == set(b) == {10, 11, 12}
+    for k in (11, 12):
+        for res in (a[k], b[k]):
+            assert res["n_tokens"] == 0
+            assert res["log10_prob"] == 0.0
+            assert res["perplexity"] is None
+    assert a[10]["log10_prob"] == pytest.approx(
+        b[10]["log10_prob"], rel=1e-12
+    )

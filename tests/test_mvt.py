@@ -176,3 +176,43 @@ def test_polygon_spanning_tiles_is_clipped_per_tile(spark, tmp_path):
             for ring in f["parts"]:
                 assert ring.min() >= -64
                 assert ring.max() <= 4096 + 64
+
+
+def test_polygon_ring_winding_matches_spec(spark, tmp_path):
+    """MVT 2.1 §4.3.4.4: exterior rings have POSITIVE shoelace area in
+    y-down tile coords, interior rings NEGATIVE — GDAL's MVT reader
+    (ogrmvtdataset.cpp:3827) classifies rings solely by this sign, so
+    wrong winding turns exteriors into holes for every conformant
+    consumer."""
+    from gdal_spark import geometry as geom
+
+    out = str(tmp_path / "mvt_wind")
+    zoom = 6
+    # polygon with a hole, both in the engine's WKB convention
+    shell = [(9.95, 19.95), (10.05, 19.95), (10.05, 20.05),
+             (9.95, 20.05), (9.95, 19.95)]
+    hole = [(9.99, 19.99), (9.99, 20.01), (10.01, 20.01),
+            (10.01, 19.99), (9.99, 19.99)]
+    df = spark.createDataFrame(
+        [(1, wkb.polygon([shell, hole]))],
+        "fid long, geometry binary",
+    )
+    manifest = mvt.write_tiles_mvt(df, out, zoom, id_col="fid").toPandas()
+    assert len(manifest) >= 1
+    saw_exterior = saw_hole = False
+    for _, m in manifest.iterrows():
+        layers = mvt.decode_tile(open(m["path"], "rb").read())
+        for f in layers[0]["features"]:
+            for ring in f["parts"]:
+                sa = geom.ring_area(ring.astype(np.float64))
+                assert sa != 0
+                # decode order preserves encode order: first ring of a
+                # polygon is the exterior
+            areas = [geom.ring_area(r.astype(np.float64))
+                     for r in f["parts"]]
+            assert areas[0] > 0
+            saw_exterior = True
+            for a in areas[1:]:
+                assert a < 0
+                saw_hole = True
+    assert saw_exterior and saw_hole

@@ -4,6 +4,7 @@ round trips, the blob-index ranged distributed scan, and coordinate
 quantization semantics."""
 
 import json
+import os
 import struct
 import zlib
 
@@ -114,3 +115,53 @@ def test_scan_parallelism_is_per_blob(spark, tmp_path):
     a = osmpbf.read_osm_pbf(spark, p, blobs_per_task=1).count()
     b = osmpbf.read_osm_pbf(spark, p, blobs_per_task=6).count()
     assert a == b == 300
+
+
+def test_blob_index_touches_only_framing_bytes(tmp_path):
+    """The driver-side index walks length+BlobHeader frames and seeks
+    past blob bodies — bytes READ must be O(blobs · header), not the
+    file size (a planet .osm.pbf is ~80 GB; buffering it would OOM
+    the driver)."""
+    import builtins
+
+    nodes, ways = _fixture(2000)
+    p = str(tmp_path / "big.osm.pbf")
+    osmpbf.write_osm_pbf(p, nodes, ways, nodes_per_block=100)
+    file_size = os.path.getsize(p)
+
+    counted = {"n": 0}
+    real_open = builtins.open
+
+    class _CountingFile:
+        def __init__(self, f):
+            self._f = f
+
+        def read(self, n=-1):
+            data = self._f.read(n)
+            counted["n"] += len(data)
+            return data
+
+        def seek(self, *a):
+            return self._f.seek(*a)
+
+        def tell(self):
+            return self._f.tell()
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            self._f.close()
+
+    def patched_open(path, mode="r", *a, **kw):
+        return _CountingFile(real_open(path, mode, *a, **kw))
+
+    import unittest.mock as mock
+
+    with mock.patch.object(osmpbf, "open", patched_open, create=True):
+        idx = osmpbf.blob_index(p)
+    assert len(idx) == 20
+    # framing is ~16 bytes/blob; allow generous slack but pin far
+    # below the file size
+    assert counted["n"] < min(file_size // 2, 21 * 64)
+    assert counted["n"] < file_size

@@ -78,3 +78,32 @@ def test_iso_z_type_codes_stripped():
     assert wkb._geom_type(1003) == wkb.POLYGON
     assert wkb._geom_type(3006) == wkb.MULTIPOLYGON
     assert wkb._geom_type(1) == wkb.POINT
+
+
+def test_ewkb_srid_flag_consumes_srid_word():
+    """PostGIS EWKB sets 0x20000000 on the type word and inserts a
+    4-byte SRID before the coordinates; the parser must skip it (the
+    old behavior masked the flag and decoded the SRID bytes as the
+    first coordinate)."""
+    import struct
+
+    # hand-build EWKB: little-endian point(1,2) with SRID=4326
+    buf = (b"\x01"
+           + struct.pack("<I", 0x20000001)
+           + struct.pack("<I", 4326)
+           + struct.pack("<dd", 1.0, 2.0))
+    gt, payload = wkb.parse(buf)
+    assert gt == wkb.POINT
+    assert payload == (1.0, 2.0)
+
+    # EWKB polygon with SRID
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]
+    body = struct.pack("<I", 1) + struct.pack("<I", len(ring))
+    for x, y in ring:
+        body += struct.pack("<dd", x, y)
+    pbuf = (b"\x01" + struct.pack("<I", 0x20000003)
+            + struct.pack("<I", 3857) + body)
+    gt, rings = wkb.parse(pbuf)
+    assert gt == wkb.POLYGON
+    assert len(rings) == 1 and len(rings[0]) == 4
+    assert rings[0][1][0] == 4.0
