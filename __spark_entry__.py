@@ -666,10 +666,38 @@ def _q_dd_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gdal_spark.operators.dedup import simhash_near_pairs
+    """SimHash near-pair machinery on a closed-form fingerprint
+    fixture: fp(doc) = base(doc//8) XOR (1 << 8*(doc%8)), so every
+    within-group pair is exactly Hamming 2 (each member flips one
+    distinct bit, one per 8-bit stride — the flips land in different
+    16-bit pigeonhole blocks, exercising the multi-block path). The
+    oracle recomputes the same fingerprints in SQL and brute-forces
+    all pairs with xor+bit_count, so blocking + verify are
+    value-exact; the text→fingerprint step (xxhash64 sign sums) is
+    pinned by tests/test_dedup.py."""
+    from gdal_spark.operators.dedup import simhash_pairs_from_fps
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3, n_blocks=4)
+    fp = F.expr(
+        "CAST(doc_id DIV 8 AS BIGINT) * CAST(92233720368547757 AS BIGINT)"
+    ).bitwiseXOR(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST((doc_id % 8) * 8 AS INT))")
+    )
+    sh = docs.select("doc_id", fp.alias("simhash"))
+    return simhash_pairs_from_fps(sh, "doc_id", max_hamming=3, n_blocks=4)
+
+
+_SIMHASH_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             xor(CAST((doc_id // 8) * 92233720368547757 AS BIGINT),
+                 CAST(1 AS BIGINT) << CAST((doc_id % 8) * 8 AS INTEGER))
+               AS fp
+      FROM documents WHERE doc_id < 200)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
 
 
 def _q_dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2409,33 +2437,81 @@ def _probe_oracle_sql() -> str:
         FROM p"""
 
 
-def _q_rs_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thresholded formula raster → connected regions across tiles,
-    with REAL boundary-ring geometry (outer + holes, traced from
-    boundary edges — the full GDALPolygonize contract)."""
-    import pandas as pd_  # noqa: F811 (worker-side import clarity)
+def _strips_dots_tiles(spark, n_tiles: int = 4, ts: int = 64):
+    """Shared polygonize/sieve fixture with a CLOSED-FORM region
+    decomposition: the thresholded formula raster v=(7x+13y)%251 < 64
+    is a union of diagonal strips — each 4-connected component is
+    exactly one (band=(7x+13y)//251, value) class (verified by flood
+    fill) — plus isolated single-pixel "dots" on a sparse lattice
+    (x%16==8, y%16==8) value-margin-guaranteed interior to the
+    value-0 strips (84 ≤ v < 231 keeps every 4- and 8-neighbor in
+    [64,251)). Dots are 1-px value-1 regions AND holes of their
+    value-0 strip, so region stats, hole counts, and sieve outcomes
+    are all expressible in plain SQL."""
+    import pandas as pd_
 
-    from gdal_spark.operators.tiling import (
-        TILE_SCHEMA, formula_tiles, polygonize_rings,
-    )
+    from gdal_spark.operators.tiling import TILE_SCHEMA, formula_tiles
 
-    def threshold(batches):
+    def build(batches):
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                arr = np.frombuffer(r["data"], dtype=np.uint8).reshape(
-                    int(r["h"]), int(r["w"])
+                w, h = int(r["w"]), int(r["h"])
+                arr = np.frombuffer(r["data"], dtype=np.uint8).reshape(h, w)
+                tx, ty = int(r["tx"]), int(r["ty"])
+                gx = tx * w + np.arange(w)[None, :]
+                gy = ty * h + np.arange(h)[:, None]
+                dots = (
+                    (gx % 16 == 8) & (gy % 16 == 8)
+                    & (arr >= 84) & (arr < 231)
                 )
-                rows.append(
-                    (0, int(r["tx"]), int(r["ty"]), int(r["w"]), int(r["h"]),
-                     (arr < 64).astype(np.uint8).tobytes())
-                )
+                out = ((arr < 64) | dots).astype(np.uint8)
+                rows.append((0, tx, ty, w, h, out.tobytes()))
             yield pd_.DataFrame(
                 rows, columns=["z", "tx", "ty", "w", "h", "data"]
             )
 
-    tiles = formula_tiles(spark, 4, 4, 64).mapInPandas(threshold, TILE_SCHEMA)
+    return formula_tiles(spark, n_tiles, n_tiles, ts).mapInPandas(
+        build, TILE_SCHEMA
+    )
+
+
+def _q_rs_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strips+dots raster → connected regions across tiles with REAL
+    boundary-ring geometry (outer + holes, traced from boundary edges
+    — the full GDALPolygonize contract, alg/polygonize.cpp:73).
+    Value-exact: every region's (value, n_pixels, n_holes) has the
+    closed-form band/dot oracle of _strips_dots_tiles."""
+    from gdal_spark.operators.tiling import polygonize_rings
+
+    tiles = _strips_dots_tiles(spark)
     return polygonize_rings(tiles).select("value", "n_pixels", "n_holes")
+
+
+_POLYGONIZE_ORACLE = """
+    WITH px AS (
+      SELECT a.x AS x, b.y AS y
+      FROM generate_series(0, 255) a(x)
+      CROSS JOIN generate_series(0, 255) b(y)),
+    c AS (SELECT x, y, (7*x + 13*y) % 251 AS v,
+                 (7*x + 13*y) // 251 AS band
+          FROM px),
+    dot AS (SELECT * FROM c
+            WHERE x % 16 = 8 AND y % 16 = 8 AND v >= 84 AND v < 231),
+    s1 AS (SELECT band, COUNT(*) AS n FROM c WHERE v < 64 GROUP BY band),
+    d AS (SELECT band, COUNT(*) AS nd FROM dot GROUP BY band),
+    s0 AS (SELECT band, COUNT(*) AS n FROM c WHERE v >= 64 GROUP BY band)
+    SELECT CAST(value AS BIGINT) AS value,
+           CAST(n_pixels AS BIGINT) AS n_pixels,
+           CAST(n_holes AS BIGINT) AS n_holes
+    FROM (
+      SELECT 1 AS value, n AS n_pixels, 0 AS n_holes FROM s1
+      UNION ALL
+      SELECT 1, 1, 0 FROM dot
+      UNION ALL
+      SELECT 0, s0.n - COALESCE(d.nd, 0), COALESCE(d.nd, 0)
+      FROM s0 LEFT JOIN d ON s0.band = d.band
+    )"""
 
 
 _PROX_N, _PROX_TS, _PROX_MAXD = 2, 64, 30
@@ -2490,38 +2566,36 @@ def _proximity_oracle_sql() -> str:
 
 
 def _q_rs_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sieve a deterministic noisy binarization of the formula raster
-    (GDALSieveFilter semantics) and checksum the cleaned tiles.
-    Rows-only gate; exact semantics pinned by tests/test_sieve.py."""
-    import pandas as pd_
+    """Sieve the strips+dots raster (GDALSieveFilter semantics,
+    alg/gdalsievefilter.cpp) and checksum the cleaned tiles.
+    Value-exact: with threshold=8 the sieve must remove every 1-px
+    dot (merging it into its surrounding value-0 strip) AND the one
+    4-px value-0 corner region (band 20, merged into its only
+    neighbor, the value-1 band-20 strip) — so the cleaned raster has
+    the closed-form val = (v<64 OR 7x+13y>=5084), checksummed per
+    tile in SQL."""
+    from gdal_spark.operators.tiling import sieve, tile_checksums
 
-    from gdal_spark.operators.tiling import (
-        TILE_SCHEMA, formula_tiles, sieve, tile_checksums,
-    )
-
-    ts = 64
-
-    def binarize(batches):
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                arr = np.frombuffer(r["data"], dtype=np.uint8).reshape(
-                    int(r["h"]), int(r["w"])
-                ).astype(np.int64)
-                tx, ty = int(r["tx"]), int(r["ty"])
-                x = tx * ts + np.arange(int(r["w"]))[None, :]
-                y = ty * ts + np.arange(int(r["h"]))[:, None]
-                noisy = (((arr * 31 + x * 17 + y * 101) % 13) < 4)
-                rows.append(
-                    (0, tx, ty, int(r["w"]), int(r["h"]),
-                     noisy.astype(np.uint8).tobytes())
-                )
-            yield pd_.DataFrame(
-                rows, columns=["z", "tx", "ty", "w", "h", "data"]
-            )
-
-    tiles = formula_tiles(spark, 4, 4, ts).mapInPandas(binarize, TILE_SCHEMA)
+    tiles = _strips_dots_tiles(spark)
     return tile_checksums(sieve(tiles, threshold=8))
+
+
+_SIEVE_ORACLE = """
+    WITH px AS (
+      SELECT a.x AS x, b.y AS y
+      FROM generate_series(0, 255) a(x)
+      CROSS JOIN generate_series(0, 255) b(y)),
+    c AS (SELECT x, y,
+                 CASE WHEN (7*x + 13*y) % 251 < 64
+                        OR (7*x + 13*y) >= 5084
+                      THEN 1 ELSE 0 END AS val,
+                 (y % 64) * 64 + (x % 64) AS idx
+          FROM px)
+    SELECT CAST(0 AS INTEGER) AS z,
+           CAST(x // 64 AS BIGINT) AS tx,
+           CAST(y // 64 AS BIGINT) AS ty,
+           CAST(SUM(val * (idx % 11 + 1)) % 2147483648 AS BIGINT) AS cks
+    FROM c GROUP BY x // 64, y // 64"""
 
 
 _STATS_N, _STATS_TS, _STATS_BUCKETS = 8, 64, 16
@@ -4722,6 +4796,9 @@ ENGINE_ORACLES: dict[str, str] = {
     "rs_proximity": _proximity_oracle_sql(),
     "rs_point_probe": _probe_oracle_sql(),
     "rs_fill_polygons": _fill_oracle_sql(),
+    "rs_polygonize": _POLYGONIZE_ORACLE,
+    "rs_sieve_checksum": _SIEVE_ORACLE,
+    "dd_simhash": _SIMHASH_ORACLE,
     "q_ogr_sql": """
         SELECT o_orderkey, o_orderstatus || '-' || o_orderpriority AS tag,
                SUBSTR(o_orderpriority, 1, 3) AS pri,
@@ -4846,13 +4923,12 @@ ENGINE_ORACLES: dict[str, str] = {
         WHERE rnk <= 3""",
 }
 
-# queries with no SQL-expressible oracle → driver rows-only check
-# (rs_polygonize: connected-component labeling needs iteration; its
-# exact oracle is the flood-fill pytest in tests/test_tiling.py)
-NO_ORACLE = {
-    "dd_simhash", "rs_polygonize",
-    "rs_sieve_checksum", "geo_hull_cells",
-}
+# queries with no SQL-expressible oracle → driver rows-only check.
+# (Empty since round 5: rs_polygonize / rs_sieve_checksum gained the
+# closed-form strips+dots fixture whose region decomposition is plain
+# SQL, and dd_simhash gained a deterministic-fingerprint fixture with
+# a brute-force xor+bit_count oracle.)
+NO_ORACLE: set[str] = {"geo_hull_cells"}
 
 # The driver's correctness run caps at 50 queries (CORRECTNESS_r01 had
 # 50 rows for 57 entries, truncated in dict order). These gates are

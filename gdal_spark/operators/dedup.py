@@ -302,6 +302,21 @@ def simhash_near_pairs(
     ≥1 exact block (pigeonhole when max_hamming < n_blocks) → equi-join
     per block, then exact popcount filter."""
     sh = simhash(df, id_col, text_col)
+    return simhash_pairs_from_fps(sh, id_col, max_hamming, n_blocks)
+
+
+def simhash_pairs_from_fps(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """The blocking + verify stage of SimHash dedup over an existing
+    fingerprint table (id, ``simhash`` long): pigeonhole block
+    equi-join candidates, exact popcount filter. Split out so
+    fingerprints from any source (the text path above, or an external
+    fingerprint store) share the one scale path — candidates are
+    bucketed equi-joins, never all-pairs."""
     width = 64 // n_blocks
     blocks = sh.select(
         id_col,
