@@ -1753,6 +1753,111 @@ def _warp_lcc_oracle_sql() -> str:
         FROM px"""
 
 
+# Albers warp fixture: src raster georeferenced in CONUS Albers
+# (EPSG:5070 parameters — NAD83/GRS80 equal-area conic), dst grid in
+# EPSG:3857. Dst origin chosen (tools search over 100 m offsets) so
+# every dst pixel maps inside src with ≥2.7e-4 px clearance from pixel
+# edges — ulp-level libm spread between numpy and DuckDB (~1e-9 px)
+# cannot flip a floor.
+_WALB_PARAMS = (29.5, 45.5, 23.0, -96.0)
+_WALB_SRC_WH = 256
+_WALB_SRC_GT = (-400000.0, 1600.0, 0.0, 2030000.0, 0.0, -1600.0)
+_WALB_DST_WH = 64
+_WALB_DST_GT = (-11139100.0, 6000.0, 0.0, 5001900.0, 0.0, -6000.0)
+
+
+def _q_rs_warp_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED-transform warp CONUS Albers (EPSG:5070) → EPSG:3857
+    (nearest): ``proj.compose(WebMercatorToLonLat(),
+    albers_forward_transform(...))`` through the same distributed
+    gather as rs_warp_lcc (alg/gdaltransformer.cpp:1379;
+    ogr/ogrct.cpp:2254 behind PROJ ``aea``). Value-exact against an
+    oracle restating the spherical mercator inverse and the Snyder
+    Albers forward (PP 1395 eq. 14-1..14-4 + 3-12) in SQL."""
+    from gdal_spark import proj
+    from gdal_spark.operators.tiling import formula_tiles, warp_affine
+
+    ts = 64
+    tiles = formula_tiles(
+        spark, _WALB_SRC_WH // ts, _WALB_SRC_WH // ts, ts
+    )
+    tf = proj.compose(
+        proj.WebMercatorToLonLat(),
+        proj.albers_forward_transform(*_WALB_PARAMS, f=proj.GRS80_F),
+    )
+    return warp_affine(
+        tiles, _WALB_SRC_GT, _WALB_SRC_WH, _WALB_SRC_WH,
+        _WALB_DST_GT, _WALB_DST_WH, _WALB_DST_WH,
+        method="nearest", dst_block=32, src_tile_size=ts,
+        transform=tf,
+    )
+
+
+def _warp_albers_oracle_sql() -> str:
+    """Mirrors the composed kernel operation-for-operation: dst pixel
+    center → 3857 metres → (lon, lat) via atan(sinh) → Snyder Albers
+    forward with the SAME derived constants (n, C, rho0 computed once
+    by proj.AlbersEqualArea and embedded as repr'd float64 literals)
+    → src pixel floor via the exact inverse geotransform → formula
+    value. Clearance ≥2.7e-4 px makes the floors ulp-robust."""
+    from gdal_spark import proj, raster
+
+    alb = proj.AlbersEqualArea(*_WALB_PARAMS, f=proj.GRS80_F)
+    e, e2 = alb.e, alb.e2
+    om_e2 = 1.0 - e2          # as the numpy kernel computes it
+    hie = 1.0 / (2.0 * e)
+    igt = raster.inv_gt(_WALB_SRC_GT)
+    g = _WALB_DST_GT
+    lon0 = float(np.radians(_WALB_PARAMS[3]))
+    return f"""
+        WITH dij AS (
+          SELECT di.i AS di, dj.j AS dj
+          FROM generate_series(0, {_WALB_DST_WH - 1}) AS di(i)
+          CROSS JOIN generate_series(0, {_WALB_DST_WH - 1}) AS dj(j)),
+        merc AS (
+          SELECT di, dj,
+                 {g[0]!r} + (di + 0.5e0) * {g[1]!r} AS mx,
+                 {g[3]!r} + (dj + 0.5e0) * {g[5]!r} AS my
+          FROM dij),
+        ll AS (
+          SELECT di, dj,
+                 RADIANS(DEGREES(mx / 6378137e0)) AS lam,
+                 RADIANS(DEGREES(ATAN(
+                   (EXP(my / 6378137e0) - EXP(-(my / 6378137e0)))
+                   / 2e0))) AS phi
+          FROM merc),
+        qq AS (
+          SELECT di, dj, lam,
+                 {om_e2!r} * (SIN(phi) / (1e0 - {e2!r} * SIN(phi)
+                                          * SIN(phi))
+                              - {hie!r} * LN((1e0 - {e!r} * SIN(phi))
+                                             / (1e0 + {e!r} * SIN(phi))))
+                   AS q
+          FROM ll),
+        rt AS (
+          SELECT di, dj,
+                 {alb.a!r} * SQRT({alb.C!r} - {alb.n!r} * q)
+                   / {alb.n!r} AS rho,
+                 {alb.n!r} * (lam - {lon0!r}) AS th
+          FROM qq),
+        en AS (
+          SELECT di, dj,
+                 rho * SIN(th) AS x,
+                 {alb.rho0!r} - rho * COS(th) AS y
+          FROM rt),
+        px AS (SELECT di, dj,
+                      CAST(FLOOR({igt[0]!r} + x * {igt[1]!r})
+                           AS BIGINT) AS ix,
+                      CAST(FLOOR({igt[3]!r} + y * {igt[5]!r})
+                           AS BIGINT) AS iy
+               FROM en)
+        SELECT di, dj,
+               CASE WHEN ix >= 0 AND ix < {_WALB_SRC_WH}
+                     AND iy >= 0 AND iy < {_WALB_SRC_WH}
+                    THEN (ix * 7 + iy * 13) % 251 ELSE -1 END AS val
+        FROM px"""
+
+
 _CONTOUR_N, _CONTOUR_TS, _CONTOUR_THR = 4, 64, 100
 # 0.5 deg/pixel: every inverse-geotransform coefficient is an exactly
 # representable double (2.0, 360.0, ...) — DuckDB's decimal-literal
@@ -4661,6 +4766,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_warp_cubic": _warp_query("cubic"),
     "rs_warp_utm": _q_rs_warp_utm,
     "rs_warp_lcc": _q_rs_warp_lcc,
+    "rs_warp_albers": _q_rs_warp_albers,
     "geo_clip_lines": _q_geo_clip_lines,
     "sp_utm_inverse": _q_sp_utm_inverse,
     "geo_area_geodesic": _q_geo_area_geodesic,
@@ -4740,6 +4846,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "dd_dup_clusters": _DUP_CLUSTERS_ORACLE,
     "rs_warp_utm": _warp_utm_oracle_sql(),
     "rs_warp_lcc": _warp_lcc_oracle_sql(),
+    "rs_warp_albers": _warp_albers_oracle_sql(),
     "geo_clip_lines": _clip_lines_oracle_sql(),
     "sp_utm_inverse": _utm_inverse_oracle_sql(),
     "geo_area_geodesic": _geodesic_oracle_sql(),
@@ -5058,6 +5165,16 @@ RETIRED_GATES: dict[str, str] = {
                         "rs_checksum_gdal (GDALChecksumImage exact — "
                         "the parity primitive the reference's whole "
                         "autotest suite uses)",
+    # --- retired in r05 (green in CORRECTNESS_r04) ---
+    "rs_warp_lcc": "rs_warp_albers runs the IDENTICAL composed-"
+                   "transform distributed gather (compose(3857→lonlat, "
+                   "conic forward) through warp_affine) with a harder "
+                   "conic (equal-area vs conformal); rs_warp_utm keeps "
+                   "the projective-warp gather driver-verified; LCC "
+                   "forward/inverse exactness stays pinned in "
+                   "tests/test_proj.py (round trips, true scale on "
+                   "both standard parallels, Snyder numeric example); "
+                   "green r04; admits rs_warp_albers",
 }
 
 

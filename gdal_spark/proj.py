@@ -379,6 +379,39 @@ def _crs_legs(code: str):
     if 32701 <= n <= 32760:
         z = n - 32700
         return UTMInverseTransform(z, False), UTMForwardTransform(z, False)
+    if n == 5070:  # NAD83 / CONUS Albers (GRS80)
+        p = (29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
+        kw = {"f": GRS80_F}
+        return (
+            _InvTransform(AlbersEqualArea, *p, **kw),
+            _FwdTransform(AlbersEqualArea, *p, **kw),
+        )
+    if n == 3577:  # GDA94 / Australian Albers (GRS80)
+        p = (-18.0, -36.0, 0.0, 132.0, 0.0, 0.0)
+        kw = {"f": GRS80_F}
+        return (
+            _InvTransform(AlbersEqualArea, *p, **kw),
+            _FwdTransform(AlbersEqualArea, *p, **kw),
+        )
+    if n == 3413:  # WGS84 / NSIDC Sea Ice Polar Stereographic North
+        kw = {"lat_ts_deg": 70.0}
+        return (
+            _InvTransform(PolarStereographic, -45.0, True, **kw),
+            _FwdTransform(PolarStereographic, -45.0, True, **kw),
+        )
+    if n == 3031:  # WGS84 / Antarctic Polar Stereographic
+        kw = {"lat_ts_deg": -71.0}
+        return (
+            _InvTransform(PolarStereographic, 0.0, False, **kw),
+            _FwdTransform(PolarStereographic, 0.0, False, **kw),
+        )
+    if n in (32661, 32761):  # WGS84 / UPS North / South
+        north = n == 32661
+        kw = {"k0": 0.994, "false_e": 2e6, "false_n": 2e6}
+        return (
+            _InvTransform(PolarStereographic, 0.0, north, **kw),
+            _FwdTransform(PolarStereographic, 0.0, north, **kw),
+        )
     raise ValueError(f"unsupported CRS {code!r}")
 
 
@@ -393,3 +426,305 @@ def crs_transform(src: str, dst: str) -> ComposedTransform:
     src_inv, _ = _crs_legs(src)
     _, dst_fwd = _crs_legs(dst)
     return ComposedTransform(src_inv, dst_fwd)
+
+
+# ---------------------------------------------------------------------------
+# Albers Equal-Area Conic + Stereographic families (Snyder, USGS PP
+# 1395: Albers pp. 101-102 eq. 14-1..14-19 / 3-12 / 3-16; polar
+# stereographic pp. 160-162 eq. 21-33/21-34/15-9; oblique
+# stereographic pp. 160-161 eq. 21-27/21-28 via conformal latitude).
+# Reference analog: the PROJ `aea` / `stere` pipelines behind
+# OGRCoordinateTransformation (ogr/ogrct.cpp:2254).
+# ---------------------------------------------------------------------------
+
+GRS80_F = 1.0 / 298.257222101  # NAD83 ellipsoid (EPSG:7019)
+
+
+def _ellipsoid(a: float, f: float):
+    e2 = f * (2.0 - f)
+    return float(a), float(e2), float(np.sqrt(e2))
+
+
+def _m_of(phi, e):
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - e * e * s * s)
+
+
+def _q_of(phi, e):
+    """Snyder eq. 3-12: q(φ) for the equal-area family."""
+    s = np.sin(phi)
+    e2 = e * e
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+def _t_of(phi, e):
+    """Snyder eq. 15-9 (isometric-latitude t), any ellipsoid."""
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - e * s) / (1.0 + e * s)
+    ) ** (e / 2.0)
+
+
+class AlbersEqualArea:
+    """Albers Equal-Area Conic (2SP), ellipsoidal — the continental
+    statistics projection (EPSG:5070 CONUS, EPSG:3577 Australia).
+    From-spec Snyder PP 1395 eq. 14-1..14-19.
+
+    Verification strategy (tests/test_albers_stereo.py): the DEFINING
+    property is exact area preservation — the forward Jacobian
+    determinant equals the ellipsoidal area element everywhere — plus
+    true scale along both standard parallels (k(φ1)=k(φ2)=1, eq.
+    14-16) and sub-µm round trips. No external data needed."""
+
+    def __init__(self, phi1_deg: float, phi2_deg: float,
+                 phi0_deg: float, lon0_deg: float,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 a: float = _A, f: float = _F):
+        self.a, self.e2, self.e = _ellipsoid(a, f)
+        p1, p2, p0 = (np.radians(v) for v in (phi1_deg, phi2_deg,
+                                              phi0_deg))
+        m1 = _m_of(np.float64(p1), self.e)
+        m2 = _m_of(np.float64(p2), self.e)
+        q1 = _q_of(np.float64(p1), self.e)
+        q2 = _q_of(np.float64(p2), self.e)
+        q0 = _q_of(np.float64(p0), self.e)
+        self.n = float((m1 * m1 - m2 * m2) / (q2 - q1))
+        self.C = float(m1 * m1 + self.n * q1)
+        self.rho0 = float(
+            self.a * np.sqrt(self.C - self.n * q0) / self.n
+        )
+        self.lon0 = float(np.radians(lon0_deg))
+        self.fe, self.fn = float(false_e), float(false_n)
+
+    def forward(self, lon_deg, lat_deg):
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        q = _q_of(phi, self.e)
+        rho = self.a * np.sqrt(self.C - self.n * q) / self.n
+        th = self.n * (lam - self.lon0)
+        return (
+            self.fe + rho * np.sin(th),
+            self.fn + self.rho0 - rho * np.cos(th),
+        )
+
+    def inverse(self, x, y, iters: int = 12):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        sgn = 1.0 if self.n >= 0 else -1.0
+        rho = np.hypot(x, self.rho0 - y)
+        th = np.arctan2(sgn * x, sgn * (self.rho0 - y))
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        # Snyder eq. 3-16 fixed point from φ = asin(q/2)
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        e, e2 = self.e, self.e2
+        for _ in range(iters):
+            s = np.sin(phi)
+            one = 1.0 - e2 * s * s
+            phi = phi + one * one / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e2)
+                - s / one
+                + (1.0 / (2.0 * e))
+                * np.log((1.0 - e * s) / (1.0 + e * s))
+            )
+        lam = self.lon0 + th / self.n
+        return np.degrees(lam), np.degrees(phi)
+
+    def scale_k(self, lat_deg):
+        """Scale along a parallel (Snyder eq. 14-16): √(C−nq)/m —
+        exactly 1 on both standard parallels; h = 1/k (equal area)."""
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        return np.sqrt(
+            self.C - self.n * _q_of(phi, self.e)
+        ) / _m_of(phi, self.e)
+
+
+class PolarStereographic:
+    """Polar Stereographic (variant A: k0 at the pole, e.g. UPS
+    EPSG:32661/32761; variant B: true-scale parallel φ_ts, e.g.
+    EPSG:3413 Arctic / EPSG:3031 Antarctic). Snyder PP 1395 eq.
+    21-33/21-34 forward, 7-9 fixed-point inverse."""
+
+    def __init__(self, lon0_deg: float, north: bool = True,
+                 k0: float | None = None,
+                 lat_ts_deg: float | None = None,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 a: float = _A, f: float = _F):
+        if (k0 is None) == (lat_ts_deg is None):
+            raise ValueError("give exactly one of k0 / lat_ts_deg")
+        self.a, self.e2, self.e = _ellipsoid(a, f)
+        self.north = bool(north)
+        self.lon0 = float(np.radians(lon0_deg))
+        self.fe, self.fn = float(false_e), float(false_n)
+        e = self.e
+        if k0 is not None:
+            # eq. 21-33 coefficient: ρ = a·coef·t
+            self.coef = float(
+                2.0 * k0 / np.sqrt(
+                    (1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e)
+                )
+            )
+        else:
+            pts = np.float64(abs(np.radians(lat_ts_deg)))
+            self.coef = float(
+                _m_of(pts, e) / _t_of(pts, e)
+            )  # eq. 21-34: ρ = a m(φts) t / t(φts)
+
+    def forward(self, lon_deg, lat_deg):
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        if not self.north:  # Snyder: reverse signs for south aspect
+            lam, phi = -lam, -phi
+            lon0 = -self.lon0
+        else:
+            lon0 = self.lon0
+        t = _t_of(phi, self.e)
+        rho = self.a * self.coef * t
+        x = rho * np.sin(lam - lon0)
+        y = -rho * np.cos(lam - lon0)
+        if not self.north:
+            x, y = -x, -y
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y, iters: int = 10):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        if not self.north:
+            x2, y2, lon0 = -x, -y, -self.lon0
+        else:
+            x2, y2, lon0 = x, y, self.lon0
+        rho = np.hypot(x2, y2)
+        t = rho / (self.a * self.coef)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        e = self.e
+        for _ in range(iters):  # Snyder eq. 7-9
+            s = np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+            )
+        lam = lon0 + np.arctan2(x2, -y2)
+        if not self.north:
+            lam, phi = -lam, -phi
+        return np.degrees(lam), np.degrees(phi)
+
+
+class ObliqueStereographic:
+    """Oblique/equatorial stereographic centered on (lat0, lon0) with
+    scale k0 at the center — Snyder PP 1395 pp. 160-161: ellipsoid →
+    conformal latitude (eq. 3-1), spherical oblique stereographic
+    (eq. 21-27/21-28), inverse via eq. 20-14..20-17 + the conformal
+    inverse fixed point (eq. 3-4)."""
+
+    def __init__(self, lat0_deg: float, lon0_deg: float,
+                 k0: float = 1.0,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 a: float = _A, f: float = _F):
+        self.a, self.e2, self.e = _ellipsoid(a, f)
+        e = self.e
+        p0 = np.float64(np.radians(lat0_deg))
+        self.chi1 = float(
+            2.0 * np.arctan(
+                np.tan(np.pi / 4.0 + p0 / 2.0)
+                * ((1.0 - e * np.sin(p0)) / (1.0 + e * np.sin(p0)))
+                ** (e / 2.0)
+            ) - np.pi / 2.0
+        )
+        self.m1 = float(_m_of(p0, e))
+        self.k0 = float(k0)
+        self.lon0 = float(np.radians(lon0_deg))
+        self.fe, self.fn = float(false_e), float(false_n)
+
+    def _chi(self, phi):
+        e = self.e
+        s = np.sin(phi)
+        return 2.0 * np.arctan(
+            np.tan(np.pi / 4.0 + phi / 2.0)
+            * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+        ) - np.pi / 2.0
+
+    def forward(self, lon_deg, lat_deg):
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        chi = self._chi(phi)
+        dl = lam - self.lon0
+        c1, s1 = np.cos(self.chi1), np.sin(self.chi1)
+        A = (2.0 * self.a * self.k0 * self.m1) / (
+            c1 * (1.0 + s1 * np.sin(chi) + c1 * np.cos(chi) * np.cos(dl))
+        )
+        x = A * np.cos(chi) * np.sin(dl)
+        y = A * (c1 * np.sin(chi) - s1 * np.cos(chi) * np.cos(dl))
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y, iters: int = 10):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        c1, s1 = np.cos(self.chi1), np.sin(self.chi1)
+        rho = np.hypot(x, y)
+        ce = 2.0 * np.arctan2(rho * c1, 2.0 * self.a * self.k0 * self.m1)
+        with np.errstate(invalid="ignore"):
+            chi = np.where(
+                rho == 0.0,
+                self.chi1,
+                np.arcsin(np.clip(
+                    np.cos(ce) * s1 + (y * np.sin(ce) * c1) / rho,
+                    -1.0, 1.0,
+                )),
+            )
+            lam = self.lon0 + np.where(
+                rho == 0.0,
+                0.0,
+                np.arctan2(
+                    x * np.sin(ce),
+                    rho * c1 * np.cos(ce) - y * s1 * np.sin(ce),
+                ),
+            )
+        # conformal → geodetic latitude (Snyder eq. 3-4 fixed point)
+        e = self.e
+        phi = chi
+        for _ in range(iters):
+            s = np.sin(phi)
+            phi = 2.0 * np.arctan(
+                np.tan(np.pi / 4.0 + chi / 2.0)
+                * ((1.0 + e * s) / (1.0 - e * s)) ** (e / 2.0)
+            ) - np.pi / 2.0
+        return np.degrees(lam), np.degrees(phi)
+
+
+class _FwdTransform:
+    """Picklable (lon, lat) -> (x, y) wrapper for the general warp
+    path (projection rebuilt per call from params — executors never
+    need the constructed object)."""
+
+    def __init__(self, cls, *params, **kw):
+        self.cls, self.params, self.kw = cls, params, kw
+
+    def __call__(self, gx, gy):
+        return self.cls(*self.params, **self.kw).forward(gx, gy)
+
+
+class _InvTransform:
+    """Picklable (x, y) -> (lon, lat) wrapper (see _FwdTransform)."""
+
+    def __init__(self, cls, *params, **kw):
+        self.cls, self.params, self.kw = cls, params, kw
+
+    def __call__(self, gx, gy):
+        return self.cls(*self.params, **self.kw).inverse(gx, gy)
+
+
+def albers_forward_transform(*params, **kw):
+    return _FwdTransform(AlbersEqualArea, *params, **kw)
+
+
+def albers_inverse_transform(*params, **kw):
+    return _InvTransform(AlbersEqualArea, *params, **kw)
+
+
+def stereo_forward_transform(*params, **kw):
+    return _FwdTransform(PolarStereographic, *params, **kw)
+
+
+def stereo_inverse_transform(*params, **kw):
+    return _InvTransform(PolarStereographic, *params, **kw)
