@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # TIFF tag ids (TIFF 6.0 §8; GeoTIFF OGC 19-008r4 §7)
+_T_SUBFILE_TYPE = 254  # NewSubfileType: bit 0 = reduced-res (overview)
 _T_WIDTH, _T_HEIGHT = 256, 257
 _T_BITS, _T_COMPRESSION, _T_PHOTOMETRIC = 258, 259, 262
 _T_STRIP_OFFSETS, _T_SPP, _T_ROWS_PER_STRIP, _T_STRIP_COUNTS = (
@@ -141,6 +142,31 @@ def tiff_encode(
     north-up (no rotation terms) maps to PixelScale+Tiepoint, rotated
     transforms use ModelTransformation. Deterministic: same inputs →
     same bytes."""
+    spec = _ifd_spec(
+        arr, tile=tile, rows_per_strip=rows_per_strip,
+        compression=compression, predictor=predictor, level=level,
+        geotransform=geotransform, epsg=epsg, bigtiff=bigtiff,
+    )
+    return _serialize_ifds([spec], bigtiff=bigtiff)
+
+
+def _ifd_spec(
+    arr,
+    *,
+    tile=None,
+    rows_per_strip=None,
+    compression="deflate",
+    predictor=False,
+    level=6,
+    geotransform=None,
+    epsg=None,
+    bigtiff=False,
+    subfile_type=None,
+):
+    """Build one image's (sorted tag list, compressed block list) —
+    the unit :func:`_serialize_ifds` chains into a (multi-)IFD file.
+    Offset tag values are placeholders the serializer fills once the
+    data section is laid out."""
     a = np.asarray(arr)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -232,81 +258,193 @@ def tiff_encode(
         for k in keys:
             gk += list(k)
         tags.append((_T_GEOKEYS, 3, gk))
+    if subfile_type is not None:
+        tags.append((_T_SUBFILE_TYPE, 4, [int(subfile_type)]))
     tags.sort()
+    return tags, blocks
 
-    # --- layout: header | IFD | external values | blocks ----------------
+
+def _serialize_ifds(
+    specs: list, *, bigtiff: bool = False, data_order=None
+) -> bytes:
+    """Chain N (tags, blocks) specs into one little-endian TIFF:
+    ``header | IFD0..IFDn | external values | block data``. With a
+    single spec this reproduces the historical ``tiff_encode`` layout
+    byte-for-byte. ``data_order`` places block PAYLOADS in a custom
+    spec order (the COG writer passes overviews-first, the layout
+    GDAL's COG driver emits — frmts/cog/cogdriver.cpp) while IFDs
+    always chain in spec order (full resolution first)."""
     if bigtiff:
         head_sz, entry_sz, cnt_sz, inl = 16, 20, 8, 8
     else:
         head_sz, entry_sz, cnt_sz, inl = 8, 12, 2, 4
-    ifd_sz = cnt_sz + entry_sz * len(tags) + (8 if bigtiff else 4)
+    next_sz = 8 if bigtiff else 4
+    off_fmt = "<Q" if bigtiff else "<I"
 
-    def _val_bytes(ttype, values) -> bytes:
-        ch, _ = _FIELD[ttype]
-        return struct.pack(f"<{len(values)}{ch}", *values)
+    ifd_offs: list[int] = []
+    pos = head_sz
+    for tags, _ in specs:
+        ifd_offs.append(pos)
+        pos += cnt_sz + entry_sz * len(tags) + next_sz
 
     # size-only pass: where does each oversized value land, where do
     # the blocks start (value CONTENT is filled after block offsets
     # are known)
-    ext_off = head_sz + ifd_sz
-    placed: list[tuple[int, int, list, int | None]] = []
-    for tag, ttype, values in tags:
-        nbytes = len(values) * _FIELD[ttype][1]
-        if nbytes <= inl:
-            placed.append((tag, ttype, values, None))
-        else:
-            ext_off += ext_off % 2
-            placed.append((tag, ttype, values, ext_off))
-            ext_off += nbytes
+    ext_off = pos
+    placed_all: list[list[tuple[int, int, list, int | None]]] = []
+    for tags, _ in specs:
+        placed: list[tuple[int, int, list, int | None]] = []
+        for tag, ttype, values in tags:
+            nbytes = len(values) * _FIELD[ttype][1]
+            if nbytes <= inl:
+                placed.append((tag, ttype, values, None))
+            else:
+                ext_off += ext_off % 2
+                placed.append((tag, ttype, values, ext_off))
+                ext_off += nbytes
+        placed_all.append(placed)
     data_off = ext_off + (ext_off % 2)
-    offsets = []
-    pos = data_off
-    for b in blocks:
-        offsets.append(pos)
-        pos += len(b) + (len(b) % 2)
 
-    # fill the real block offsets into the placed tag values
-    out_tags = []
-    for tag, ttype, values, voff in placed:
-        if tag in (_T_TILE_OFFSETS, _T_STRIP_OFFSETS):
-            values = offsets
-        out_tags.append((tag, ttype, values, voff))
+    order = (
+        list(data_order)
+        if data_order is not None
+        else list(range(len(specs)))
+    )
+    offsets_per: list[list[int] | None] = [None] * len(specs)
+    dpos = data_off
+    for i in order:
+        offs = []
+        for b in specs[i][1]:
+            offs.append(dpos)
+            dpos += len(b) + (len(b) % 2)
+        offsets_per[i] = offs
 
     # --- serialize ------------------------------------------------------
     parts = []
     if bigtiff:
-        parts.append(struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16))
-        parts.append(struct.pack("<Q", len(out_tags)))
+        parts.append(struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_offs[0]))
     else:
-        parts.append(struct.pack("<2sHI", b"II", 42, 8))
-        parts.append(struct.pack("<H", len(out_tags)))
+        parts.append(struct.pack("<2sHI", b"II", 42, ifd_offs[0]))
     ext_chunks: list[tuple[int, bytes]] = []
-    for tag, ttype, values, voff in out_tags:
-        raw = _val_bytes(ttype, values)
-        if voff is None:
-            field = raw + b"\0" * (inl - len(raw))
-        else:
-            field = struct.pack("<Q" if bigtiff else "<I", voff)
-            ext_chunks.append((voff, raw))
-        parts.append(
-            struct.pack(
-                "<HHQ" if bigtiff else "<HHI",
-                tag, ttype, len(values),
+    for i, placed in enumerate(placed_all):
+        parts.append(struct.pack("<Q" if bigtiff else "<H", len(placed)))
+        for tag, ttype, values, voff in placed:
+            if tag in (_T_TILE_OFFSETS, _T_STRIP_OFFSETS):
+                values = offsets_per[i]
+            ch, _ = _FIELD[ttype]
+            raw = struct.pack(f"<{len(values)}{ch}", *values)
+            if voff is None:
+                field = raw + b"\0" * (inl - len(raw))
+            else:
+                field = struct.pack(off_fmt, voff)
+                ext_chunks.append((voff, raw))
+            parts.append(
+                struct.pack(
+                    "<HHQ" if bigtiff else "<HHI",
+                    tag, ttype, len(values),
+                )
+                + field
             )
-            + field
-        )
-    parts.append(struct.pack("<Q" if bigtiff else "<I", 0))  # next IFD
-    pos2 = head_sz + ifd_sz
+        nxt = ifd_offs[i + 1] if i + 1 < len(ifd_offs) else 0
+        parts.append(struct.pack(off_fmt, nxt))
+    pos2 = pos
     for voff, raw in ext_chunks:  # already in ascending voff order
         parts.append(b"\0" * (voff - pos2))
         parts.append(raw)
         pos2 = voff + len(raw)
     parts.append(b"\0" * (data_off - pos2))
-    for b in blocks:
-        parts.append(b)
-        if len(b) % 2:
-            parts.append(b"\0")
+    for i in order:
+        for b in specs[i][1]:
+            parts.append(b)
+            if len(b) % 2:
+                parts.append(b"\0")
     return b"".join(parts)
+
+
+def _cog_reduce(a: np.ndarray, method: str) -> np.ndarray:
+    """One 2× overview level for the COG writer, any (H, W[, B])
+    shape. Odd dims are edge-replicated to even first — for
+    ``average`` this reproduces GDAL's partial-window semantics
+    exactly (a 1-wide remainder column averages its 2 real pixels:
+    (2a+2b+2)//4 == (a+b+1)//2, the reference's (total+n/2)/n with
+    n=2; a corner remainder keeps its value), for ``nearest`` the
+    top-left pick is a real pixel by construction."""
+    from gdal_spark import raster
+
+    a3 = a[:, :, None] if a.ndim == 2 else a
+    h, w, nb = a3.shape
+    if h % 2 or w % 2:
+        a3 = np.pad(a3, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+    if a3.dtype.kind == "f" and method == "average":
+        out = (
+            a3[0::2, 0::2] + a3[0::2, 1::2]
+            + a3[1::2, 0::2] + a3[1::2, 1::2]
+        ) / 4.0
+        out = out.astype(a3.dtype)
+    else:
+        out = np.stack(
+            [
+                raster.block_reduce_2x2(a3[:, :, b], method)
+                for b in range(nb)
+            ],
+            axis=-1,
+        )
+    return out[:, :, 0] if a.ndim == 2 else out
+
+
+def cog_encode(
+    arr: np.ndarray,
+    *,
+    tile: tuple[int, int] = (256, 256),
+    compression: str = "deflate",
+    predictor: bool = False,
+    level: int = 6,
+    geotransform: tuple | None = None,
+    epsg: int | None = None,
+    bigtiff: bool = False,
+    resampling: str = "average",
+) -> bytes:
+    """Encode a Cloud-Optimized GeoTIFF with EMBEDDED OVERVIEWS —
+    the reference's flagship output format (frmts/cog/cogdriver.cpp;
+    overview build gdaladdo / gcore/overview.cpp).
+
+    Layout per the COG spec: all IFDs up front (full resolution
+    first, then one reduced-resolution IFD per 2× level, each tagged
+    NewSubfileType=1), tile payloads at the back ordered smallest
+    overview first so a renderer streaming from byte 0 hits the
+    coarse levels before the full-res data — the order the
+    reference's COG driver writes. Overviews are generated with
+    :func:`_cog_reduce` (GDAL-exact ``average`` by default) until
+    both dims fit in one tile, gdaladdo's default stopping rule.
+    Georeferencing lives on IFD 0 only (overview geotransforms are
+    implicit ×2 scalings, as in the reference). Deterministic:
+    same inputs → same bytes."""
+    a = np.asarray(arr)
+    levels = [a]
+    while (
+        levels[-1].shape[0] > tile[1] or levels[-1].shape[1] > tile[0]
+    ):
+        levels.append(_cog_reduce(levels[-1], resampling))
+    specs = [
+        _ifd_spec(
+            a, tile=tile, compression=compression, predictor=predictor,
+            level=level, geotransform=geotransform, epsg=epsg,
+            bigtiff=bigtiff,
+        )
+    ]
+    for ov in levels[1:]:
+        specs.append(
+            _ifd_spec(
+                ov, tile=tile, compression=compression,
+                predictor=predictor, level=level, bigtiff=bigtiff,
+                subfile_type=1,
+            )
+        )
+    return _serialize_ifds(
+        specs,
+        bigtiff=bigtiff,
+        data_order=list(range(len(specs) - 1, -1, -1)),
+    )
 
 
 def _pack_block(
@@ -343,14 +481,8 @@ class _Reader:
         return b
 
 
-def tiff_meta(src) -> dict:
-    """Parse the first IFD of a classic or BigTIFF buffer/file object
-    into a metadata dict: dimensions, dtype, band count, compression,
-    predictor, block layout with per-block (offset, nbytes), and —
-    when the GeoTIFF tags are present — ``gt`` (GDAL 6-tuple) and
-    ``epsg``. Reads only header/tag bytes: on a COG this touches a
-    few KiB regardless of file size."""
-    r = _Reader(src)
+def _tiff_header(r: _Reader) -> tuple[str, bool, int]:
+    """Parse the 8/16-byte file header → (endian, bigtiff, IFD0 off)."""
     order = r.read(0, 2)
     if order == b"II":
         e = "<"
@@ -360,16 +492,54 @@ def tiff_meta(src) -> dict:
         raise ValueError("not a TIFF (bad byte-order mark)")
     version = struct.unpack(e + "H", r.read(2, 2))[0]
     if version == 42:
-        big = False
-        ifd_off = struct.unpack(e + "I", r.read(4, 4))[0]
-    elif version == 43:
-        big = True
+        return e, False, struct.unpack(e + "I", r.read(4, 4))[0]
+    if version == 43:
         osz = struct.unpack(e + "H", r.read(4, 2))[0]
         if osz != 8:
             raise ValueError("bad BigTIFF offset size")
-        ifd_off = struct.unpack(e + "Q", r.read(8, 8))[0]
-    else:
-        raise ValueError(f"not a TIFF (version {version})")
+        return e, True, struct.unpack(e + "Q", r.read(8, 8))[0]
+    raise ValueError(f"not a TIFF (version {version})")
+
+
+def _next_ifd_off(r: _Reader, e: str, big: bool, ifd_off: int) -> int:
+    """Offset of the IFD after ``ifd_off`` (0 = end of chain) —
+    reads the entry count + the trailing next pointer only."""
+    if big:
+        n = struct.unpack(e + "Q", r.read(ifd_off, 8))[0]
+        p = ifd_off + 8 + 20 * n
+        return struct.unpack(e + "Q", r.read(p, 8))[0]
+    n = struct.unpack(e + "H", r.read(ifd_off, 2))[0]
+    p = ifd_off + 2 + 12 * n
+    return struct.unpack(e + "I", r.read(p, 4))[0]
+
+
+def tiff_n_ifds(src) -> int:
+    """Number of IFDs in the chain (1 + embedded overview count) —
+    header/tag-count bytes only, a few reads however large the file
+    (the GetOverviewCount analog, gcore/gdaldefaultoverviews.cpp)."""
+    r = _Reader(src)
+    e, big, off = _tiff_header(r)
+    n = 0
+    while off:
+        n += 1
+        off = _next_ifd_off(r, e, big, off)
+    return n
+
+
+def tiff_meta(src, ifd: int = 0) -> dict:
+    """Parse IFD ``ifd`` (0 = full resolution; 1.. = embedded
+    overview levels, NewSubfileType=1) of a classic or BigTIFF
+    buffer/file object into a metadata dict: dimensions, dtype, band
+    count, compression, predictor, block layout with per-block
+    (offset, nbytes), and — when the GeoTIFF tags are present —
+    ``gt`` (GDAL 6-tuple) and ``epsg``. Reads only header/tag bytes:
+    on a COG this touches a few KiB regardless of file size."""
+    r = _Reader(src)
+    e, big, ifd_off = _tiff_header(r)
+    for _ in range(ifd):
+        ifd_off = _next_ifd_off(r, e, big, ifd_off)
+        if ifd_off == 0:
+            raise ValueError(f"IFD {ifd} out of range")
 
     if big:
         n = struct.unpack(e + "Q", r.read(ifd_off, 8))[0]
@@ -427,6 +597,9 @@ def tiff_meta(src) -> dict:
         "compression": int(comp),
         "predictor": int(one(_T_PREDICTOR, 1)),
         "planar": int(one(_T_PLANAR, 1)),
+        "ifd": int(ifd),
+        "subfile_type": int(one(_T_SUBFILE_TYPE, 0)),
+        "has_next_ifd": _next_ifd_off(r, e, big, ifd_off) != 0,
     }
     if meta["planar"] != 1:
         raise ValueError("PlanarConfiguration=2 not supported")
@@ -500,10 +673,10 @@ def decode_block(
     return a[:crop_h, :crop_w]
 
 
-def tiff_decode(buf: bytes) -> np.ndarray:
+def tiff_decode(buf: bytes, ifd: int = 0) -> np.ndarray:
     """Full-image decode (tests/oracles): (H, W) for single band,
-    (H, W, bands) otherwise."""
-    meta = tiff_meta(buf)
+    (H, W, bands) otherwise. ``ifd`` selects an overview level."""
+    meta = tiff_meta(buf, ifd=ifd)
     r = _Reader(buf)
     out = np.zeros(
         (meta["height"], meta["width"], meta["bands"]),
@@ -653,13 +826,16 @@ def gtiff_meta_df(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(run, GTIFF_META_SCHEMA)
 
 
-def gtiff_block_index(spark: SparkSession, paths: list[str]) -> DataFrame:
+def gtiff_block_index(
+    spark: SparkSession, paths: list[str], ifd: int = 0
+) -> DataFrame:
     """COG index pass: parallelize the path list, each task opens its
     files and walks ONLY the IFD (a few KiB however large the file),
     emitting one ~50-byte row per block with its byte range and
     denormalized codec params. This is the 100 TB fan-out point: a
     single 100 GB COG becomes tens of thousands of independently
-    decodable rows before any pixel byte is read."""
+    decodable rows before any pixel byte is read. ``ifd`` selects an
+    embedded overview level (1..) instead of the full resolution."""
     pdf = pd.DataFrame({"path": [str(p) for p in paths]})
     src = spark.createDataFrame(pdf)
 
@@ -668,7 +844,7 @@ def gtiff_block_index(spark: SparkSession, paths: list[str]) -> DataFrame:
             rows = []
             for path_ in b["path"]:
                 with open(path_, "rb") as f:
-                    m = tiff_meta(f)
+                    m = tiff_meta(f, ifd=ifd)
                 gt = list(m["gt"]) if m["gt"] else None
                 for bi, tx, ty, x0, y0, cw, chh in block_windows(m):
                     rows.append(
@@ -808,6 +984,7 @@ def read_gtiff_ranged(
     path_or_glob,
     partitions: int | None = None,
     bbox: tuple | None = None,
+    ifd: int = 0,
 ) -> DataFrame:
     """The COG scan: header-only block index → repartition so decode
     parallelism is per-BLOCK (not per-file) → each task seek-reads
@@ -821,7 +998,10 @@ def read_gtiff_ranged(
     Accepts a glob string or an explicit path list. Requires paths
     every executor can ``open()`` (local mode / shared filesystem /
     FUSE object store) — same deployment note as
-    :func:`gdal_spark.warc.write_warc_dir`."""
+    :func:`gdal_spark.warc.write_warc_dir`. ``ifd`` selects an
+    embedded COG overview level (1..) instead of the full
+    resolution — the scan that serves a zoomed-out render touches
+    only the (4^-ifd)-sized overview byte ranges."""
     paths = (
         sorted(_glob.glob(path_or_glob))
         if isinstance(path_or_glob, str)
@@ -829,7 +1009,7 @@ def read_gtiff_ranged(
     )
     if not paths:
         raise FileNotFoundError(f"no files match {path_or_glob!r}")
-    idx = gtiff_block_index(spark, paths)
+    idx = gtiff_block_index(spark, paths, ifd=ifd)
     if bbox is not None:
         idx = _block_bbox_filter(idx, bbox)
     n = partitions or spark.sparkContext.defaultParallelism
@@ -908,6 +1088,7 @@ def write_gtiff_dir(
     geotransform: tuple | None = None,
     epsg: int | None = None,
     bigtiff: bool = False,
+    cog_overviews: str | None = None,
 ) -> DataFrame:
     """Granule-parallel GeoTIFF sink: assemble the engine's uint8
     tiles (TILE_SCHEMA: z, tx, ty, w, h, data) into one tiled
@@ -930,6 +1111,11 @@ def write_gtiff_dir(
     reruns converge. DEPLOYMENT: like write_warc_dir, ``out_dir``
     must be a shared filesystem (or local mode) — tasks open plain
     ``open()`` paths.
+
+    ``cog_overviews`` (a resampling name, e.g. ``"average"``) writes
+    each granule as a full COG with embedded overview IFDs via
+    :func:`cog_encode` — the gdaladdo-at-write-time path the
+    reference's COG driver takes (frmts/cog/cogdriver.cpp).
     """
     os.makedirs(out_dir, exist_ok=True)
     key = F.col(group_col) if group_col else F.col("z")
@@ -963,15 +1149,29 @@ def write_gtiff_dir(
                 gt[4], gt[5],
             )
         use_tile = (ts_w % 16 == 0) and (ts_h % 16 == 0)
-        data = tiff_encode(
-            mosaic,
-            tile=(ts_w, ts_h) if use_tile else None,
-            compression=compression,
-            predictor=predictor,
-            geotransform=file_gt,
-            epsg=epsg,
-            bigtiff=bigtiff,
-        )
+        if cog_overviews is not None:
+            if not use_tile:
+                raise ValueError("COG output needs 16-multiple tiles")
+            data = cog_encode(
+                mosaic,
+                tile=(ts_w, ts_h),
+                compression=compression,
+                predictor=predictor,
+                geotransform=file_gt,
+                epsg=epsg,
+                bigtiff=bigtiff,
+                resampling=cog_overviews,
+            )
+        else:
+            data = tiff_encode(
+                mosaic,
+                tile=(ts_w, ts_h) if use_tile else None,
+                compression=compression,
+                predictor=predictor,
+                geotransform=file_gt,
+                epsg=epsg,
+                bigtiff=bigtiff,
+            )
         path = os.path.join(out_dir, f"granule-{k:06d}.tif")
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
