@@ -4738,6 +4738,51 @@ def _q_src_gpkg_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_snk_cog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: granule-parallel COG sink with embedded overview
+    IFDs (frmts/cog/cogdriver.cpp + gdaladdo analog) — 4 granules of
+    1024² formula pixels each, written concurrently as full COGs
+    (tiled DEFLATE, average overviews down to one tile). Exactness is
+    pinned in tests/test_cog.py (every level reads back byte-exact).
+    Returns the sink manifest."""
+    import shutil
+
+    from gdal_spark.gtiff import write_gtiff_dir
+    from gdal_spark.operators.tiling import formula_tiles
+
+    out = "/tmp/gdal_spark_bench/cog_out"
+    shutil.rmtree(out, ignore_errors=True)
+    ts = 256
+    tiles = formula_tiles(spark, 8, 8, ts)
+    # 4 granules of 4x4 tiles: granule key = (ty//4)*2 + tx//4
+    keyed = tiles.withColumn(
+        "gk", (F.col("ty") / 4).cast("long") * 2
+        + (F.col("tx") / 4).cast("long")
+    )
+    return write_gtiff_dir(
+        keyed, out, group_col="gk",
+        geotransform=(0.0, 10.0, 0.0, 20480.0, 0.0, -10.0),
+        epsg=3857, cog_overviews="average",
+    )
+
+
+def _q_snk_mbtiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: MBTiles container sink
+    (frmts/mbtiles/mbtilesdataset.cpp analog) — a z=3→0 overview
+    pyramid of formula tiles PNG-encoded into one SQLite container
+    (spec TMS row flip, metadata table). Exactness pinned in
+    tests/test_mbtiles.py. Returns the sink manifest."""
+    from gdal_spark.mbtiles import write_mbtiles
+    from gdal_spark.operators.tiling import formula_tiles, pyramid
+
+    out = "/tmp/gdal_spark_bench/tiles.mbtiles"
+    base = formula_tiles(spark, 8, 8, 256).withColumn(
+        "z", F.lit(3).cast("long")
+    ).select("z", "tx", "ty", "w", "h", "data")
+    tiles = pyramid(base, 3, 0, "average")
+    return write_mbtiles(tiles, out, format="png", name="bench")
+
+
 #: timed by bench.py but NEVER part of the driver gate list — these
 #: operators' exactness is pinned in pytest (see docstrings); the
 #: bench entries exist so their distributed plans have recorded
@@ -4748,6 +4793,8 @@ BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_gpkg_copy": _q_src_gpkg_copy,
     "tx_bpe": _q_tx_bpe,
     "tx_perplexity": _q_tx_perplexity,
+    "snk_cog": _q_snk_cog,
+    "snk_mbtiles": _q_snk_mbtiles,
 }
 
 
