@@ -211,20 +211,74 @@ def _in_circumcircle(a, b, c, px, py) -> bool:
     return d * (1.0 if orient > 0 else -1.0) > 0
 
 
+def _boundary_on_hull(pts: np.ndarray, out: list) -> bool:
+    """True iff every boundary point of the triangulation (endpoint of
+    an edge used by exactly one triangle) lies EXACTLY on the convex
+    hull boundary — a strict-hull vertex, or exactly collinear inside
+    a hull edge. A finite Bowyer-Watson super-triangle drops hull-
+    adjacent sliver triangles whose circumdisk reaches past the super
+    vertices, leaving a hole whose apex is a strictly-interior point
+    with an open fan; this validator detects that so the caller can
+    retry with a geometrically larger super-triangle."""
+    from .. import geometry
+
+    edge_cnt: dict[tuple[int, int], int] = {}
+    for a, b, c in out:
+        for e in ((a, b), (b, c), (c, a)):
+            k = (min(e), max(e))
+            edge_cnt[k] = edge_cnt.get(k, 0) + 1
+    bpts = {v for e, cnt in edge_cnt.items() if cnt == 1 for v in e}
+    if not bpts:
+        return not out  # no triangles at all is fine (n < 3)
+    ring = geometry.convex_hull(pts)[:-1]
+    for v in bpts:
+        px, py = float(pts[v][0]), float(pts[v][1])
+        on = False
+        for i in range(len(ring)):
+            ax, ay = float(ring[i][0]), float(ring[i][1])
+            bx, by = (
+                float(ring[(i + 1) % len(ring)][0]),
+                float(ring[(i + 1) % len(ring)][1]),
+            )
+            cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+            dot = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+            ll = (bx - ax) ** 2 + (by - ay) ** 2
+            if cross == 0.0 and 0.0 <= dot <= ll:
+                on = True
+                break
+        if not on:
+            return False
+    return True
+
+
 def delaunay_triangulate(pts: np.ndarray) -> list[tuple[int, int, int]]:
     """Bowyer-Watson incremental Delaunay triangulation (the qhull /
     alg/delaunay.c role, reimplemented from the textbook algorithm).
     Deterministic for a fixed point order; returns CCW-oriented vertex
     index triples sorted canonically. O(n²) — intended for the
-    in-memory scattered point set, not raster-sized data."""
+    in-memory scattered point set, not raster-sized data.
+
+    Near-collinear hull points produce sliver triangles whose
+    circumdisks can dwarf any fixed super-triangle, punching holes in
+    the result; :func:`_boundary_on_hull` validates the boundary and
+    the build retries with a 1000× larger super-triangle (up to two
+    escalations) until every open fan sits exactly on the hull."""
     pts = np.asarray(pts, dtype=np.float64)
+    for mult in (8.0, 8e3, 8e6):
+        out = _bowyer_watson(pts, mult)
+        if _boundary_on_hull(pts, out):
+            return out
+    return out  # exactly-degenerate leftovers: caller's certify decides
+
+
+def _bowyer_watson(pts: np.ndarray, mult: float) -> list[tuple[int, int, int]]:
     n = len(pts)
     cx, cy = float(pts[:, 0].mean()), float(pts[:, 1].mean())
     span = float(max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1]))) * 16 + 1.0
     allp = np.vstack([
         pts,
-        [[cx - 8 * span, cy - span], [cx + 8 * span, cy - span],
-         [cx, cy + 8 * span]],
+        [[cx - mult * span, cy - span], [cx + mult * span, cy - span],
+         [cx, cy + mult * span]],
     ])
     tris: list[tuple[int, int, int]] = [(n, n + 1, n + 2)]
     for i in range(n):
@@ -391,55 +445,52 @@ def _circumdisk(a, b, c):
     return ux, uy, float(np.hypot(a[0] - ux, a[1] - uy))
 
 
-def _global_hull_neighbors(pts_df: DataFrame):
-    """Exact global hull BOUNDARY CYCLE + global bbox in ONE
-    distributed pass. Per partition: monotone-chain hull, then keep
-    every point ON the partition-hull boundary — including collinear
-    edge points, which monotone chain drops but whose Delaunay fans
-    are half-planes; any global-boundary point is necessarily a
-    partition-boundary point, so the candidate union is complete.
-    Driver: strict hull of the (tiny) candidate set, collinear
-    candidates threaded into the cycle by position along their edge;
-    bbox is the candidate min/max (extremes are always candidates).
-    Returns ({boundary point id: {its two cycle-neighbor ids}},
-    (minx, maxx, miny, maxy))."""
+def _part_boundary(batches):
+    """Keep every point ON its partition-hull boundary — including
+    collinear edge points, which monotone chain drops but whose
+    Delaunay fans are half-planes. If p is on the GLOBAL hull
+    boundary it is on the hull boundary of EVERY subset containing
+    it, so this filter never loses a global-boundary point — it can
+    be iterated to contract the candidate set round over round."""
     from .. import geometry
 
-    def part_boundary(batches):
-        chunks = [pdf for pdf in batches]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        P = pdf[["x", "y"]].to_numpy(dtype=np.float64)
-        ring = geometry.convex_hull(P)[:-1]
-        if len(ring) <= 2 or len(P) <= 3:
-            yield pdf[["id", "x", "y"]]
-            return
-        keep = np.zeros(len(P), dtype=bool)
-        for i in range(len(ring)):
-            ax, ay = float(ring[i][0]), float(ring[i][1])
-            bx, by = (
-                float(ring[(i + 1) % len(ring)][0]),
-                float(ring[(i + 1) % len(ring)][1]),
-            )
-            cross = (bx - ax) * (P[:, 1] - ay) - (by - ay) * (P[:, 0] - ax)
-            t = (
-                (P[:, 0] - ax) * (bx - ax) + (P[:, 1] - ay) * (by - ay)
-            ) / ((bx - ax) ** 2 + (by - ay) ** 2)
-            keep |= (cross == 0.0) & (t >= 0.0) & (t <= 1.0)
-        yield pdf.loc[keep, ["id", "x", "y"]]
+    chunks = [pdf for pdf in batches]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True)
+    P = pdf[["x", "y"]].to_numpy(dtype=np.float64)
+    ring = geometry.convex_hull(P)[:-1]
+    if len(ring) <= 2 or len(P) <= 3:
+        yield pdf[["id", "x", "y"]]
+        return
+    keep = np.zeros(len(P), dtype=bool)
+    for i in range(len(ring)):
+        ax, ay = float(ring[i][0]), float(ring[i][1])
+        bx, by = (
+            float(ring[(i + 1) % len(ring)][0]),
+            float(ring[(i + 1) % len(ring)][1]),
+        )
+        cross = (bx - ax) * (P[:, 1] - ay) - (by - ay) * (P[:, 0] - ax)
+        t = (
+            (P[:, 0] - ax) * (bx - ax) + (P[:, 1] - ay) * (by - ay)
+        ) / ((bx - ax) ** 2 + (by - ay) ** 2)
+        keep |= (cross == 0.0) & (t >= 0.0) & (t <= 1.0)
+    yield pdf.loc[keep, ["id", "x", "y"]]
 
-    cand = (
-        pts_df.select("id", "x", "y")
-        .mapInPandas(part_boundary, "id long, x double, y double")
-        .toPandas()
-    )
+
+def _cycle_assemble(batches):
+    """Terminal (single-task, EXECUTOR-side) stage of the distributed
+    hull: strict monotone-chain hull of the contracted candidates,
+    collinear candidates threaded into the cycle by position along
+    their edge → one (id, nbr1, nbr2) row per boundary point."""
+    from .. import geometry
+
+    chunks = [pdf for pdf in batches]
+    if not chunks:
+        return
+    cand = pd.concat(chunks, ignore_index=True)
     cx = cand["x"].to_numpy(dtype=np.float64)
     cy = cand["y"].to_numpy(dtype=np.float64)
-    bbox = (
-        float(cx.min()), float(cx.max()),
-        float(cy.min()), float(cy.max()),
-    )
     P = cand[["x", "y"]].to_numpy(dtype=np.float64)
     ring = geometry.convex_hull(P)[:-1]
     by_xy = {
@@ -463,11 +514,38 @@ def _global_hull_neighbors(pts_df: DataFrame):
         order = np.argsort(t[m], kind="stable")
         cycle.extend(int(i) for i in cand["id"].to_numpy()[m][order])
     n = len(cycle)
-    nbrs = {
-        cycle[i]: {cycle[(i - 1) % n], cycle[(i + 1) % n]}
-        for i in range(n)
-    }
-    return nbrs, bbox
+    yield pd.DataFrame(
+        {
+            "id": cycle,
+            "nbr1": [cycle[(i - 1) % n] for i in range(n)],
+            "nbr2": [cycle[(i + 1) % n] for i in range(n)],
+        }
+    )
+
+
+def _global_hull_neighbors_df(spark, pts_df: DataFrame) -> DataFrame:
+    """Exact global hull BOUNDARY CYCLE with NO driver-side point
+    stage: per-partition boundary filter (:func:`_part_boundary`),
+    geometric 8× contraction rounds over the shrinking candidate
+    set, then a single-TASK executor-side cycle assembly
+    (:func:`_cycle_assemble`). Result: (id, nbr1, nbr2), one row per
+    global-boundary point (collinear edge points included). The
+    driver never holds a point row — candidates flow candidate-DF →
+    candidate-DF; worst-case degenerate inputs (every point on one
+    circle) bound the terminal task by the true hull size, which for
+    such inputs is the OUTPUT size, not an artifact of the plan."""
+    cand = pts_df.select("id", "x", "y").mapInPandas(
+        _part_boundary, "id long, x double, y double"
+    )
+    n = max(1, int(spark.sparkContext.defaultParallelism))
+    while n > 1:
+        n = max(1, n // 8)
+        cand = cand.repartition(n).mapInPandas(
+            _part_boundary, "id long, x double, y double"
+        )
+    return cand.repartition(1).mapInPandas(
+        _cycle_assemble, "id long, nbr1 long, nbr2 long"
+    )
 
 
 def delaunay_distributed(
@@ -505,7 +583,15 @@ def delaunay_distributed(
     if not has_z:
         pts = pts.withColumn("z", F.lit(0.0))
 
-    hull_nbrs, (bx0, bx1, by0, by1) = _global_hull_neighbors(pts)
+    # global bbox: one JVM aggregate (4 doubles cross the driver, no
+    # point rows); hull cycle: fully distributed, joined on as
+    # (nbr1, nbr2) columns so the certify kernel needs NO broadcast
+    # of data-sized state
+    bx0, bx1, by0, by1 = pts.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    ).first()
+    hull_df = _global_hull_neighbors_df(spark, pts)
+    pts = pts.join(hull_df, "id", "left")
 
     pts = pts.withColumn(
         "hcx", F.floor((F.col("x") - F.lit(bx0)) / F.lit(cell_size)).cast("long")
@@ -516,7 +602,7 @@ def delaunay_distributed(
     ncy = int(np.floor((by1 - by0) / cell_size)) + 1
 
     bcast = spark.sparkContext.broadcast(
-        (bx0, by0, bx1, by1, cell_size, hull_nbrs)
+        (bx0, by0, bx1, by1, cell_size)
     )
 
     coord_cols = (
@@ -533,7 +619,9 @@ def delaunay_distributed(
     def make_kernel(k: int):
         def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
             tcx, tcy = int(key[0]), int(key[1])
-            gx0, gy0, gx1, gy1, cs, hnb = bcast.value
+            gx0, gy0, gx1, gy1, cs = bcast.value
+            hn1 = pdf["nbr1"].to_numpy(dtype=np.float64)
+            hn2 = pdf["nbr2"].to_numpy(dtype=np.float64)
             home = (
                 (pdf["hcx"].to_numpy() == tcx)
                 & (pdf["hcy"].to_numpy() == tcy)
@@ -585,10 +673,15 @@ def delaunay_distributed(
                 ones = [v for v, cn in nbr_cnt.items() if cn == 1]
                 if ones:
                     # boundary fan: only legitimate on the GLOBAL hull
-                    # with the same two hull neighbors
-                    if len(ones) != 2 or hnb.get(int(ids[i])) != {
-                        int(ids[ones[0]]), int(ids[ones[1]])
-                    }:
+                    # with the same two hull neighbors (carried as
+                    # joined columns; NaN = interior point)
+                    if (
+                        len(ones) != 2
+                        or np.isnan(hn1[i])
+                        or {int(hn1[i]), int(hn2[i])} != {
+                            int(ids[ones[0]]), int(ids[ones[1]])
+                        }
+                    ):
                         return fail
                 emit.update(inc)
             rows = []

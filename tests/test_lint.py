@@ -59,6 +59,8 @@ def test_iterrows_only_on_tile_cardinality():
                             # block in the ranged COG scan)
         "pixfn.py",         # row = tile (band assembly per tile key)
         "pansharpen.py",    # row = pan tile (upsample+combine per tile)
+        "mbtiles.py",       # row = tile (encode / sqlite insert / ranged
+                            # rowid scan — one iteration per tile blob)
     }
     offenders = []
     for p in _sources():

@@ -160,3 +160,66 @@ def test_tin_grid_distributed_equals_broadcast_path(spark):
         ).collect()
     }
     assert got == ref
+
+
+def test_delaunay_no_driver_toPandas(spark, monkeypatch):
+    """Driver memory pin (the sieve collected_edges==0 pattern): the
+    whole distributed-Delaunay path — hull candidates included — must
+    never pull a point DataFrame to the driver via toPandas. The old
+    hull-candidate collect (grid.py r04) would trip this."""
+    import pyspark.sql as pssql
+
+    from gdal_spark.operators.grid import delaunay_distributed
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side toPandas on the TIN path")
+
+    monkeypatch.setattr(pssql.DataFrame, "toPandas", boom)
+    rng = np.random.default_rng(21)
+    P = rng.uniform(0, 100, size=(120, 2))
+    pdf = __import__("pandas").DataFrame(
+        {"id": range(len(P)), "x": P[:, 0], "y": P[:, 1],
+         "z": np.arange(len(P), dtype=float)}
+    )
+    got = {
+        (r.a, r.b, r.c)
+        for r in delaunay_distributed(
+            spark, spark.createDataFrame(pdf), cell_size=25.0
+        ).collect()
+    }
+    tris = delaunay_triangulate(P)
+    want = set()
+    for a, b, c in tris:
+        while not (a < b and a < c):
+            a, b, c = b, c, a
+        want.add((a, b, c))
+    assert got == want
+
+
+def test_global_hull_cycle_distributed(spark):
+    """The distributed hull boundary cycle (id, nbr1, nbr2) matches a
+    locally computed strict hull + collinear threading on a fixture
+    with interior points, collinear edge points, and duplicates of
+    neither."""
+    import pandas as pd
+
+    from gdal_spark.operators.grid import _global_hull_neighbors_df
+
+    # square hull with one collinear mid-edge point + interior cloud
+    base = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0),
+            (5.0, 0.0)]  # id 4 sits mid bottom edge
+    rng = np.random.default_rng(3)
+    inner = rng.uniform(1, 9, size=(40, 2))
+    P = np.array(base + [tuple(p) for p in inner])
+    pdf = pd.DataFrame({"id": range(len(P)), "x": P[:, 0],
+                        "y": P[:, 1]})
+    rows = {
+        r.id: {r.nbr1, r.nbr2}
+        for r in _global_hull_neighbors_df(
+            spark, spark.createDataFrame(pdf).repartition(8)
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3, 4}
+    assert rows[4] == {0, 1}          # threaded into the bottom edge
+    assert rows[0] == {3, 4} and rows[1] == {4, 2}
+    assert rows[2] == {1, 3} and rows[3] == {2, 0}
