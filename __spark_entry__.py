@@ -1110,7 +1110,10 @@ def _q_geo_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"key": pdf["g"].astype("int64"), "geom_wkb": geoms}
             )
 
-    rects = rows.mapInPandas(build, "key long, geom_wkb binary")
+    # persist the (tiny) fixture: dissolve's adaptive planner runs an
+    # eager hot-key count job over its input before the fold job, and
+    # the Python build should price in once, not twice
+    rects = rows.mapInPandas(build, "key long, geom_wkb binary").persist()
     out = dissolve(rects, "key", "geom_wkb")
     return out.select(
         "key",

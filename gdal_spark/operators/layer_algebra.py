@@ -974,6 +974,7 @@ def dissolve(
     key_col: str = "key",
     wkb_col: str = "geom_wkb",
     prefold_salts: int | None = 16,
+    prefold_threshold: int = 64,
 ) -> DataFrame:
     """ST_Union aggregate / dissolve-by-attribute: union every
     (multi)polygon sharing a key into one geometry per key →
@@ -990,16 +991,22 @@ def dissolve(
     :class:`_AccIndex` STRtree), so piece areas sum to the exact
     union area no matter how the inputs overlap.
 
-    Scale shape (DEFAULT): the fold is associative, so it runs TWO
-    LEVELS — a pre-fold per (key, salt-of-geometry) group bounds any
-    hot key's level-1 task to ~1/``prefold_salts`` of its rows, then
-    a per-key re-fold merges at most ``prefold_salts`` pre-unions.
-    Both levels shuffle roughly the same bytes as the one-shuffle
-    plan (the level-2 exchange carries pre-dissolved unions), no
-    count pass or plan branch is needed, and a country-sized hot key
-    no longer serializes one task for its whole group.
-    ``prefold_salts=None`` selects the single-shuffle plan (small,
-    even key distributions).
+    Scale shape (DEFAULT): ADAPTIVE, AQE-style. Calling ``dissolve``
+    runs ONE cheap eager count job (map-side combine — only
+    (key, partial-count) pairs cross its shuffle; on parquet sources
+    the scan prunes to the key column) to find HOT keys, those with
+    more than ``prefold_threshold`` rows. No hot keys → the plan IS
+    the single-shuffle plan: one groupBy(key) fold, no salt column,
+    no second Arrow stage. With hot keys (at most N/threshold of
+    them — enumerable; past a 10⁶ cap the plan falls back to salting
+    every row) the fold runs in TWO LEVELS: a pre-fold per
+    (key, salt-of-geometry) group bounds the hot level-1 task to
+    ~1/``prefold_salts`` of its group, then a per-key re-fold merges
+    at most ``prefold_salts`` pre-unions — a country-sized hot key no
+    longer serializes one task for its whole group, while cold keys
+    pre-fold whole (salt 0) and the re-fold passes their single
+    pre-row through untouched. ``prefold_salts=None`` forces the
+    single-shuffle plan unconditionally (and skips the count job).
 
     The emitted multipolygon is a disjoint TILING of the union (piece
     boundaries are not dissolved away) — area-exact and PIP-exact,
@@ -1059,23 +1066,67 @@ def dissolve(
     if prefold_salts is None:
         return src.groupBy(key_col).applyInPandas(fold, out_schema)
 
-    pre = (
-        src.withColumn(
-            "__salt",
+    # ADAPTIVE two-level fold: only keys with more than
+    # ``prefold_threshold`` rows take the salted pre-fold + re-fold
+    # path; every other key folds exactly once and passes through —
+    # restoring the single-shuffle cost for even key distributions
+    # while keeping the hot-key task bound.  The count pass shuffles
+    # only (key, partial-count) pairs (map-side combine), and the hot
+    # list is provably small — at most N/threshold keys — so it
+    # broadcasts; no data-sized geometry bytes move for the decision.
+    HOT_CAP = 1_000_000  # hot keys we'll enumerate on the driver
+    hot_rows = (
+        src.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > F.lit(int(prefold_threshold)))
+        .select(key_col)
+        .limit(HOT_CAP + 1)
+        .collect()
+    )
+    if not hot_rows:
+        # no skew anywhere: the single-shuffle plan IS the fastest
+        # correct plan — no salt column, no second Exchange, no
+        # second Arrow stage
+        return src.groupBy(key_col).applyInPandas(fold, out_schema)
+
+    if len(hot_rows) > HOT_CAP:
+        # pathological "everything is hot": enumerating keys stops
+        # paying — salt every row (the unconditional two-level plan)
+        salt_expr = F.pmod(
+            F.xxhash64(F.col(wkb_col)), F.lit(int(prefold_salts))
+        )
+    else:
+        hot_df = src.sparkSession.createDataFrame(
+            # a NULL hot key can't equi-join anyway; it stays on the
+            # cold (salt-0) path
+            [(int(r[0]),) for r in hot_rows if r[0] is not None],
+            f"{key_col} long",
+        ).withColumn("__hot", F.lit(True))
+        src = src.join(F.broadcast(hot_df), key_col, "left")
+        salt_expr = F.when(
+            F.col("__hot").isNotNull(),
             F.pmod(F.xxhash64(F.col(wkb_col)), F.lit(int(prefold_salts))),
-        )
-        .groupBy(key_col, "__salt")
-        .applyInPandas(
-            lambda pdf: fold(pdf).assign(__salt=pdf["__salt"].iloc[0]),
-            out_schema + ", __salt long",
-        )
+        ).otherwise(F.lit(0))
+
+    salted = src.withColumn("__salt", salt_expr)
+    if "__hot" in salted.columns:
+        salted = salted.drop("__hot")
+    pre = salted.groupBy(key_col, "__salt").applyInPandas(
+        lambda pdf: fold(pdf).assign(__salt=pdf["__salt"].iloc[0]),
+        out_schema + ", __salt long",
     )
-    return (
-        pre.select(
-            F.col("key").alias(key_col),
-            F.col("geom_wkb").alias(wkb_col),
-            "n_geoms",
+
+    def refold(pdf: pd.DataFrame) -> pd.DataFrame:
+        # a single pre-row IS the complete fold of its key (cold keys
+        # pre-fold in one salt-0 group; a hot key whose rows all
+        # hashed to one salt is equally complete) — pass it through
+        # instead of re-decomposing the union
+        if len(pdf) == 1:
+            return pdf[["key", "area", "n_geoms", "geom_wkb"]]
+        return fold(
+            pdf.rename(
+                columns={"key": key_col, "geom_wkb": wkb_col}
+            ) if (key_col != "key" or wkb_col != "geom_wkb") else pdf
         )
-        .groupBy(key_col)
-        .applyInPandas(fold, out_schema)
-    )
+
+    return pre.groupBy("key").applyInPandas(refold, out_schema)

@@ -129,16 +129,23 @@ def test_one_and_two_level_plans_agree(spark):
         assert one[k] == pytest.approx(two[k])
 
 
-def test_two_level_plan_has_two_exchanges(spark):
-    """The salted default materializes BOTH shuffles: (key, salt)
-    pre-fold then per-key re-fold."""
-    rows = [(0, wkb.polygon([rect(0, 0, 4, 3)]))] * 3
-    plan = dissolve(_df(spark, rows))._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") >= 2
-    plan1 = dissolve(
-        _df(spark, rows), prefold_salts=None
+def test_adaptive_plan_exchanges(spark):
+    """Plan-shape pin for the adaptive default: a HOT key (rows >
+    threshold) materializes BOTH shuffles — (key, salt) pre-fold then
+    per-key re-fold; an all-cold input (or prefold_salts=None) plans
+    exactly ONE exchange, the single-shuffle fold."""
+    hot_rows = [(0, wkb.polygon([rect(0, 0, 4, 3)]))] * 100
+    plan = dissolve(
+        _df(spark, hot_rows), prefold_threshold=10
     )._jdf.queryExecution().executedPlan().toString()
-    assert plan1.count("Exchange") == 1
+    assert plan.count("Exchange") >= 2
+
+    cold_rows = [(0, wkb.polygon([rect(0, 0, 4, 3)]))] * 3
+    for kwargs in ({}, {"prefold_salts": None}):
+        plan1 = dissolve(
+            _df(spark, cold_rows), **kwargs
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan1.count("Exchange") == 1
 
 
 def test_hot_key_ten_thousand_overlapping(spark):
@@ -162,3 +169,39 @@ def test_hot_key_ten_thousand_overlapping(spark):
     want = ((n - 1) * 0.5 + 4.0) * 4.0
     assert r["area"] == pytest.approx(want, rel=1e-9)
     assert dt < 120.0, f"hot-key dissolve took {dt:.1f}s"
+
+
+def test_adaptive_prefold_mixed_hot_cold(spark):
+    """Adaptive routing: cold keys (≤ threshold rows) and a hot key
+    (> threshold rows) in ONE call, exact closed-form areas for both.
+    Also pins that forcing everything hot (threshold=0) and the
+    single-shuffle plan agree with the adaptive default."""
+    rows = []
+    # cold: 4 keys, 5 chained rects each (spacing 3 → width-1 overlaps)
+    for k in range(4):
+        for j in range(5):
+            rows.append(
+                (k, wkb.polygon([rect(j * 3, 0, j * 3 + 4, 2)]))
+            )
+    # hot: key 99, 200 overlapping rects (threshold default 64)
+    n = 200
+    for i in range(n):
+        rows.append(
+            (99, wkb.polygon([rect(i * 0.5, 0.0, i * 0.5 + 4.0, 4.0)]))
+        )
+    want_cold = (5 * 4 * 2 - 4 * 1 * 2) * 1.0   # 40 - 8 = 32
+    want_hot = ((n - 1) * 0.5 + 4.0) * 4.0
+
+    d = dissolve(_df(spark, rows).repartition(8))
+    a = _areas(d)
+    for k in range(4):
+        assert a[k] == pytest.approx(want_cold)
+    assert a[99] == pytest.approx(want_hot, rel=1e-9)
+    ng = {r.key: r.n_geoms for r in d.collect()}
+    assert ng[99] == n and all(ng[k] == 5 for k in range(4))
+
+    for kwargs in ({"prefold_threshold": 0}, {"prefold_salts": None}):
+        b = _areas(dissolve(_df(spark, rows).repartition(8), **kwargs))
+        assert set(b) == set(a)
+        for k in a:
+            assert b[k] == pytest.approx(a[k], rel=1e-9)
