@@ -4414,6 +4414,55 @@ def _sql_st_funcs_oracle_sql() -> str:
     """
 
 
+def _q_sql_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The geo_st_predicates matrix THROUGH THE SQL STRING PATH, at
+    scale: ``stsql.spatial_join_sql`` rewrites
+    ``FROM A a JOIN B b ON st_intersects(a.g, b.g)`` into the sparse
+    cell-cover candidate EQUI-join (predicate_pairs_join) before
+    Catalyst plans it, so the physical plan is hash joins — never the
+    BroadcastNestedLoopJoin a black-box-UDF theta-join produces (the
+    reference's SQLite dialect evaluates exactly such joins row by
+    row: ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:876-883).
+    Select-list st_pred(a, b) calls read pair-table columns
+    (direction-aware); st_disjoint falls through to the registered
+    per-row UDF over the already-sparse joined rows. No-BNLJ plan pin
+    + SQL≡DataFrame-path equality live in tests/test_stsql.py."""
+    from gdal_spark import stsql
+    from gdal_spark import wkb as _wkb
+
+    stsql.register_st_functions(spark)
+    a, b = _sp_fixtures()
+    a_df = spark.createDataFrame(pd.DataFrame(
+        {
+            "a_id": [r[0] for r in a],
+            "geom_wkb": [_wkb.polygon([_rect_ring(*r[1:])]) for r in a],
+        }
+    ))
+    b_df = spark.createDataFrame(pd.DataFrame(
+        {
+            "poly_id": [r[0] for r in b],
+            "geom_wkb": [_wkb.polygon([_rect_ring(*r[1:])]) for r in b],
+        }
+    ))
+    preds = ("intersects", "disjoint", "equals", "contains", "within",
+             "touches", "overlaps", "crosses")
+    sel = ",\n               ".join(
+        f"CAST(st_{p}(a.geom_wkb, b.geom_wkb) AS BIGINT) AS st_{p}"
+        for p in preds
+    )
+    return stsql.spatial_join_sql(
+        spark,
+        f"""
+        SELECT a.a_id AS a_id, b.poly_id AS b_id,
+               {sel}
+        FROM sj_a a JOIN sj_b b
+          ON st_intersects(a.geom_wkb, b.geom_wkb)
+        """,
+        tables={"sj_a": a_df, "sj_b": b_df},
+        id_cols={"sj_a": "a_id", "sj_b": "poly_id"},
+    )
+
+
 def _q_geo_buffer_makevalid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-polygon ST_Buffer + ST_MakeValid, value-exact: convex,
     holed (surviving sharp-cornered hole) and multipart buffers plus
@@ -4844,6 +4893,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_checksum_gdal": _q_rs_checksum,
     "q_ogr_sql": _q_ogr_sql,
     "q_sql_st_funcs": _q_sql_st_funcs,
+    "q_sql_spatial_join": _q_sql_spatial_join,
     "geo_buffer_makevalid": _q_geo_buffer_makevalid,
     "q_ogr_sql_join": _q_ogr_sql_join,
     "q_first_match_join": _q_first_match_join,
@@ -4907,6 +4957,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "geo_layer_algebra": _layer_algebra_oracle_sql(),
     "geo_st_predicates": _st_predicates_oracle_sql(),
     "q_sql_st_funcs": _sql_st_funcs_oracle_sql(),
+    "q_sql_spatial_join": _st_predicates_oracle_sql(),
     "geo_buffer_makevalid": _GEO_BUFFER_MAKEVALID_ORACLE,
     "sim_ann_lsh": _ann_oracle_sql(),
     "sim_ann_ivf": _ann_oracle_sql(),
@@ -5225,6 +5276,17 @@ RETIRED_GATES: dict[str, str] = {
                    "tests/test_proj.py (round trips, true scale on "
                    "both standard parallels, Snyder numeric example); "
                    "green r04; admits rs_warp_albers",
+    "geo_st_predicates": "q_sql_spatial_join runs the SAME fixture and "
+                         "the SAME sparse cell-cover pair kernel "
+                         "(predicate_pairs_join) against the SAME "
+                         "interval-arithmetic oracle — but reached "
+                         "through the SQL string surface via the "
+                         "spatial-join rewrite, which also plan-pins "
+                         "no-BNLJ; the DataFrame twin and sparse/dense "
+                         "equivalence stay pinned in "
+                         "tests/test_layer_algebra.py and the SQL≡DF "
+                         "equality in tests/test_stsql.py; green "
+                         "r03+r04; admits q_sql_spatial_join",
 }
 
 

@@ -67,6 +67,7 @@ HEADLINE = [
     "q5_local_supplier",
     "q_ogr_sql",
     "q_sql_st_funcs",
+    "q_sql_spatial_join",
     "q_sessionize",
     # vector aggregate union + constructive ops via SQL
     "geo_dissolve",

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from . import geometry, wkb
@@ -417,3 +418,151 @@ def register_st_functions(spark) -> list[str]:
 
     reg("st_distance", _distance_udf)
     return names
+
+
+# ---------------------------------------------------------------------------
+# Spatial-join SQL rewrite (SURVEY §4 sugar): JOIN ... ON st_pred(a.g, b.g)
+# routed through the cell-cover candidate equi-join instead of the
+# nested-loop plan Catalyst produces for a theta-join on a black-box UDF.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+# predicates servable from the SPARSE pair table (absent pair ⇒ false);
+# st_disjoint is the dense complement and cannot join sparsely
+_SPARSE_PREDS = (
+    "intersects", "contains", "within", "touches", "overlaps",
+    "equals", "crosses",
+)
+# direction swap when a select-list call names the args (B, A) instead
+# of the JOIN's (A, B) order; every other pair predicate is symmetric
+_SWAP = {"contains": "within", "within": "contains"}
+
+_JOIN_RE = _re.compile(
+    r"\bFROM\s+(?P<t1>\w+)\s+(?:AS\s+)?(?P<a1>\w+)\s+"
+    r"(?:INNER\s+)?JOIN\s+(?P<t2>\w+)\s+(?:AS\s+)?(?P<a2>\w+)\s+"
+    r"ON\s+st_(?P<pred>\w+)\s*\(\s*"
+    r"(?P<g1>\w+)\.(?P<c1>\w+)\s*,\s*(?P<g2>\w+)\.(?P<c2>\w+)\s*\)",
+    _re.IGNORECASE,
+)
+
+
+def spatial_join_sql(
+    spark,
+    sql: str,
+    tables: dict,
+    id_cols: dict,
+    cell: float = 32.0,
+):
+    """Execute a SQL string whose JOIN condition is a spatial ST
+    predicate — at scale. The reference evaluates such joins row by
+    row through its SQLite dialect (each ST_Intersects() call is a
+    black-box C function: ogr/ogrsf_frmts/sqlite/
+    ogrsqlitesqlfunctions.cpp:876-883), and Spark does the analogous
+    thing with a registered UDF: a theta-join on an opaque predicate
+    plans BroadcastNestedLoopJoin — |A|·|B| kernel evaluations.
+
+    This front-end rewrite (the Catalyst-rule analog SURVEY §4 names)
+    computes the sparse cell-cover predicate pair table FIRST
+    (:func:`~gdal_spark.operators.layer_algebra.predicate_pairs_join`
+    — grid-cell equi-join prefilter, envelope check, exact pair
+    kernel; output bounded by candidates, never |A|·|B|), registers
+    it as a temp view, and rewrites the query so Catalyst only ever
+    sees hash/merge EQUI-joins:
+
+        FROM A a JOIN B b ON st_intersects(a.g, b.g)
+      ⇒ FROM A a JOIN __sj ON __sj.a_id = a.<id>
+                 JOIN B b ON b.<id> = __sj.b_id  [WHERE __sj.st_intersects=1]
+
+    Select-list calls ``st_pred(a.g, b.g)`` between the SAME two
+    aliases become pair-table column references (direction-aware:
+    ``st_contains(b.g, a.g)`` reads the ``st_within`` column).
+
+    Parameters: ``tables`` maps SQL table names to DataFrames with a
+    binary WKB geometry column; ``id_cols`` maps table names to their
+    unique id column. Supported shape: one two-table JOIN whose ON
+    clause is a single sparse ST predicate (everything else —
+    SELECT list, WHERE, GROUP BY, ORDER BY — passes through).
+    ``st_disjoint`` is rejected: absent pairs ARE the disjoint set,
+    so a sparse pair table cannot serve it as a join condition.
+    """
+    m = _JOIN_RE.search(sql)
+    if not m:
+        raise ValueError(
+            "no 'FROM t1 a JOIN t2 b ON st_<pred>(a.col, b.col)' "
+            "pattern found"
+        )
+    pred = m.group("pred").lower()
+    if pred not in _SPARSE_PREDS:
+        raise ValueError(
+            f"st_{pred} is not servable from the sparse pair table "
+            f"(supported: {', '.join('st_' + p for p in _SPARSE_PREDS)})"
+        )
+    t1, a1, t2, a2 = (
+        m.group("t1"), m.group("a1"), m.group("t2"), m.group("a2")
+    )
+    g1, g2 = m.group("g1"), m.group("g2")
+    if {g1, g2} != {a1, a2}:
+        raise ValueError(
+            f"ON-clause arguments ({g1}, {g2}) must reference the two "
+            f"joined aliases ({a1}, {a2})"
+        )
+    # pair-table A side = the alias named FIRST in the ON predicate
+    first, second = g1, g2
+    tbl_of = {a1: t1, a2: t2}
+    col_of = {g1: m.group("c1"), g2: m.group("c2")}
+    from .operators.layer_algebra import predicate_pairs_join
+
+    def side(alias):
+        t = tbl_of[alias]
+        df = tables[t]
+        idc = id_cols[t]
+        return df.select(
+            F.col(idc).cast("long").alias(idc),
+            F.col(col_of[alias]).alias("geom_wkb"),
+        ), idc
+
+    a_sel, ida = side(first)
+    b_sel, idb = side(second)
+    pairs = predicate_pairs_join(
+        a_sel, b_sel, id_a=ida, id_b=idb, cell=cell
+    )
+    if ida == idb:  # same id column name on both sides
+        pairs = pairs.toDF(
+            "__a_id", "__b_id",
+            *[c for c in pairs.columns if c.startswith("st_")],
+        )
+        pa, pb = "__a_id", "__b_id"
+    else:
+        pa, pb = ida, idb
+    pairs = pairs.filter(F.col(f"st_{pred}") == 1)
+    pairs.createOrReplaceTempView("__sj")
+    for t, df in tables.items():
+        df.createOrReplaceTempView(t)
+
+    # rewrite select-list / WHERE predicate calls between the two
+    # joined aliases into pair-table column references
+    def repl_call(mm):
+        p = mm.group("p").lower()
+        x, y = mm.group("x"), mm.group("y")
+        if {x, y} != {a1, a2} or p == "disjoint":
+            return mm.group(0)  # leave for the UDF path
+        want = p if x == first else _SWAP.get(p, p)
+        return f"__sj.st_{want}"
+
+    call_re = _re.compile(
+        r"\bst_(?P<p>\w+)\s*\(\s*(?P<x>\w+)\.\w+\s*,\s*"
+        r"(?P<y>\w+)\.\w+\s*\)",
+        _re.IGNORECASE,
+    )
+    head, tail = sql[: m.start()], sql[m.end():]
+    head = call_re.sub(repl_call, head)
+    tail = call_re.sub(repl_call, tail)
+    mid = (
+        f"FROM {t1} {a1} "
+        f"JOIN __sj ON __sj.{pa if first == a1 else pb} = "
+        f"{a1}.{id_cols[t1]} "
+        f"JOIN {t2} {a2} ON {a2}.{id_cols[t2]} = "
+        f"__sj.{pb if first == a1 else pa}"
+    )
+    return spark.sql(head + mid + tail)

@@ -213,3 +213,126 @@ def test_st_distance(st):
         "st_geomfromtext('POINT (3 4)')) AS d"
     ).collect()[0]
     assert r4.d == pytest.approx(5.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# spatial_join_sql: the SQL-string spatial join routed through the
+# cell-cover equi-join (no BroadcastNestedLoopJoin ever)
+# ---------------------------------------------------------------------------
+
+
+def _rect(x0, y0, x1, y1):
+    return np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float
+    )
+
+
+def _sj_tables(spark):
+    import pandas as pd
+
+    from gdal_spark import wkb
+
+    a = spark.createDataFrame(pd.DataFrame({
+        "a_id": [1, 2, 3, 4],
+        "geom_wkb": [
+            wkb.polygon([_rect(0, 0, 10, 10)]),
+            wkb.polygon([_rect(20, 0, 30, 10)]),
+            wkb.polygon([_rect(100, 100, 101, 101)]),
+            wkb.polygon([_rect(8, 8, 12, 12)]),
+        ],
+    }))
+    b = spark.createDataFrame(pd.DataFrame({
+        "poly_id": [7, 8, 9],
+        "geom_wkb": [
+            wkb.polygon([_rect(2, 2, 5, 5)]),      # inside a1
+            wkb.polygon([_rect(25, 5, 35, 15)]),   # overlaps a2
+            wkb.polygon([_rect(10, 10, 11, 11)]),  # touches a1, in a4
+        ],
+    }))
+    return a, b
+
+
+def test_spatial_join_sql_matches_dataframe_path(spark):
+    """SQL string path ≡ DataFrame predicate_pairs_join on the same
+    tables, for the join set and each predicate column."""
+    from gdal_spark import stsql
+    from gdal_spark.operators.layer_algebra import predicate_pairs_join
+
+    a, b = _sj_tables(spark)
+    got = stsql.spatial_join_sql(
+        spark,
+        """SELECT a.a_id AS a_id, b.poly_id AS b_id,
+                  st_contains(a.geom_wkb, b.geom_wkb) AS cont,
+                  st_within(b.geom_wkb, a.geom_wkb) AS cont_swapped,
+                  st_touches(a.geom_wkb, b.geom_wkb) AS tch
+           FROM ta a JOIN tb b ON st_intersects(a.geom_wkb, b.geom_wkb)""",
+        tables={"ta": a, "tb": b},
+        id_cols={"ta": "a_id", "tb": "poly_id"},
+    )
+    rows = {(r.a_id, r.b_id): r for r in got.collect()}
+    ref = {
+        (r.a_id, r.poly_id): r
+        for r in predicate_pairs_join(a, b, "a_id", "poly_id")
+        .filter("st_intersects = 1").collect()
+    }
+    assert set(rows) == set(ref) and len(rows) > 0
+    for k, r in rows.items():
+        assert r.cont == ref[k].st_contains
+        # st_within(b, a) ≡ st_contains(a, b): direction-aware rewrite
+        assert r.cont_swapped == ref[k].st_contains
+        assert r.tch == ref[k].st_touches
+
+
+def test_spatial_join_sql_no_nested_loop_plan(spark):
+    """The scale pin: the physical plan contains NO
+    BroadcastNestedLoopJoin and NO CartesianProduct — every join is
+    an equi-join over the sparse pair table."""
+    from gdal_spark import stsql
+
+    a, b = _sj_tables(spark)
+    df = stsql.spatial_join_sql(
+        spark,
+        "SELECT a.a_id AS a_id, b.poly_id AS b_id FROM ta a "
+        "JOIN tb b ON st_intersects(a.geom_wkb, b.geom_wkb)",
+        tables={"ta": a, "tb": b},
+        id_cols={"ta": "a_id", "tb": "poly_id"},
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_spatial_join_sql_where_group_order_pass_through(spark):
+    """Clauses around the rewritten JOIN survive: WHERE on an
+    attribute, GROUP BY + agg, ORDER BY."""
+    from gdal_spark import stsql
+
+    a, b = _sj_tables(spark)
+    out = stsql.spatial_join_sql(
+        spark,
+        """SELECT a.a_id AS a_id, COUNT(*) AS n
+           FROM ta a JOIN tb b ON st_intersects(a.geom_wkb, b.geom_wkb)
+           WHERE b.poly_id < 9
+           GROUP BY a.a_id ORDER BY a_id""",
+        tables={"ta": a, "tb": b},
+        id_cols={"ta": "a_id", "tb": "poly_id"},
+    ).collect()
+    assert [(r.a_id, r.n) for r in out] == [(1, 1), (2, 1)]
+
+
+def test_spatial_join_sql_rejections(spark):
+    from gdal_spark import stsql
+
+    a, b = _sj_tables(spark)
+    with pytest.raises(ValueError, match="st_disjoint"):
+        stsql.spatial_join_sql(
+            spark,
+            "SELECT a.a_id FROM ta a JOIN tb b "
+            "ON st_disjoint(a.geom_wkb, b.geom_wkb)",
+            tables={"ta": a, "tb": b},
+            id_cols={"ta": "a_id", "tb": "poly_id"},
+        )
+    with pytest.raises(ValueError, match="pattern"):
+        stsql.spatial_join_sql(
+            spark, "SELECT 1", tables={}, id_cols={},
+        )
