@@ -1,0 +1,829 @@
+"""FlatGeobuf 3.x source + sink — from-spec.
+
+The reference ships a FlatGeobuf driver
+(ogr/ogrsf_frmts/flatgeobuf/ogrflatgeobufdataset.cpp,
+ogrflatgeobuflayer.cpp) built on the flatbuffers C++ runtime and the
+format author's packed Hilbert R-tree (packedrtree.cpp). This module
+implements the PUBLIC format specification
+(https://flatgeobuf.org — Header.fbs / Feature.fbs, spec v3) directly:
+
+* a minimal flatbuffers wire codec (vtable-based tables, u32-length
+  vectors/strings, size-prefixed roots — the open flatbuffers
+  internals spec), both directions;
+* the 40-byte-node packed Hilbert R-tree (leaf nodes carry feature
+  byte offsets; internal nodes carry first-child node indices; levels
+  stored root-first, leaves last; items ordered by the 16-bit Hilbert
+  code of the bbox center, the layout the reference's
+  packedrtree.cpp:~100 documents);
+* size-prefixed Feature records (geometry coordinates as flat xy
+  vectors with ``ends`` ring/part indices, properties as the spec's
+  packed (u16 column index, value) binary).
+
+Scale shape mirrors shapefile.py/gtiff.py: the DRIVER reads only the
+magic + header (+ the index when a bbox is given — never feature
+bytes); executors seek-read their feature byte ranges. The writer is
+granule-parallel (one .fgb per partition/group inside the task).
+Shared-FS contract, like every ranged reader here.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import wkb
+
+MAGIC = b"fgb\x03fgb\x00"
+NODE_BYTES = 40
+_HILBERT_N = 1 << 16
+
+# GeometryType enum (Header.fbs) ↔ this engine's WKB type codes
+_GT_FROM_WKB = {
+    wkb.POINT: 1, wkb.LINESTRING: 2, wkb.POLYGON: 3,
+    wkb.MULTIPOINT: 4, wkb.MULTILINESTRING: 5, wkb.MULTIPOLYGON: 6,
+}
+_WKB_FROM_GT = {v: k for k, v in _GT_FROM_WKB.items()}
+
+# ColumnType enum (Header.fbs)
+_CT_BOOL, _CT_LONG, _CT_DOUBLE, _CT_STRING, _CT_BINARY = 2, 7, 10, 11, 14
+
+
+# ---------------------------------------------------------------------------
+# minimal flatbuffers builder / reader (wire format per the open
+# flatbuffers internals documentation; built back-to-front like every
+# conforming builder so uoffsets point forward)
+# ---------------------------------------------------------------------------
+
+
+class _FBuilder:
+    def __init__(self):
+        self._chunks: list[bytes] = []   # back-to-front
+        self.size = 0                    # bytes emitted (from buffer end)
+        self.max_align = 8
+
+    def _pad(self, n: int):
+        if n:
+            self._chunks.append(b"\x00" * n)
+            self.size += n
+
+    def _prep(self, align: int, extra: int):
+        self.max_align = max(self.max_align, align)
+        self._pad((-(self.size + extra)) % align)
+
+    def _push(self, b: bytes) -> int:
+        self._chunks.append(b)
+        self.size += len(b)
+        return self.size  # from-end offset of the chunk START
+
+    def vector(self, data: bytes, elem_align: int, count: int) -> int:
+        """Place a vector; returns its from-end offset (at the u32
+        length word)."""
+        self._prep(4, len(data))
+        self._prep(elem_align, len(data))
+        self._push(data)
+        return self._push(struct.pack("<I", count))
+
+    def string(self, s: str) -> int:
+        b = s.encode("utf-8")
+        return self.vector(b + b"\x00", 1, len(b))
+
+    def table(self, fields: dict) -> int:
+        """fields: slot -> ("scalar", fmt, value) | ("offset", from_end).
+        Returns the table's from-end offset."""
+        end0 = self.size
+        pos: dict[int, int] = {}
+        for slot in sorted(fields, reverse=True):
+            kind = fields[slot][0]
+            if kind == "scalar":
+                _, fmt, val = fields[slot]
+                b = struct.pack("<" + fmt, val)
+                self._prep(len(b), 0)
+                pos[slot] = self._push(b)
+            else:
+                _, tgt = fields[slot]
+                self._prep(4, 0)
+                # uoffset = field_from_end - target_from_end
+                here = self._push(b"\x00\x00\x00\x00")
+                self._chunks[-1] = struct.pack("<I", here - tgt)
+                pos[slot] = here
+        self._prep(4, 0)
+        t_fe = self._push(b"\x00\x00\x00\x00")  # soffset placeholder
+        t_idx = len(self._chunks) - 1
+        nslots = (max(fields) + 1) if fields else 0
+        vt = bytearray()
+        vt += struct.pack("<HH", 4 + 2 * nslots, t_fe - end0)
+        for s in range(nslots):
+            vt += struct.pack("<H", t_fe - pos[s] if s in pos else 0)
+        self._prep(2, 0)
+        v_fe = self._push(bytes(vt))
+        # soffset: table_front - vtable_front = v_fe - t_fe
+        self._chunks[t_idx] = struct.pack("<i", v_fe - t_fe)
+        return t_fe
+
+    def table_vector(self, table_fes: list[int]) -> int:
+        """Vector of table uoffsets; returns its from-end offset."""
+        nb = 4 * len(table_fes)
+        self._prep(4, nb)
+        self._push(b"\x00" * nb)
+        e_idx = len(self._chunks) - 1
+        elem_fe = self.size
+        vec_fe = self._push(struct.pack("<I", len(table_fes)))
+        patched = bytearray()
+        for i, t_fe in enumerate(table_fes):
+            patched += struct.pack("<I", (elem_fe - 4 * i) - t_fe)
+        self._chunks[e_idx] = bytes(patched)
+        return vec_fe
+
+    def finish(self, root_fe: int, size_prefixed: bool = True) -> bytes:
+        self._prep(self.max_align, 8 if size_prefixed else 4)
+        here = self._push(b"\x00\x00\x00\x00")
+        self._chunks[-1] = struct.pack("<I", here - root_fe)
+        body = b"".join(reversed(self._chunks))
+        if size_prefixed:
+            return struct.pack("<I", len(body)) + body
+        return body
+
+
+class _FTable:
+    __slots__ = ("buf", "pos", "vt", "nslots")
+
+    def __init__(self, buf, pos: int):
+        self.buf = buf
+        self.pos = pos
+        soff = struct.unpack_from("<i", buf, pos)[0]
+        self.vt = pos - soff
+        self.nslots = (struct.unpack_from("<H", buf, self.vt)[0] - 4) // 2
+
+    def _fo(self, slot: int) -> int:
+        if slot >= self.nslots:
+            return 0
+        return struct.unpack_from("<H", self.buf, self.vt + 4 + 2 * slot)[0]
+
+    def scalar(self, slot: int, fmt: str, default):
+        fo = self._fo(slot)
+        if not fo:
+            return default
+        return struct.unpack_from("<" + fmt, self.buf, self.pos + fo)[0]
+
+    def _indirect(self, slot: int) -> int | None:
+        fo = self._fo(slot)
+        if not fo:
+            return None
+        p = self.pos + fo
+        return p + struct.unpack_from("<I", self.buf, p)[0]
+
+    def vector(self, slot: int):
+        """-> (element start, count) or None."""
+        o = self._indirect(slot)
+        if o is None:
+            return None
+        n = struct.unpack_from("<I", self.buf, o)[0]
+        return o + 4, n
+
+    def string(self, slot: int) -> str | None:
+        v = self.vector(slot)
+        if v is None:
+            return None
+        start, n = v
+        return bytes(self.buf[start: start + n]).decode("utf-8")
+
+    def table(self, slot: int) -> "_FTable | None":
+        o = self._indirect(slot)
+        return None if o is None else _FTable(self.buf, o)
+
+    def tables(self, slot: int) -> list["_FTable"]:
+        v = self.vector(slot)
+        if v is None:
+            return []
+        start, n = v
+        out = []
+        for i in range(n):
+            p = start + 4 * i
+            out.append(
+                _FTable(self.buf, p + struct.unpack_from("<I", self.buf, p)[0])
+            )
+        return out
+
+    def f64s(self, slot: int) -> np.ndarray:
+        v = self.vector(slot)
+        if v is None:
+            return np.empty(0)
+        start, n = v
+        return np.frombuffer(self.buf, "<f8", n, start)
+
+    def u32s(self, slot: int) -> np.ndarray:
+        v = self.vector(slot)
+        if v is None:
+            return np.empty(0, dtype=np.uint32)
+        start, n = v
+        return np.frombuffer(self.buf, "<u4", n, start)
+
+    def bytes_(self, slot: int) -> bytes:
+        v = self.vector(slot)
+        if v is None:
+            return b""
+        start, n = v
+        return bytes(self.buf[start: start + n])
+
+
+def _root(buf, base: int = 0) -> _FTable:
+    return _FTable(buf, base + struct.unpack_from("<I", buf, base)[0])
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve + packed R-tree (packedrtree.cpp analog, from the
+# published layout: 40-byte node items, root-first level order)
+# ---------------------------------------------------------------------------
+
+
+def hilbert_d(x: np.ndarray, y: np.ndarray, n: int = _HILBERT_N) -> np.ndarray:
+    """Vectorized xy→d on the n×n Hilbert curve (classic rotate-fold;
+    the same 16-bit discretization the reference's packedrtree.cpp
+    uses for its sort keys)."""
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros(x.shape, dtype=np.int64)
+    s = n // 2
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        flip = ry == 0
+        swapflip = flip & (rx == 1)
+        x2 = np.where(swapflip, s - 1 - x, x)
+        y2 = np.where(swapflip, s - 1 - y, y)
+        x, y = np.where(flip, y2, x2), np.where(flip, x2, y2)
+        s //= 2
+    return d
+
+
+def _hilbert_order(boxes: np.ndarray) -> np.ndarray:
+    """boxes (N,4) minx,miny,maxx,maxy → argsort by Hilbert code of
+    the center on the 2^16 grid over the total extent."""
+    ext = (
+        boxes[:, 0].min(), boxes[:, 1].min(),
+        boxes[:, 2].max(), boxes[:, 3].max(),
+    )
+    w = max(ext[2] - ext[0], 1e-300)
+    h = max(ext[3] - ext[1], 1e-300)
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2.0
+    hx = np.clip(
+        ((cx - ext[0]) / w * (_HILBERT_N - 1)), 0, _HILBERT_N - 1
+    ).astype(np.int64)
+    hy = np.clip(
+        ((cy - ext[1]) / h * (_HILBERT_N - 1)), 0, _HILBERT_N - 1
+    ).astype(np.int64)
+    return np.argsort(hilbert_d(hx, hy), kind="stable")
+
+
+def _tree_level_counts(n_items: int, node_size: int) -> list[int]:
+    """[leaf count, ..., 1] bottom-up."""
+    counts = [n_items]
+    while counts[-1] > 1:
+        counts.append((counts[-1] + node_size - 1) // node_size)
+    return counts
+
+
+def build_rtree(
+    boxes: np.ndarray, offsets: np.ndarray, node_size: int = 16
+) -> bytes:
+    """Packed Hilbert R-tree over ALREADY hilbert-sorted leaf items.
+    boxes (N,4) float64; offsets (N,) feature byte offsets. Returns
+    the index bytes (root-first level order, 40-byte nodes)."""
+    n = len(boxes)
+    counts = _tree_level_counts(n, node_size)     # bottom-up
+    n_nodes = sum(counts)
+    # top-down start index of each level
+    starts_td = []
+    acc = 0
+    for c in reversed(counts):
+        starts_td.append(acc)
+        acc += c
+    # level k (0=root ... L-1=leaves); leaves last
+    L = len(counts)
+    node_box = np.zeros((n_nodes, 4))
+    node_off = np.zeros(n_nodes, dtype=np.uint64)
+    leaf_start = starts_td[-1]
+    node_box[leaf_start:] = boxes
+    node_off[leaf_start:] = offsets.astype(np.uint64)
+    # build internal levels bottom-up
+    for k in range(L - 2, -1, -1):
+        cs = starts_td[k + 1]           # child level start
+        cn = counts[(L - 1) - (k + 1)]  # child level count
+        ps = starts_td[k]
+        pn = counts[(L - 1) - k]
+        for j in range(pn):
+            a = cs + j * node_size
+            z = min(cs + cn, a + node_size)
+            node_box[ps + j, 0] = node_box[a:z, 0].min()
+            node_box[ps + j, 1] = node_box[a:z, 1].min()
+            node_box[ps + j, 2] = node_box[a:z, 2].max()
+            node_box[ps + j, 3] = node_box[a:z, 3].max()
+            node_off[ps + j] = a
+    out = bytearray()
+    for i in range(n_nodes):
+        out += struct.pack(
+            "<ddddQ", *node_box[i], int(node_off[i])
+        )
+    return bytes(out)
+
+
+def rtree_search(
+    index: bytes, n_items: int, node_size: int, bbox
+) -> np.ndarray:
+    """bbox (minx,miny,maxx,maxy) → sorted array of feature byte
+    offsets whose leaf boxes intersect it."""
+    counts = _tree_level_counts(n_items, node_size)
+    starts_td = []
+    acc = 0
+    for c in reversed(counts):
+        starts_td.append(acc)
+        acc += c
+    n_nodes = acc
+    arr = np.frombuffer(index, dtype=[("b", "<f8", 4), ("o", "<u8")],
+                        count=n_nodes)
+    bx0, by0, bx1, by1 = bbox
+    leaf_start = starts_td[-1]
+    hits = []
+    queue = [0] if n_nodes else []
+    level_of = np.zeros(n_nodes, dtype=np.int64)
+    for k, s in enumerate(starts_td):
+        level_of[s:] = k
+    while queue:
+        i = queue.pop()
+        b = arr["b"][i]
+        if b[2] < bx0 or b[0] > bx1 or b[3] < by0 or b[1] > by1:
+            continue
+        if i >= leaf_start:
+            hits.append(int(arr["o"][i]))
+            continue
+        k = int(level_of[i])
+        child_start = int(arr["o"][i])
+        cl_start = starts_td[k + 1]
+        cl_end = cl_start + counts[(len(counts) - 1) - (k + 1)]
+        queue.extend(range(child_start, min(child_start + node_size,
+                                            cl_end)))
+    return np.array(sorted(hits), dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# geometry: WKB ↔ Feature Geometry table
+# ---------------------------------------------------------------------------
+
+
+def _geom_fields(fb: _FBuilder, gwkb: bytes):
+    """WKB → Geometry-table field dict (built into fb)."""
+    gtype, payload = wkb.parse(gwkb)
+    gt = _GT_FROM_WKB[gtype]
+    fields: dict = {6: ("scalar", "B", gt)}
+    if gtype == wkb.POINT:
+        xy = np.array(payload, dtype="<f8")
+    elif gtype == wkb.LINESTRING:
+        xy = np.asarray(payload, dtype="<f8").ravel()
+    elif gtype == wkb.POLYGON:
+        rings = [np.asarray(r, dtype="<f8") for r in payload]
+        ends = np.cumsum([len(r) for r in rings]).astype("<u4")
+        xy = np.concatenate([r.ravel() for r in rings])
+        if len(rings) > 1:
+            fields[0] = (
+                "offset",
+                fb.vector(ends.tobytes(), 4, len(ends)),
+            )
+    elif gtype == wkb.MULTIPOINT:
+        xy = np.asarray(payload, dtype="<f8").ravel()
+    elif gtype == wkb.MULTILINESTRING:
+        lines = [np.asarray(ln, dtype="<f8") for ln in payload]
+        ends = np.cumsum([len(ln) for ln in lines]).astype("<u4")
+        xy = np.concatenate([ln.ravel() for ln in lines])
+        fields[0] = ("offset", fb.vector(ends.tobytes(), 4, len(ends)))
+    elif gtype == wkb.MULTIPOLYGON:
+        parts = [
+            fb.table(_geom_fields(fb, wkb.polygon(rings)))
+            for rings in payload
+        ]
+        fields[7] = ("offset", fb.table_vector(parts))
+        return fields
+    else:  # pragma: no cover
+        raise ValueError(f"unsupported geometry type {gtype}")
+    fields[1] = (
+        "offset",
+        fb.vector(xy.astype("<f8").tobytes(), 8, len(xy)),
+    )
+    return fields
+
+
+def _geom_to_wkb(g: _FTable) -> bytes:
+    gt = int(g.scalar(6, "B", 0))
+    if gt == 6:  # MultiPolygon via parts
+        polys = []
+        for part in g.tables(7):
+            xy = part.f64s(1).reshape(-1, 2)
+            ends = part.u32s(0)
+            if len(ends) == 0:
+                ends = np.array([len(xy)], dtype=np.uint32)
+            rings, a = [], 0
+            for e in ends:
+                rings.append(xy[a: int(e)])
+                a = int(e)
+            polys.append(rings)
+        return wkb.multipolygon(polys)
+    xy = g.f64s(1).reshape(-1, 2)
+    ends = g.u32s(0)
+    if gt == 1:
+        return wkb.point(float(xy[0, 0]), float(xy[0, 1]))
+    if gt == 2:
+        return wkb.linestring(xy)
+    if gt == 3:
+        if len(ends) == 0:
+            ends = np.array([len(xy)], dtype=np.uint32)
+        rings, a = [], 0
+        for e in ends:
+            rings.append(xy[a: int(e)])
+            a = int(e)
+        return wkb.polygon(rings)
+    if gt == 4:
+        return wkb.multipoint(xy)
+    if gt == 5:
+        if len(ends) == 0:
+            ends = np.array([len(xy)], dtype=np.uint32)
+        lines, a = [], 0
+        for e in ends:
+            lines.append(xy[a: int(e)])
+            a = int(e)
+        return wkb.multilinestring(lines)
+    raise ValueError(f"unsupported FlatGeobuf geometry type {gt}")
+
+
+def _wkb_bbox(gwkb: bytes) -> tuple[float, float, float, float]:
+    gtype, payload = wkb.parse(gwkb)
+    if gtype == wkb.POINT:
+        x, y = payload
+        return x, y, x, y
+    if gtype in (wkb.LINESTRING, wkb.MULTIPOINT):
+        a = np.asarray(payload, dtype=np.float64)
+    elif gtype == wkb.POLYGON:
+        a = np.vstack(payload)
+    elif gtype == wkb.MULTILINESTRING:
+        a = np.vstack(payload)
+    else:  # MULTIPOLYGON
+        a = np.vstack([r for rings in payload for r in rings])
+    return (
+        float(a[:, 0].min()), float(a[:, 1].min()),
+        float(a[:, 0].max()), float(a[:, 1].max()),
+    )
+
+
+# ---------------------------------------------------------------------------
+# properties codec (spec: packed little-endian (u16 column idx, value))
+# ---------------------------------------------------------------------------
+
+
+def _col_type(series: pd.Series) -> int:
+    k = series.dtype.kind
+    if k == "b":
+        return _CT_BOOL
+    if k in "iu":
+        return _CT_LONG
+    if k == "f":
+        return _CT_DOUBLE
+    for v in series:
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            continue
+        return _CT_BINARY if isinstance(v, (bytes, bytearray)) else _CT_STRING
+    return _CT_STRING
+
+
+def _props_encode(row, cols: list[tuple[str, int]]) -> bytes:
+    out = bytearray()
+    for i, (name, ct) in enumerate(cols):
+        v = row[name]
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            continue
+        out += struct.pack("<H", i)
+        if ct == _CT_BOOL:
+            out += struct.pack("<B", 1 if v else 0)
+        elif ct == _CT_LONG:
+            out += struct.pack("<q", int(v))
+        elif ct == _CT_DOUBLE:
+            out += struct.pack("<d", float(v))
+        elif ct == _CT_STRING:
+            b = str(v).encode("utf-8")
+            out += struct.pack("<I", len(b)) + b
+        else:
+            b = bytes(v)
+            out += struct.pack("<I", len(b)) + b
+    return bytes(out)
+
+
+def _props_decode(buf: bytes, cols: list[tuple[str, int]]) -> dict:
+    out: dict = {}
+    pos = 0
+    while pos < len(buf):
+        (i,) = struct.unpack_from("<H", buf, pos)
+        pos += 2
+        name, ct = cols[i]
+        if ct == _CT_BOOL:
+            out[name] = bool(buf[pos]); pos += 1
+        elif ct == _CT_LONG:
+            (out[name],) = struct.unpack_from("<q", buf, pos); pos += 8
+        elif ct == _CT_DOUBLE:
+            (out[name],) = struct.unpack_from("<d", buf, pos); pos += 8
+        else:
+            (n,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+            raw = buf[pos: pos + n]
+            pos += n
+            out[name] = raw.decode("utf-8") if ct == _CT_STRING else raw
+    return out
+
+
+# ---------------------------------------------------------------------------
+# whole-blob encode / decode
+# ---------------------------------------------------------------------------
+
+
+def fgb_encode(
+    pdf: pd.DataFrame,
+    geometry_col: str = "geometry",
+    name: str = "layer",
+    node_size: int = 16,
+    index: bool = True,
+) -> bytes:
+    """pandas frame → one FlatGeobuf blob. Features are written in
+    Hilbert order (the spec's expectation when an index is present);
+    null geometries are kept (empty Geometry, excluded from the
+    index the way the reference writer skips them)."""
+    attr = [c for c in pdf.columns if c != geometry_col]
+    cols = [(c, _col_type(pdf[c])) for c in attr]
+    geoms = [
+        None if g is None else bytes(g) for g in pdf[geometry_col]
+    ]
+    n = len(pdf)
+    boxes = np.zeros((n, 4))
+    gts = set()
+    for i, g in enumerate(geoms):
+        if g is None:
+            boxes[i] = (np.inf, np.inf, -np.inf, -np.inf)
+        else:
+            boxes[i] = _wkb_bbox(g)
+            gts.add(wkb.parse(g)[0])
+    use_index = index and n > 0
+    order = (
+        _hilbert_order(np.where(np.isfinite(boxes), boxes, 0.0))
+        if use_index else np.arange(n)
+    )
+    # feature records in final order
+    records = pdf[attr].to_dict("records") if attr else [{}] * n
+    feats: list[bytes] = []
+    for i in order:
+        fb = _FBuilder()
+        fields: dict = {}
+        g = geoms[int(i)]
+        if g is not None:
+            gf = _geom_fields(fb, g)
+            fields[0] = ("offset", fb.table(gf))
+        pb = _props_encode(records[int(i)], cols)
+        if pb:
+            fields[1] = ("offset", fb.vector(pb, 1, len(pb)))
+        feats.append(fb.finish(fb.table(fields)))
+    offsets = np.zeros(n, dtype=np.int64)
+    acc = 0
+    for j, fbts in enumerate(feats):
+        offsets[j] = acc
+        acc += len(fbts)
+    # header
+    hb = _FBuilder()
+    col_tables = []
+    for cname, ct in cols:
+        cf = {
+            0: ("offset", hb.string(cname)),
+            1: ("scalar", "B", ct),
+        }
+        col_tables.append(hb.table(cf))
+    hfields: dict = {}
+    hfields[0] = ("offset", hb.string(name))
+    valid = np.isfinite(boxes[:, 0])
+    if valid.any():
+        env = np.array(
+            [boxes[valid, 0].min(), boxes[valid, 1].min(),
+             boxes[valid, 2].max(), boxes[valid, 3].max()], dtype="<f8"
+        )
+        hfields[1] = ("offset", hb.vector(env.tobytes(), 8, 4))
+    gt = _GT_FROM_WKB[next(iter(gts))] if len(gts) == 1 else 0
+    hfields[2] = ("scalar", "B", gt)
+    if col_tables:
+        hfields[7] = ("offset", hb.table_vector(col_tables))
+    hfields[8] = ("scalar", "Q", n)
+    hfields[9] = ("scalar", "H", node_size if use_index else 0)
+    header = hb.finish(hb.table(hfields))
+    idx = b""
+    if use_index:
+        sb = boxes[order]
+        sb = np.where(np.isfinite(sb), sb, 0.0)
+        idx = build_rtree(sb, offsets, node_size)
+    return MAGIC + header + idx + b"".join(feats)
+
+
+def _header_info(buf: bytes):
+    """→ (cols, features_count, node_size, features_start, envelope)."""
+    assert bytes(buf[:3]) == b"fgb", "not a FlatGeobuf blob"
+    (hlen,) = struct.unpack_from("<I", buf, 8)
+    h = _root(buf, 12)
+    cols = [
+        (t.string(0), int(t.scalar(1, "B", 0))) for t in h.tables(7)
+    ]
+    n = int(h.scalar(8, "Q", 0))
+    node_size = int(h.scalar(9, "H", 16))
+    idx_len = (
+        sum(_tree_level_counts(n, node_size)) * NODE_BYTES
+        if node_size > 0 and n > 0 else 0
+    )
+    env = h.f64s(1)
+    return cols, n, node_size, 12 + hlen, 12 + hlen + idx_len, env
+
+
+def _decode_features(buf, start: int, cols, fids=None) -> pd.DataFrame:
+    """fid defaults to the feature's byte offset within the features
+    section — stable across full, ranged, and bbox-pruned scans."""
+    pos = start
+    rows = []
+    geoms = []
+    fid_list = []
+    k = 0
+    while pos < len(buf):
+        (flen,) = struct.unpack_from("<I", buf, pos)
+        f = _root(buf, pos + 4)
+        g = f.table(0)
+        geoms.append(None if g is None else _geom_to_wkb(g))
+        rows.append(_props_decode(f.bytes_(1), cols))
+        fid_list.append(fids[k] if fids is not None else pos - start)
+        k += 1
+        pos += 4 + flen
+    pdf = pd.DataFrame(rows, index=range(len(rows)))
+    for c, ct in cols:
+        if c not in pdf.columns:
+            pdf[c] = None
+        if ct == _CT_LONG:
+            pdf[c] = pdf[c].astype("Int64").astype(object).where(
+                pdf[c].notna(), None
+            )
+    out = pd.DataFrame({"fid": fid_list})
+    for c, _ in cols:
+        out[c] = pdf[c].where(pdf[c].notna(), None) if c in pdf else None
+    out["geometry"] = geoms
+    return out
+
+
+def fgb_decode(buf: bytes) -> pd.DataFrame:
+    """One blob → (fid, *attrs, geometry WKB). fid is the feature's
+    byte offset in the features section (matching read_fgb)."""
+    cols, n, node_size, idx_start, feat_start, _ = _header_info(buf)
+    return _decode_features(buf, feat_start, cols)
+
+
+def _spark_schema(cols) -> str:
+    parts = ["fid long"]
+    t = {_CT_BOOL: "boolean", _CT_LONG: "long", _CT_DOUBLE: "double",
+         _CT_STRING: "string", _CT_BINARY: "binary"}
+    for c, ct in cols:
+        parts.append(f"`{c}` {t[ct]}")
+    parts.append("geometry binary")
+    return ", ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Spark source / sink
+# ---------------------------------------------------------------------------
+
+
+def read_fgb(
+    spark: SparkSession,
+    path: str,
+    bbox: tuple | None = None,
+    records_per_task: int = 100_000,
+) -> DataFrame:
+    """Ranged FlatGeobuf scan. The DRIVER reads the magic + header
+    and, when needed, the packed R-tree — never a feature byte. With
+    ``bbox`` the R-tree prunes to intersecting leaf items
+    (coarse: exact filtering is the caller's spatial join); without
+    it the leaf level supplies every feature offset (index absent →
+    one framing walk with seeks, the osmpbf pattern). Offsets chunk
+    into ``records_per_task`` ranges; executors seek-read their byte
+    slice and decode. Shared-FS contract."""
+    with open(path, "rb") as f:
+        head = f.read(12)
+        assert head[:3] == b"fgb", "not a FlatGeobuf file"
+        (hlen,) = struct.unpack_from("<I", head, 8)
+        header = f.read(hlen)
+    buf = head + header
+    cols, n, node_size, idx_start, feat_start, _ = _header_info(
+        buf + b""
+    )
+    if n > 0 and node_size > 0:
+        idx_len = sum(_tree_level_counts(n, node_size)) * NODE_BYTES
+        with open(path, "rb") as f:
+            f.seek(idx_start)
+            idx = f.read(idx_len)
+        if bbox is not None:
+            offs = rtree_search(idx, n, node_size, bbox)
+        else:
+            counts = _tree_level_counts(n, node_size)
+            leaf_start = (sum(counts) - n) * NODE_BYTES
+            arr = np.frombuffer(
+                idx, dtype=[("b", "<f8", 4), ("o", "<u8")],
+                count=n, offset=leaf_start,
+            )
+            offs = np.sort(arr["o"].astype(np.int64))
+    else:
+        # no index: walk the size-prefix framing with seeks
+        offs_l = []
+        with open(path, "rb") as f:
+            f.seek(0, 2)
+            end = f.tell()
+            pos = feat_start
+            while pos < end:
+                f.seek(pos)
+                (flen,) = struct.unpack("<I", f.read(4))
+                offs_l.append(pos - feat_start)
+                pos += 4 + flen
+        offs = np.array(offs_l, dtype=np.int64)
+        if bbox is not None:
+            pass  # no index: bbox prefilter happens after decode
+    schema = _spark_schema(cols)
+    if len(offs) == 0:
+        return spark.createDataFrame([], schema)
+    n_chunks = (len(offs) + records_per_task - 1) // records_per_task
+    chunks = [c.tolist() for c in np.array_split(offs, n_chunks)]
+    # spark.range with explicit partitioning: no shuffle, so AQE
+    # cannot coalesce the (tiny-rowcount) task list into one task
+    rng = spark.range(0, n_chunks, 1, min(n_chunks, 64))
+
+    def gen(batches):
+        for b in batches:
+            for cid in b["id"]:
+                local = chunks[int(cid)]
+                lo, hi = local[0], local[-1]
+                with open(path, "rb") as f:
+                    f.seek(feat_start + int(hi))
+                    (last_len,) = struct.unpack("<I", f.read(4))
+                    f.seek(feat_start + int(lo))
+                    blob = f.read(int(hi) - int(lo) + 4 + last_len)
+                pieces = []
+                for o in local:
+                    rel = int(o) - int(lo)
+                    (flen,) = struct.unpack_from("<I", blob, rel)
+                    pieces.append(blob[rel: rel + 4 + flen])
+                sub = b"".join(pieces)
+                yield _decode_features(
+                    sub, 0, cols, fids=[int(o) for o in local]
+                )
+
+    return rng.mapInPandas(gen, schema)
+
+
+def write_fgb_dir(
+    df: DataFrame,
+    out_dir: str,
+    geometry_col: str = "geometry",
+    name: str = "layer",
+    node_size: int = 16,
+) -> DataFrame:
+    """Granule-parallel sink: one indexed .fgb per partition,
+    manifest (path, n_rows). Shared-FS contract (the
+    write_shapefile_dir / write_gtiff_dir pattern)."""
+    os.makedirs(out_dir, exist_ok=True)
+    src = df.withColumn("__pid", F.spark_partition_id())
+
+    def sink(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pid = int(pdf["__pid"].iloc[0])
+        blob = fgb_encode(
+            pdf.drop(columns=["__pid"]),
+            geometry_col=geometry_col, name=name, node_size=node_size,
+        )
+        p = os.path.join(out_dir, f"part-{pid:05d}.fgb")
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, p)
+        yield pd.DataFrame({"path": [p], "n_rows": [len(pdf)]})
+
+    # explicit partition count: a bare repartition("__pid") is a
+    # default-numbered shuffle, which AQE happily coalesces into
+    # ONE task for small batches — serializing the granule encode;
+    # pinning it to the upstream partition count keeps the sink
+    # granule-parallel at every scale
+    n_gran = max(1, df.rdd.getNumPartitions())
+    return src.repartition(n_gran, "__pid").mapInPandas(
+        sink, "path string, n_rows long"
+    )

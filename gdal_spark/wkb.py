@@ -57,6 +57,22 @@ def multipolygon(polys) -> bytes:
     return b"".join(out)
 
 
+def multipoint(coords) -> bytes:
+    coords = np.asarray(coords, dtype=np.float64)
+    out = [struct.pack("<BII", _LE, MULTIPOINT, coords.shape[0])]
+    for x, y in coords:
+        out.append(point(float(x), float(y)))
+    return b"".join(out)
+
+
+def multilinestring(lines) -> bytes:
+    """lines: list of (M, 2) arrays."""
+    out = [struct.pack("<BII", _LE, MULTILINESTRING, len(lines))]
+    for ln in lines:
+        out.append(linestring(ln))
+    return b"".join(out)
+
+
 class _Reader:
     __slots__ = ("buf", "pos")
 
