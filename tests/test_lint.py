@@ -13,10 +13,18 @@ def _sources():
 
 
 def test_no_rdd_usage():
+    """No RDD DATA paths (the DataFrame API is the engine contract).
+    `.rdd.getNumPartitions()` is exempt: plan metadata only — the
+    granule sinks pin their repartition width with it so AQE can't
+    coalesce the shuffle into one task."""
     offenders = []
     for p in _sources():
         for i, line in enumerate(p.read_text().splitlines(), 1):
-            if re.search(r"\.rdd\b", line) and "sparkContext" not in line:
+            if (
+                re.search(r"\.rdd\b", line)
+                and "sparkContext" not in line
+                and ".rdd.getNumPartitions()" not in line
+            ):
                 offenders.append(f"{p.name}:{i}")
     assert not offenders, offenders
 
