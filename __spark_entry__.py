@@ -4790,6 +4790,38 @@ def _q_src_gpkg_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_src_fgb_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the ogr2ogr 50k-feature translate rig
+    (autotest/benchmark/test_ogr2ogr.py shape) through FlatGeobuf —
+    ranged read of one indexed 50k-point 20-field .fgb (driver touches
+    header + R-tree only; executors seek-read feature ranges) into the
+    granule-parallel .fgb sink. Fixture cached outside the timing;
+    codec exactness pinned in tests/test_fgb.py. Returns the manifest."""
+    import shutil
+
+    from gdal_spark import fgb as _fgb
+    from gdal_spark import wkb as _wkb
+
+    n = 50_000
+    src = f"/tmp/gdal_spark_bench/fgb_src_{n}.fgb"
+    if not os.path.exists(src):
+        os.makedirs(os.path.dirname(src), exist_ok=True)
+        pdf = pd.DataFrame({
+            **{f"field{i}": [f"value{i}"] * n for i in range(20)},
+            "geometry": [
+                _wkb.point(400000.0 + i, float(i)) for i in range(n)
+            ],
+        })
+        tmp = src + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(_fgb.fgb_encode(pdf))
+        os.replace(tmp, src)
+    out = "/tmp/gdal_spark_bench/fgb_out"
+    shutil.rmtree(out, ignore_errors=True)
+    df = _fgb.read_fgb(spark, src, records_per_task=6250)
+    return _fgb.write_fgb_dir(df.drop("fid"), out)
+
+
 def _q_snk_cog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: granule-parallel COG sink with embedded overview
     IFDs (frmts/cog/cogdriver.cpp + gdaladdo analog) — 4 granules of
@@ -4843,6 +4875,7 @@ BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rs_pansharpen": _q_rs_pansharpen,
     "rs_pct_map": _q_rs_pct_map,
     "src_gpkg_copy": _q_src_gpkg_copy,
+    "src_fgb_copy": _q_src_fgb_copy,
     "tx_bpe": _q_tx_bpe,
     "tx_perplexity": _q_tx_perplexity,
     "snk_cog": _q_snk_cog,

@@ -102,6 +102,7 @@ HEADLINE = [
     # the reference's own ogr2ogr benchmark rig (50k-feature 20-field
     # point GPKG -> GPKG translate; autotest/benchmark/test_ogr2ogr.py)
     "src_gpkg_copy",
+    "src_fgb_copy",
     # BPE train (bounded histogram) + encode over the documents table
     "tx_bpe",
     # trigram stupid-backoff perplexity via the unbounded join path
