@@ -218,7 +218,16 @@ def knn_join(
 ) -> DataFrame:
     """→ (qid, rank, pid) exact K nearest points per query.
 
-    ``queries_pdf`` is a pandas DataFrame (driver-side, small)."""
+    ``queries_pdf`` is a pandas DataFrame (driver-side, SMALL — this
+    twin iterates rings on the driver; the distributed-both-sides
+    scale path is :func:`knn_join_df`). Guarded: a query set past
+    100k rows raises instead of silently looping driver-side."""
+    if len(queries_pdf) > 100_000:
+        raise ValueError(
+            f"knn_join is the driver-resident small-query twin "
+            f"({len(queries_pdf)} query rows > 100000); use "
+            "knn_join_df for large query sets"
+        )
     spark = points.sparkSession
     n_grid = 1 << res
     cell_w, cell_h = 360.0 / n_grid, 180.0 / n_grid
