@@ -1527,6 +1527,95 @@ _WARP_SRC_WH = 128
 _WARP_DST_W, _WARP_DST_H = 80, 60
 
 
+def _q_geo_curve_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curve geometry types through getLinearGeometry-analog
+    densification (ogr/ogr_geometry.h:359+ curve classes;
+    ogrgeometryfactory.cpp curveToLineString; OGR_ARC_STEPSIZE):
+    full-circle CURVEPOLYGONs and quarter-arc CIRCULARSTRINGs
+    linearize at a 3.7-degree max step, and the resulting inscribed
+    n-gon areas / chord lengths / vertex counts are CLOSED FORM —
+    the oracle states them with sin()/pi() directly. Step 3.7 keeps
+    every ceil(sweep/step) far from an integer boundary, so the
+    segment counts are float-robust. Built distributed; the kernel
+    is gdal_spark.curves.linearize (codec + arc math pinned in
+    tests/test_curves.py)."""
+    from gdal_spark import curves
+    from gdal_spark import geometry as _geometry
+    from gdal_spark import wkb as _wkb
+
+    rows = spark.range(8).select(F.col("id").alias("gid"))
+    step = 3.7
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for gid in pdf["gid"]:
+                k = int(gid)
+                r = 0.5 + 0.25 * k
+                cx, cy = float(k), 2.0 * k
+                if k % 2 == 0:
+                    g = curves.curvepolygon([
+                        curves.circularstring(
+                            [[cx + r, cy], [cx - r, cy], [cx + r, cy]]
+                        )
+                    ])
+                    kind = "circle"
+                else:
+                    s = r * np.sqrt(0.5)
+                    g = curves.circularstring(
+                        [[cx + r, cy], [cx + s, cy + s], [cx, cy + r]]
+                    )
+                    kind = "arc"
+                lin = curves.linearize(g, step)
+                t, payload = _wkb.parse(lin)
+                if t == _wkb.POLYGON:
+                    ring = payload[0]
+                    area = abs(_geometry.ring_area(ring))
+                    ln = float(
+                        np.hypot(*(np.diff(ring, axis=0).T)).sum()
+                    )
+                    npts = len(ring)
+                else:
+                    area = 0.0
+                    ln = float(
+                        np.hypot(*(np.diff(payload, axis=0).T)).sum()
+                    )
+                    npts = len(payload)
+                out.append(
+                    (k, kind, int(round(area * 1e6)),
+                     int(round(ln * 1e6)), npts)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["gid", "kind", "area_q6", "len_q6", "n_pts"],
+            )
+
+    return rows.mapInPandas(
+        build,
+        "gid long, kind string, area_q6 long, len_q6 long, n_pts long",
+    )
+
+
+_CURVE_LINEARIZE_ORACLE = """
+    WITH g(gid) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+    p AS (
+      SELECT gid, 0.5 + 0.25 * gid AS r,
+             CASE WHEN gid % 2 = 0 THEN 98 ELSE 25 END AS n,
+             gid % 2 AS is_arc
+      FROM g)
+    SELECT gid,
+      CASE WHEN is_arc = 0 THEN 'circle' ELSE 'arc' END AS kind,
+      CAST(CASE WHEN is_arc = 0
+           THEN ROUND(0.5 * n * r * r * SIN(2 * PI() / n) * 1e6)
+           ELSE 0 END AS BIGINT) AS area_q6,
+      CAST(ROUND(CASE WHEN is_arc = 0
+           THEN 2 * n * r * SIN(PI() / n)
+           ELSE n * 2 * r * SIN(PI() / (4 * n)) END * 1e6)
+           AS BIGINT) AS len_q6,
+      CAST(n + 1 AS BIGINT) AS n_pts
+    FROM p"""
+
+
 def _q_rs_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-burn base tiles at z=3 + average overviews to z=0, with a
     per-tile checksum (gdal2tiles data flow; overview.cpp AVERAGE)."""
@@ -4955,6 +5044,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp_datum_shift": _q_sp_datum_shift,
     "sim_cosine_topk": _q_sim_cosine,
     "sim_ann_lsh": _q_sim_ann,
+    "geo_curve_linearize": _q_geo_curve_linearize,
     "sim_ann_ivf": _q_sim_ivf,
     "dd_sample_mixture": _q_dd_sample_mixture,
 }
@@ -4993,6 +5083,7 @@ ENGINE_ORACLES: dict[str, str] = {
     "q_sql_spatial_join": _st_predicates_oracle_sql(),
     "geo_buffer_makevalid": _GEO_BUFFER_MAKEVALID_ORACLE,
     "sim_ann_lsh": _ann_oracle_sql(),
+    "geo_curve_linearize": _CURVE_LINEARIZE_ORACLE,
     "sim_ann_ivf": _ann_oracle_sql(),
     "sp_pip_full_fixture": PIP_ORACLE_SQL.format(
         values=_testdata_edges_values()
@@ -5309,6 +5400,14 @@ RETIRED_GATES: dict[str, str] = {
                    "tests/test_proj.py (round trips, true scale on "
                    "both standard parallels, Snyder numeric example); "
                    "green r04; admits rs_warp_albers",
+    "sim_ann_lsh": "sim_ann_ivf stays the driver-verified ANN gate — "
+                   "the SAME provable-recall fixture against the SAME "
+                   "brute-force top-k oracle, different bucketing "
+                   "(IVF coarse-quantizer vs LSH hyperplane bands); "
+                   "the LSH path keeps its exact pytest "
+                   "(tests/test_similarity.py: signature bucketing, "
+                   "ranked-unique output) and stays benched; green "
+                   "r03+r04; admits geo_curve_linearize",
     "geo_st_predicates": "q_sql_spatial_join runs the SAME fixture and "
                          "the SAME sparse cell-cover pair kernel "
                          "(predicate_pairs_join) against the SAME "

@@ -38,6 +38,7 @@ HEADLINE = [
     "geo_layer_algebra",
     "geo_layer_algebra_big",
     "geo_st_predicates",
+    "geo_curve_linearize",
     "geo_clip_lines",
     "geo_area_geodesic",
     # raster / tiling
