@@ -108,6 +108,10 @@ HEADLINE = [
     "tx_bpe",
     # trigram stupid-backoff perplexity via the unbounded join path
     "tx_perplexity",
+    # container sinks: COG with embedded overviews, MBTiles, PMTiles
+    "snk_cog",
+    "snk_mbtiles",
+    "snk_pmtiles",
 ]
 
 

@@ -69,6 +69,7 @@ def test_iterrows_only_on_tile_cardinality():
         "pansharpen.py",    # row = pan tile (upsample+combine per tile)
         "mbtiles.py",       # row = tile (encode / sqlite insert / ranged
                             # rowid scan — one iteration per tile blob)
+        "pmtiles.py",       # row = tile (archive encode per granule)
     }
     offenders = []
     for p in _sources():
