@@ -47,7 +47,6 @@ _GT_FROM_WKB = {
     wkb.POINT: 1, wkb.LINESTRING: 2, wkb.POLYGON: 3,
     wkb.MULTIPOINT: 4, wkb.MULTILINESTRING: 5, wkb.MULTIPOLYGON: 6,
 }
-_WKB_FROM_GT = {v: k for k, v in _GT_FROM_WKB.items()}
 
 # ColumnType enum (Header.fbs)
 _CT_BOOL, _CT_LONG, _CT_DOUBLE, _CT_STRING, _CT_BINARY = 2, 7, 10, 11, 14
@@ -723,9 +722,7 @@ def read_fgb(
         (hlen,) = struct.unpack_from("<I", head, 8)
         header = f.read(hlen)
     buf = head + header
-    cols, n, node_size, idx_start, feat_start, _ = _header_info(
-        buf + b""
-    )
+    cols, n, node_size, idx_start, feat_start, _ = _header_info(buf)
     if n > 0 and node_size > 0:
         idx_len = sum(_tree_level_counts(n, node_size)) * NODE_BYTES
         with open(path, "rb") as f:
