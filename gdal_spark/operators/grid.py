@@ -222,33 +222,33 @@ def _boundary_on_hull(pts: np.ndarray, out: list) -> bool:
     retry with a geometrically larger super-triangle."""
     from .. import geometry
 
-    edge_cnt: dict[tuple[int, int], int] = {}
-    for a, b, c in out:
-        for e in ((a, b), (b, c), (c, a)):
-            k = (min(e), max(e))
-            edge_cnt[k] = edge_cnt.get(k, 0) + 1
-    bpts = {v for e, cnt in edge_cnt.items() if cnt == 1 for v in e}
-    if not bpts:
-        return not out  # no triangles at all is fine (n < 3)
-    ring = geometry.convex_hull(pts)[:-1]
-    for v in bpts:
-        px, py = float(pts[v][0]), float(pts[v][1])
-        on = False
-        for i in range(len(ring)):
-            ax, ay = float(ring[i][0]), float(ring[i][1])
-            bx, by = (
-                float(ring[(i + 1) % len(ring)][0]),
-                float(ring[(i + 1) % len(ring)][1]),
-            )
-            cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-            dot = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
-            ll = (bx - ax) ** 2 + (by - ay) ** 2
-            if cross == 0.0 and 0.0 <= dot <= ll:
-                on = True
-                break
-        if not on:
-            return False
-    return True
+    if not out:
+        return True  # no triangles at all is fine (n < 3)
+    tris = np.asarray(out, dtype=np.int64)
+    e = np.concatenate(
+        [tris[:, (0, 1)], tris[:, (1, 2)], tris[:, (2, 0)]]
+    )
+    e.sort(axis=1)
+    keys = e[:, 0] * np.int64(len(pts)) + e[:, 1]
+    uk, cnt = np.unique(keys, return_counts=True)
+    once = uk[cnt == 1]
+    if len(once) == 0:
+        return True
+    bpts = np.unique(
+        np.concatenate([once // len(pts), once % len(pts)])
+    )
+    ring = np.asarray(geometry.convex_hull(pts)[:-1], dtype=np.float64)
+    A = ring
+    B = np.roll(ring, -1, axis=0)
+    P = np.asarray(pts, dtype=np.float64)[bpts]
+    ax, ay = A[:, 0][None, :], A[:, 1][None, :]
+    bx, by = B[:, 0][None, :], B[:, 1][None, :]
+    px, py = P[:, 0][:, None], P[:, 1][:, None]
+    cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    dot = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+    ll = (bx - ax) ** 2 + (by - ay) ** 2
+    on = (cross == 0.0) & (dot >= 0.0) & (dot <= ll)
+    return bool(on.any(axis=1).all())
 
 
 def delaunay_triangulate(pts: np.ndarray) -> list[tuple[int, int, int]]:
@@ -523,29 +523,42 @@ def _cycle_assemble(batches):
     )
 
 
-def _global_hull_neighbors_df(spark, pts_df: DataFrame) -> DataFrame:
+def _global_hull_neighbors_df(spark, pts_df: DataFrame):
     """Exact global hull BOUNDARY CYCLE with NO driver-side point
     stage: per-partition boundary filter (:func:`_part_boundary`),
     geometric 8× contraction rounds over the shrinking candidate
     set, then a single-TASK executor-side cycle assembly
-    (:func:`_cycle_assemble`). Result: (id, nbr1, nbr2), one row per
-    global-boundary point (collinear edge points included). The
-    driver never holds a point row — candidates flow candidate-DF →
-    candidate-DF; worst-case degenerate inputs (every point on one
+    (:func:`_cycle_assemble`). Returns (cycle DF of (id, nbr1, nbr2),
+    (minx, maxx, miny, maxy)) — the bbox rides the candidate set
+    (coordinate extremes are always partition-hull-boundary points),
+    so the SOURCE table is scanned exactly once here. The driver
+    never holds a point row — candidates flow candidate-DF →
+    candidate-DF (the tiny filtered set is cache-tracked for the two
+    consumers); worst-case degenerate inputs (every point on one
     circle) bound the terminal task by the true hull size, which for
     such inputs is the OUTPUT size, not an artifact of the plan."""
+    from .. import cache
+
     cand = pts_df.select("id", "x", "y").mapInPandas(
         _part_boundary, "id long, x double, y double"
     )
+    # intermediate 8× contraction rounds only pay past ~64 source
+    # partitions — below that the per-partition boundary filter alone
+    # already bounds the terminal task to P × per-partition-hull-size
     n = max(1, int(spark.sparkContext.defaultParallelism))
-    while n > 1:
+    while n > 64:
         n = max(1, n // 8)
         cand = cand.repartition(n).mapInPandas(
             _part_boundary, "id long, x double, y double"
         )
-    return cand.repartition(1).mapInPandas(
+    cand = cache.track(cand)
+    bx0, bx1, by0, by1 = cand.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    ).first()
+    cycle = cand.coalesce(1).mapInPandas(
         _cycle_assemble, "id long, nbr1 long, nbr2 long"
     )
+    return cycle, (bx0, bx1, by0, by1)
 
 
 def delaunay_distributed(
@@ -583,15 +596,17 @@ def delaunay_distributed(
     if not has_z:
         pts = pts.withColumn("z", F.lit(0.0))
 
-    # global bbox: one JVM aggregate (4 doubles cross the driver, no
-    # point rows); hull cycle: fully distributed, joined on as
-    # (nbr1, nbr2) columns so the certify kernel needs NO broadcast
-    # of data-sized state
-    bx0, bx1, by0, by1 = pts.agg(
-        F.min("x"), F.max("x"), F.min("y"), F.max("y")
-    ).first()
-    hull_df = _global_hull_neighbors_df(spark, pts)
-    pts = pts.join(hull_df, "id", "left")
+    # hull cycle: fully distributed candidate contraction, joined on
+    # as (nbr1, nbr2) columns; the bbox rides the same candidate pass
+    # (4 doubles cross the driver, never a point row). The join
+    # broadcasts the CYCLE side — it is hull-sized (O(√n) typical;
+    # output-sized for the all-points-cocircular worst case, where any
+    # representation is), so the point table never takes an extra
+    # full shuffle for it.
+    hull_df, (bx0, bx1, by0, by1) = _global_hull_neighbors_df(
+        spark, pts
+    )
+    pts = pts.join(F.broadcast(hull_df), "id", "left")
 
     pts = pts.withColumn(
         "hcx", F.floor((F.col("x") - F.lit(bx0)) / F.lit(cell_size)).cast("long")

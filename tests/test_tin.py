@@ -213,12 +213,11 @@ def test_global_hull_cycle_distributed(spark):
     P = np.array(base + [tuple(p) for p in inner])
     pdf = pd.DataFrame({"id": range(len(P)), "x": P[:, 0],
                         "y": P[:, 1]})
-    rows = {
-        r.id: {r.nbr1, r.nbr2}
-        for r in _global_hull_neighbors_df(
-            spark, spark.createDataFrame(pdf).repartition(8)
-        ).collect()
-    }
+    cycle, bbox = _global_hull_neighbors_df(
+        spark, spark.createDataFrame(pdf).repartition(8)
+    )
+    rows = {r.id: {r.nbr1, r.nbr2} for r in cycle.collect()}
+    assert bbox == (0.0, 10.0, 0.0, 10.0)
     assert set(rows) == {0, 1, 2, 3, 4}
     assert rows[4] == {0, 1}          # threaded into the bottom edge
     assert rows[0] == {3, 4} and rows[1] == {4, 2}
