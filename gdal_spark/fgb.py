@@ -707,6 +707,7 @@ def read_fgb(
     path: str,
     bbox: tuple | None = None,
     records_per_task: int = 100_000,
+    opener=None,
 ) -> DataFrame:
     """Ranged FlatGeobuf scan. The DRIVER reads the magic + header
     and, when needed, the packed R-tree — never a feature byte. With
@@ -715,8 +716,13 @@ def read_fgb(
     it the leaf level supplies every feature offset (index absent →
     one framing walk with seeks, the osmpbf pattern). Offsets chunk
     into ``records_per_task`` ranges; executors seek-read their byte
-    slice and decode. Shared-FS contract."""
-    with open(path, "rb") as f:
+    slice and decode. ``opener`` (picklable path→file-like; default
+    shared-FS open — see gdal_spark.io) is the object-store seam:
+    every byte here flows through it, driver and executors alike."""
+    from .io import local_opener
+
+    opener = opener or local_opener
+    with opener(path) as f:
         head = f.read(12)
         assert head[:3] == b"fgb", "not a FlatGeobuf file"
         (hlen,) = struct.unpack_from("<I", head, 8)
@@ -725,7 +731,7 @@ def read_fgb(
     cols, n, node_size, idx_start, feat_start, _ = _header_info(buf)
     if n > 0 and node_size > 0:
         idx_len = sum(_tree_level_counts(n, node_size)) * NODE_BYTES
-        with open(path, "rb") as f:
+        with opener(path) as f:
             f.seek(idx_start)
             idx = f.read(idx_len)
         if bbox is not None:
@@ -741,7 +747,7 @@ def read_fgb(
     else:
         # no index: walk the size-prefix framing with seeks
         offs_l = []
-        with open(path, "rb") as f:
+        with opener(path) as f:
             f.seek(0, 2)
             end = f.tell()
             pos = feat_start
@@ -767,7 +773,7 @@ def read_fgb(
             for cid in b["id"]:
                 local = chunks[int(cid)]
                 lo, hi = local[0], local[-1]
-                with open(path, "rb") as f:
+                with opener(path) as f:
                     f.seek(feat_start + int(hi))
                     (last_len,) = struct.unpack("<I", f.read(4))
                     f.seek(feat_start + int(lo))

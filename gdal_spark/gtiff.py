@@ -827,7 +827,7 @@ def gtiff_meta_df(spark: SparkSession, path: str) -> DataFrame:
 
 
 def gtiff_block_index(
-    spark: SparkSession, paths: list[str], ifd: int = 0
+    spark: SparkSession, paths: list[str], ifd: int = 0, opener=None
 ) -> DataFrame:
     """COG index pass: parallelize the path list, each task opens its
     files and walks ONLY the IFD (a few KiB however large the file),
@@ -836,6 +836,9 @@ def gtiff_block_index(
     single 100 GB COG becomes tens of thousands of independently
     decodable rows before any pixel byte is read. ``ifd`` selects an
     embedded overview level (1..) instead of the full resolution."""
+    from .io import local_opener
+
+    opener = opener or local_opener
     pdf = pd.DataFrame({"path": [str(p) for p in paths]})
     src = spark.createDataFrame(pdf)
 
@@ -843,7 +846,7 @@ def gtiff_block_index(
         for b in batches:
             rows = []
             for path_ in b["path"]:
-                with open(path_, "rb") as f:
+                with opener(path_) as f:
                     m = tiff_meta(f, ifd=ifd)
                 gt = list(m["gt"]) if m["gt"] else None
                 for bi, tx, ty, x0, y0, cw, chh in block_windows(m):
@@ -985,6 +988,7 @@ def read_gtiff_ranged(
     partitions: int | None = None,
     bbox: tuple | None = None,
     ifd: int = 0,
+    opener=None,
 ) -> DataFrame:
     """The COG scan: header-only block index → repartition so decode
     parallelism is per-BLOCK (not per-file) → each task seek-reads
@@ -995,10 +999,10 @@ def read_gtiff_ranged(
     footprint intersects the window are read at all (see
     :func:`_block_bbox_filter`).
 
-    Accepts a glob string or an explicit path list. Requires paths
-    every executor can ``open()`` (local mode / shared filesystem /
-    FUSE object store) — same deployment note as
-    :func:`gdal_spark.warc.write_warc_dir`. ``ifd`` selects an
+    Accepts a glob string or an explicit path list. Byte access
+    flows through ``opener`` (picklable path→file-like; default
+    shared-FS open — see gdal_spark.io for the object-store seam,
+    the VSI analog). ``ifd`` selects an
     embedded COG overview level (1..) instead of the full
     resolution — the scan that serves a zoomed-out render touches
     only the (4^-ifd)-sized overview byte ranges."""
@@ -1009,7 +1013,10 @@ def read_gtiff_ranged(
     )
     if not paths:
         raise FileNotFoundError(f"no files match {path_or_glob!r}")
-    idx = gtiff_block_index(spark, paths, ifd=ifd)
+    from .io import local_opener
+
+    opener = opener or local_opener
+    idx = gtiff_block_index(spark, paths, ifd=ifd, opener=opener)
     if bbox is not None:
         idx = _block_bbox_filter(idx, bbox)
     n = partitions or spark.sparkContext.defaultParallelism
@@ -1023,7 +1030,7 @@ def read_gtiff_ranged(
                 for r in pdf.itertuples(index=False):
                     f = handles.get(r.path)
                     if f is None:
-                        f = handles[r.path] = open(r.path, "rb")
+                        f = handles[r.path] = opener(r.path)
                     f.seek(r.offset)
                     raw = f.read(r.nbytes)
                     m = {

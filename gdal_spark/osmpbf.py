@@ -275,15 +275,17 @@ def write_osm_pbf(
     return len(blobs)
 
 
-def blob_index(path: str) -> list[tuple[int, int, int]]:
+def blob_index(path: str, opener=None) -> list[tuple[int, int, int]]:
     """(header_end_offset, blob_size, seq) of every OSMData blob —
     walks only the framing: read the 4-byte length + BlobHeader, then
     ``seek(datasize, 1)`` past the blob body. Bytes touched on the
     driver are O(blobs × ~16 B), never the file size — a planet-scale
     ~80 GB .osm.pbf indexes without buffering any feature bytes."""
+    from .io import local_opener
+
     out = []
     seq = 0
-    with open(path, "rb") as f:
+    with (opener or local_opener)(path) as f:
         while True:
             lenbuf = f.read(4)
             if len(lenbuf) < 4:
@@ -311,17 +313,23 @@ _NODE_SCHEMA = "id long, lon double, lat double, tags string"
 
 
 def read_osm_pbf(
-    spark: SparkSession, path: str, blobs_per_task: int = 4
+    spark: SparkSession, path: str, blobs_per_task: int = 4,
+    opener=None,
 ) -> DataFrame:
     """Distributed node scan: the driver walks ONLY the blob framing;
     (offset, size) pairs fan out and each task seek-reads + inflates
-    + decodes its own OSMData blobs. Tags land as canonical JSON."""
-    idx = blob_index(path)
+    + decodes its own OSMData blobs. Tags land as canonical JSON.
+    ``opener`` (picklable path→file-like; default shared-FS open —
+    gdal_spark.io) is the object-store seam for every byte."""
+    from .io import local_opener
+
+    opener = opener or local_opener
+    idx = blob_index(path, opener=opener)
 
     def gen(batches):
         for pdf in batches:
             for off, size in zip(pdf["off"], pdf["size"]):
-                with open(path, "rb") as f:
+                with opener(path) as f:
                     f.seek(int(off))
                     blob = f.read(int(size))
                 nodes, _ways = decode_primitive_block(
@@ -352,14 +360,19 @@ def read_osm_pbf(
     )
 
 
-def read_osm_ways(spark: SparkSession, path: str) -> DataFrame:
+def read_osm_ways(
+    spark: SparkSession, path: str, opener=None
+) -> DataFrame:
     """Distributed way scan: (id, refs array<long>, tags json)."""
-    idx = blob_index(path)
+    from .io import local_opener
+
+    opener = opener or local_opener
+    idx = blob_index(path, opener=opener)
 
     def gen(batches):
         for pdf in batches:
             for off, size in zip(pdf["off"], pdf["size"]):
-                with open(path, "rb") as f:
+                with opener(path) as f:
                     f.seek(int(off))
                     blob = f.read(int(size))
                 _nodes, ways = decode_primitive_block(

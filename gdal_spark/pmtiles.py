@@ -332,13 +332,19 @@ def read_pmtiles(
     path: str,
     zoom: int | None = None,
     tiles_per_task: int = 2048,
+    opener=None,
 ) -> DataFrame:
     """Ranged PMTiles scan: the driver reads the 127-byte header +
     the gzipped directories (KBs — never a tile byte) and chunks the
     entry list; executors seek-read their tile byte ranges. ``zoom``
     prunes entries by the tile-id interval of that zoom level before
-    any read (the directory IS the index). Shared-FS contract."""
-    with open(path, "rb") as f:
+    any read (the directory IS the index). ``opener`` (picklable
+    path→file-like; default shared-FS open — gdal_spark.io) is the
+    object-store seam for every byte, driver and executors."""
+    from .io import local_opener
+
+    opener = opener or local_opener
+    with opener(path) as f:
         hdr = _parse_header(f.read(HEADER_BYTES))
         f.seek(0)
         head_blob = f.read(hdr["data_off"])
@@ -365,7 +371,7 @@ def read_pmtiles(
                 chunk = chunks[int(cid)]
                 lo = min(e[1] for e in chunk)
                 hi = max(e[1] + e[2] for e in chunk)
-                with open(path, "rb") as f:
+                with opener(path) as f:
                     f.seek(data_off + lo)
                     blob = f.read(hi - lo)
                 rows = []

@@ -376,20 +376,26 @@ def read_shapefile_ranged(
     path: str,
     records_per_task: int = 100_000,
     schema: str | None = None,
+    opener=None,
 ) -> DataFrame:
     """Big-file scale path: the driver reads ONLY the .shx
     (8 bytes/record) for the record index; tasks seek-read their
     .shp slice (and their fixed-stride .dbf slice). Record ranges
-    enumerate JVM-side via spark.range."""
+    enumerate JVM-side via spark.range. ``opener`` (picklable
+    path→file-like; default shared-FS open — gdal_spark.io) is the
+    object-store seam for every byte, driver and executors."""
+    from .io import local_opener
+
+    opener = opener or local_opener
     shx_p = os.path.splitext(path)[0] + ".shx"
     dbf_p = os.path.splitext(path)[0] + ".dbf"
-    with open(shx_p, "rb") as f:
+    with opener(shx_p) as f:
         shx = f.read()
     n_rec = (len(shx) - 100) // 8
     idx = np.frombuffer(shx, ">i4", 2 * n_rec, 100).reshape(n_rec, 2)
     has_dbf = os.path.exists(dbf_p)
     if has_dbf:
-        with open(dbf_p, "rb") as f:
+        with opener(dbf_p) as f:
             dbf_head = f.read(32 + 32 * 128)
         hdr_size, rec_size = struct.unpack_from("<HH", dbf_head, 8)
         fields_blob = dbf_head[: hdr_size]
@@ -412,7 +418,7 @@ def read_shapefile_ranged(
                     continue
                 start = int(index[a, 0]) * 2
                 end = int(index[z - 1, 0] + 4 + index[z - 1, 1]) * 2
-                with open(path, "rb") as f:
+                with opener(path) as f:
                     f.seek(start)
                     blob = f.read(end - start)
                 geoms = []
@@ -424,7 +430,7 @@ def read_shapefile_ranged(
                     )
                     pos += 8 + 2 * clen
                 if has_dbf:
-                    with open(dbf_p, "rb") as f:
+                    with opener(dbf_p) as f:
                         f.seek(hdr_size + a * rec_size)
                         recs = f.read((z - a) * rec_size)
                     dbf_blob = (
