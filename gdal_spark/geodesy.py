@@ -140,3 +140,125 @@ def authalic_cd_area(lats: np.ndarray, lons: np.ndarray) -> float:
     own first-order error)."""
     s = int(authalic_cd_terms_q14(lats, lons).sum())
     return abs(s) / 1e14 * (AUTHALIC_R * AUTHALIC_R) / 2.0
+
+
+def vincenty_inverse_full(
+    lat1, lon1, lat2, lon2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vincenty inverse → (distance metres, forward azimuth α₁ rad),
+    same fixed 8-iteration unroll as :func:`vincenty_distance`.
+    Coincident points → (0, 0)."""
+    phi1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    phi2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    L = np.radians(
+        np.asarray(lon2, dtype=np.float64)
+        - np.asarray(lon1, dtype=np.float64)
+    )
+    U1 = np.arctan((1.0 - _F) * np.tan(phi1))
+    U2 = np.arctan((1.0 - _F) * np.tan(phi2))
+    sU1, cU1 = np.sin(U1), np.cos(U1)
+    sU2, cU2 = np.sin(U2), np.cos(U2)
+    lam = L.copy()
+    sin_s = np.zeros_like(lam)
+    cos_s = np.ones_like(lam)
+    sigma = np.zeros_like(lam)
+    cos2a = np.ones_like(lam)
+    cos2sm = np.zeros_like(lam)
+    for _ in range(VINCENTY_ITERS):
+        sl, cl = np.sin(lam), np.cos(lam)
+        t1 = cU2 * sl
+        t2 = cU1 * sU2 - sU1 * cU2 * cl
+        sin_s = np.sqrt(t1 * t1 + t2 * t2)
+        cos_s = sU1 * sU2 + cU1 * cU2 * cl
+        sigma = np.arctan2(sin_s, cos_s)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_a = np.where(
+                sin_s == 0.0, 0.0, cU1 * cU2 * sl / sin_s
+            )
+        cos2a = 1.0 - sin_a * sin_a
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos2sm = np.where(
+                cos2a == 0.0, 0.0, cos_s - 2.0 * sU1 * sU2 / cos2a
+            )
+        C = _F / 16.0 * cos2a * (4.0 + _F * (4.0 - 3.0 * cos2a))
+        lam = L + (1.0 - C) * _F * sin_a * (
+            sigma + C * sin_s * (
+                cos2sm + C * cos_s * (-1.0 + 2.0 * cos2sm * cos2sm)
+            )
+        )
+    u2 = cos2a * _U2C
+    big_a = 1.0 + u2 / 16384.0 * (
+        4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2))
+    )
+    big_b = u2 / 1024.0 * (
+        256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2))
+    )
+    dsig = big_b * sin_s * (
+        cos2sm + big_b / 4.0 * (
+            cos_s * (-1.0 + 2.0 * cos2sm * cos2sm)
+            - big_b / 6.0 * cos2sm
+            * (-3.0 + 4.0 * sin_s * sin_s)
+            * (-3.0 + 4.0 * cos2sm * cos2sm)
+        )
+    )
+    s = _B * big_a * (sigma - dsig)
+    sl, cl = np.sin(lam), np.cos(lam)
+    a1 = np.arctan2(cU2 * sl, cU1 * sU2 - sU1 * cU2 * cl)
+    zero = sin_s == 0.0
+    return np.where(zero, 0.0, s), np.where(zero, 0.0, a1)
+
+
+def vincenty_direct(
+    lat1, lon1, azimuth1_rad, s,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vincenty DIRECT problem: start (deg), forward azimuth (rad),
+    geodesic distance (m) → (lat2, lon2) degrees. Fixed 8-iteration
+    σ fixed point (same determinism contract as the inverse)."""
+    phi1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    lam1 = np.radians(np.asarray(lon1, dtype=np.float64))
+    a1 = np.asarray(azimuth1_rad, dtype=np.float64)
+    s = np.asarray(s, dtype=np.float64)
+    U1 = np.arctan((1.0 - _F) * np.tan(phi1))
+    sU1, cU1 = np.sin(U1), np.cos(U1)
+    sa1, ca1 = np.sin(a1), np.cos(a1)
+    sigma1 = np.arctan2(np.tan(U1), ca1)
+    sin_a = cU1 * sa1
+    cos2a = 1.0 - sin_a * sin_a
+    u2 = cos2a * _U2C
+    big_a = 1.0 + u2 / 16384.0 * (
+        4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2))
+    )
+    big_b = u2 / 1024.0 * (
+        256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2))
+    )
+    sigma0 = s / (_B * big_a)
+    sigma = sigma0.copy()
+    for _ in range(VINCENTY_ITERS):
+        two_sm = 2.0 * sigma1 + sigma
+        ss, cs = np.sin(sigma), np.cos(sigma)
+        c2sm = np.cos(two_sm)
+        dsig = big_b * ss * (
+            c2sm + big_b / 4.0 * (
+                cs * (-1.0 + 2.0 * c2sm * c2sm)
+                - big_b / 6.0 * c2sm
+                * (-3.0 + 4.0 * ss * ss)
+                * (-3.0 + 4.0 * c2sm * c2sm)
+            )
+        )
+        sigma = sigma0 + dsig
+    ss, cs = np.sin(sigma), np.cos(sigma)
+    c2sm = np.cos(2.0 * sigma1 + sigma)
+    phi2 = np.arctan2(
+        sU1 * cs + cU1 * ss * ca1,
+        (1.0 - _F) * np.sqrt(
+            sin_a * sin_a + (sU1 * ss - cU1 * cs * ca1) ** 2
+        ),
+    )
+    lam = np.arctan2(ss * sa1, cU1 * cs - sU1 * ss * ca1)
+    C = _F / 16.0 * cos2a * (4.0 + _F * (4.0 - 3.0 * cos2a))
+    L = lam - (1.0 - C) * _F * sin_a * (
+        sigma + C * ss * (
+            c2sm + C * cs * (-1.0 + 2.0 * c2sm * c2sm)
+        )
+    )
+    return np.degrees(phi2), np.degrees(lam1 + L)

@@ -728,3 +728,138 @@ def stereo_forward_transform(*params, **kw):
 
 def stereo_inverse_transform(*params, **kw):
     return _InvTransform(PolarStereographic, *params, **kw)
+
+
+class Sinusoidal:
+    """Sinusoidal (Sanson-Flamsteed), ellipsoidal — the MODIS grid
+    projection. From-spec Snyder PP 1395 pp. 243-248 eq. 30-1..30-11
+    (forward) / 3-21 meridian arc / 3-26 footpoint-latitude series
+    (inverse). ``f=0`` gives the exact sphere (the MODIS grid uses
+    R=6371007.181). Reference surface: ogrct.cpp:2254 → PROJ sinu.
+
+    Defining invariants (tests/test_sinu_aeqd.py): equal-area
+    Jacobian everywhere, x = a·Δλ exactly on the equator, y on the
+    central meridian = the meridian arc, sub-µm round trips."""
+
+    def __init__(self, lon0_deg: float = 0.0,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 a: float = _A, f: float = _F):
+        self.a, self.e2, self.e = _ellipsoid(a, f)
+        # third-flattening (n) rectifying-latitude series, the same
+        # machinery behind the UTM Krüger series: O(n⁵) truncation ≈
+        # 0.1 µm, where Snyder 3-21's e²-series is only mm-level.
+        # NOTE Snyder's e1 (3-26) IS n: (1-√(1-e²))/(1+√(1-e²)) =
+        # (a-b)/(a+b).
+        n = f / (2.0 - f)
+        self.A_rect = (a / (1.0 + n)) * (
+            1.0 + n * n / 4.0 + n ** 4 / 64.0
+        )
+        self.d2 = -3.0 * n / 2.0 + 9.0 * n ** 3 / 16.0
+        self.d4 = 15.0 * n * n / 16.0 - 15.0 * n ** 4 / 32.0
+        self.d6 = -35.0 * n ** 3 / 48.0
+        self.d8 = 315.0 * n ** 4 / 512.0
+        self.f2 = 3.0 * n / 2.0 - 27.0 * n ** 3 / 32.0
+        self.f4 = 21.0 * n * n / 16.0 - 55.0 * n ** 4 / 32.0
+        self.f6 = 151.0 * n ** 3 / 96.0
+        self.f8 = 1097.0 * n ** 4 / 512.0
+        self.lon0 = float(np.radians(lon0_deg))
+        self.fe, self.fn = float(false_e), float(false_n)
+
+    def merid_arc(self, phi):
+        """M(φ), metres along the meridian from the equator
+        (rectifying-latitude series to n⁴)."""
+        return self.A_rect * (
+            phi + self.d2 * np.sin(2.0 * phi)
+            + self.d4 * np.sin(4.0 * phi)
+            + self.d6 * np.sin(6.0 * phi)
+            + self.d8 * np.sin(8.0 * phi)
+        )
+
+    def forward(self, lon_deg, lat_deg):
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        s = np.sin(phi)
+        x = self.a * (lam - self.lon0) * np.cos(phi) / np.sqrt(
+            1.0 - self.e2 * s * s
+        )
+        return self.fe + x, self.fn + self.merid_arc(phi)
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        mu = y / self.A_rect
+        phi = (
+            mu + self.f2 * np.sin(2.0 * mu) + self.f4 * np.sin(4.0 * mu)
+            + self.f6 * np.sin(6.0 * mu) + self.f8 * np.sin(8.0 * mu)
+        )
+        s = np.sin(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = self.lon0 + x * np.sqrt(
+                1.0 - self.e2 * s * s
+            ) / (self.a * np.cos(phi))
+        lam = np.where(np.abs(np.cos(phi)) < 1e-12, self.lon0, lam)
+        return np.degrees(lam), np.degrees(phi)
+
+
+class AzimuthalEquidistant:
+    """Azimuthal Equidistant, ellipsoidal via GEODESIC polar
+    coordinates — every straight line from the center has TRUE
+    geodesic length and azimuth (x = s·sinα₁, y = s·cosα₁), which is
+    how PROJ's `aeqd` defines the ellipsoidal case (Karney geodesics
+    behind ogrct.cpp:2254); here the geodesics are the engine's
+    fixed-unroll Vincenty pair (geodesy.py), forward = inverse
+    geodesic problem, inverse = direct geodesic problem.
+
+    Defining invariant: hypot(x, y) EQUALS vincenty_distance(center,
+    p) by construction — the test pins it against the independently
+    committed distance kernel, plus sub-µm round trips."""
+
+    def __init__(self, lat0_deg: float, lon0_deg: float,
+                 false_e: float = 0.0, false_n: float = 0.0):
+        self.lat0, self.lon0 = float(lat0_deg), float(lon0_deg)
+        self.fe, self.fn = float(false_e), float(false_n)
+
+    def forward(self, lon_deg, lat_deg):
+        from .geodesy import vincenty_inverse_full
+
+        lon = np.asarray(lon_deg, dtype=np.float64)
+        lat = np.asarray(lat_deg, dtype=np.float64)
+        s, a1 = vincenty_inverse_full(
+            np.full_like(lat, self.lat0),
+            np.full_like(lon, self.lon0), lat, lon,
+        )
+        return self.fe + s * np.sin(a1), self.fn + s * np.cos(a1)
+
+    def inverse(self, x, y):
+        from .geodesy import vincenty_direct
+
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        s = np.hypot(x, y)
+        a1 = np.arctan2(x, y)
+        lat, lon = vincenty_direct(
+            np.full_like(s, self.lat0),
+            np.full_like(s, self.lon0), a1, s,
+        )
+        # center maps to center (direct problem is 0/0 there)
+        at0 = s == 0.0
+        return (
+            np.where(at0, self.lon0, lon),
+            np.where(at0, self.lat0, lat),
+        )
+
+
+def sinusoidal_forward_transform(*params, **kw):
+    return _FwdTransform(Sinusoidal, *params, **kw)
+
+
+def sinusoidal_inverse_transform(*params, **kw):
+    return _InvTransform(Sinusoidal, *params, **kw)
+
+
+def aeqd_forward_transform(*params, **kw):
+    return _FwdTransform(AzimuthalEquidistant, *params, **kw)
+
+
+def aeqd_inverse_transform(*params, **kw):
+    return _InvTransform(AzimuthalEquidistant, *params, **kw)
