@@ -99,8 +99,6 @@ def test_multicurve_and_multisurface():
     s = np.sqrt(0.5)
     mc = curves.multicurve([
         wkb.linestring([[0, 0], [1, 0]]),
-        curves.circularstring([[2, 0], [2 + s, s], [2, 2 * s * 1]])
-        if False else
         curves.circularstring([[3, 0], [4, 1], [5, 0]]),
     ])
     t, lines = wkb.parse(curves.linearize(mc))
@@ -171,3 +169,36 @@ def test_linearize_udf_matches_local(spark):
     assert bytes(out[0]) == curves.linearize(cp, 4.0)
     assert bytes(out[1]) == wkb.point(7, 8)
     assert out[2] is None
+
+
+def test_curve_wkt_round_trips():
+    """Curve WKT grammar (OGR exportToWkt/importFromWkt forms):
+    byte-exact WKB→WKT→WKB for every curve container, linear
+    delegation intact."""
+    s = np.sqrt(0.5)
+    cs = curves.circularstring([[1, 0], [s, s], [0, 1]])
+    cc = curves.compoundcurve([
+        wkb.linestring([[0, 1], [4, 1]]),
+        curves.circularstring([[4, 1], [5, 0], [4, -1]]),
+        wkb.linestring([[4, -1], [0, 1]]),
+    ])
+    cases = [
+        cs,
+        cc,
+        curves.curvepolygon([cc]),
+        curves.multicurve([wkb.linestring([[0, 0], [1, 1]]), cs]),
+        curves.multisurface([
+            wkb.polygon([np.array(
+                [[0, 0], [1, 0], [1, 1], [0, 0]], float
+            )]),
+            curves.curvepolygon([
+                curves.circularstring([[2, 0], [-2, 0], [2, 0]])
+            ]),
+        ]),
+    ]
+    for g in cases:
+        assert curves.from_wkt(curves.wkt(g)) == g
+    assert curves.wkt(cs).startswith("CIRCULARSTRING (1 0, ")
+    # linear delegation
+    assert curves.wkt(wkb.point(1, 2)) == "POINT (1 2)"
+    assert curves.from_wkt("POINT (1 2)") == wkb.point(1, 2)
