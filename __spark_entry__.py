@@ -4804,49 +4804,6 @@ def _q_tx_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.score_perplexity_join(docs, model)
 
 
-def _q_snk_pmtiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench-only: PMTiles v3 archive sink (ogr/ogrsf_frmts/pmtiles
-    analog) — the same z=3→0 PNG pyramid as snk_mbtiles written as
-    clustered Hilbert-ordered archives (granule-parallel). Exactness
-    pinned in tests/test_pmtiles.py. Returns the sink manifest."""
-    import shutil
-
-    from gdal_spark.operators.tiling import formula_tiles, pyramid
-    from gdal_spark.pmtiles import write_pmtiles_dir
-
-    out = "/tmp/gdal_spark_bench/pmtiles_out"
-    shutil.rmtree(out, ignore_errors=True)
-    base = formula_tiles(spark, 8, 8, 256).withColumn(
-        "z", F.lit(3).cast("long")
-    ).select("z", "tx", "ty", "w", "h", "data")
-    tiles = pyramid(base, 3, 0, "average")
-
-    def enc(batches):
-        from gdal_spark.png import png_encode
-
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                a = np.frombuffer(r.data, dtype=np.uint8).reshape(
-                    int(r.h), int(r.w)
-                )
-                rows.append(
-                    (int(r.z), int(r.tx), int(r.ty), png_encode(a))
-                )
-            yield pd.DataFrame(
-                rows, columns=["z", "tx", "ty", "data"]
-            )
-
-    enc_tiles = tiles.mapInPandas(
-        enc, "z long, tx long, ty long, data binary"
-    )
-    return write_pmtiles_dir(enc_tiles, out, fmt="png", group_col="z")
-
-
-#: timed by bench.py but NEVER part of the driver gate list — these
-#: operators' exactness is pinned in pytest (see docstrings); the
-#: bench entries exist so their distributed plans have recorded
-#: throughput alongside the gated queries.
 def _gpkg_bench_fixture(n: int = 50_000) -> str:
     """The reference's own ogr2ogr benchmark source
     (autotest/benchmark/test_ogr2ogr.py:26-43): n point features with

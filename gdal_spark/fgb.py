@@ -557,8 +557,9 @@ def fgb_encode(
 ) -> bytes:
     """pandas frame → one FlatGeobuf blob. Features are written in
     Hilbert order (the spec's expectation when an index is present);
-    null geometries are kept (empty Geometry, excluded from the
-    index the way the reference writer skips them)."""
+    null geometries are allowed only with ``index=False`` (the
+    reference writer likewise refuses NULL geometry in indexed
+    layers)."""
     attr = [c for c in pdf.columns if c != geometry_col]
     cols = [(c, _col_type(pdf[c])) for c in attr]
     geoms = [
@@ -574,9 +575,16 @@ def fgb_encode(
             boxes[i] = _wkb_bbox(g)
             gts.add(wkb.parse(g)[0])
     use_index = index and n > 0
+    if use_index and any(g is None for g in geoms):
+        # the reference writer refuses NULL geometry with a spatial
+        # index (ogrflatgeobuflayer.cpp ICreateFeature); mirroring it
+        # keeps every indexed leaf box real
+        raise ValueError(
+            "null geometry with spatial index: pass index=False "
+            "or drop null-geometry rows"
+        )
     order = (
-        _hilbert_order(np.where(np.isfinite(boxes), boxes, 0.0))
-        if use_index else np.arange(n)
+        _hilbert_order(boxes) if use_index else np.arange(n)
     )
     # feature records in final order
     records = pdf[attr].to_dict("records") if attr else [{}] * n
@@ -624,9 +632,7 @@ def fgb_encode(
     header = hb.finish(hb.table(hfields))
     idx = b""
     if use_index:
-        sb = boxes[order]
-        sb = np.where(np.isfinite(sb), sb, 0.0)
-        idx = build_rtree(sb, offsets, node_size)
+        idx = build_rtree(boxes[order], offsets, node_size)
     return MAGIC + header + idx + b"".join(feats)
 
 
@@ -712,9 +718,11 @@ def read_fgb(
     """Ranged FlatGeobuf scan. The DRIVER reads the magic + header
     and, when needed, the packed R-tree — never a feature byte. With
     ``bbox`` the R-tree prunes to intersecting leaf items
-    (coarse: exact filtering is the caller's spatial join); without
-    it the leaf level supplies every feature offset (index absent →
-    one framing walk with seeks, the osmpbf pattern). Offsets chunk
+    (coarse: exact filtering is the caller's spatial join); an
+    index-absent file applies the same envelope filter post-decode in
+    the tasks, so bbox semantics do not depend on index presence.
+    Without bbox, the leaf level supplies every feature offset (index
+    absent → one framing walk with seeks, the osmpbf pattern). Offsets chunk
     into ``records_per_task`` ranges; executors seek-read their byte
     slice and decode. ``opener`` (picklable path→file-like; default
     shared-FS open — see gdal_spark.io) is the object-store seam:
@@ -757,36 +765,61 @@ def read_fgb(
                 offs_l.append(pos - feat_start)
                 pos += 4 + flen
         offs = np.array(offs_l, dtype=np.int64)
-        if bbox is not None:
-            pass  # no index: bbox prefilter happens after decode
+    # index-absent bbox semantics match the indexed path: the envelope
+    # filter runs post-decode in the tasks (null geometries have no
+    # envelope and are excluded, as leaf boxes exclude them)
+    post_bbox = bbox if (bbox is not None and not (
+        n > 0 and node_size > 0
+    )) else None
     schema = _spark_schema(cols)
     if len(offs) == 0:
         return spark.createDataFrame([], schema)
     n_chunks = (len(offs) + records_per_task - 1) // records_per_task
-    chunks = [c.tolist() for c in np.array_split(offs, n_chunks)]
-    # spark.range with explicit partitioning: no shuffle, so AQE
-    # cannot coalesce the (tiny-rowcount) task list into one task
-    rng = spark.range(0, n_chunks, 1, min(n_chunks, 64))
+    # per-chunk offsets ride DATA rows as compact int64 blobs — never
+    # the task closure (a planet-scale offset table in the closure
+    # would ship with every task); explicit repartition count so AQE
+    # cannot coalesce the tiny-rowcount exchange into one task
+    chunk_rows = [
+        (int(i), c.astype("<i8").tobytes())
+        for i, c in enumerate(np.array_split(offs, n_chunks))
+    ]
+    rng = spark.createDataFrame(
+        chunk_rows, "cid long, offs binary"
+    ).repartition(min(n_chunks, 64), "cid")
 
     def gen(batches):
         for b in batches:
-            for cid in b["id"]:
-                local = chunks[int(cid)]
-                lo, hi = local[0], local[-1]
+            for ob in b["offs"]:
+                local = np.frombuffer(ob, "<i8")
+                lo, hi = int(local[0]), int(local[-1])
                 with opener(path) as f:
-                    f.seek(feat_start + int(hi))
+                    f.seek(feat_start + hi)
                     (last_len,) = struct.unpack("<I", f.read(4))
-                    f.seek(feat_start + int(lo))
-                    blob = f.read(int(hi) - int(lo) + 4 + last_len)
+                    f.seek(feat_start + lo)
+                    blob = f.read(hi - lo + 4 + last_len)
                 pieces = []
                 for o in local:
-                    rel = int(o) - int(lo)
+                    rel = int(o) - lo
                     (flen,) = struct.unpack_from("<I", blob, rel)
                     pieces.append(blob[rel: rel + 4 + flen])
                 sub = b"".join(pieces)
-                yield _decode_features(
+                pdf = _decode_features(
                     sub, 0, cols, fids=[int(o) for o in local]
                 )
+                if post_bbox is not None:
+                    bx0, by0, bx1, by1 = post_bbox
+                    keep = []
+                    for g in pdf["geometry"]:
+                        if g is None:
+                            keep.append(False)
+                            continue
+                        gx0, gy0, gx1, gy1 = _wkb_bbox(bytes(g))
+                        keep.append(
+                            not (gx1 < bx0 or gx0 > bx1
+                                 or gy1 < by0 or gy0 > by1)
+                        )
+                    pdf = pdf[np.asarray(keep, dtype=bool)]
+                yield pdf
 
     return rng.mapInPandas(gen, schema)
 

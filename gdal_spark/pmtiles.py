@@ -349,36 +349,60 @@ def read_pmtiles(
         f.seek(0)
         head_blob = f.read(hdr["data_off"])
     entries = _all_entries(head_blob, hdr)
+    zrange = None
     if zoom is not None:
-        lo = ((1 << (2 * zoom)) - 1) // 3 if zoom else 0
-        hi = ((1 << (2 * (zoom + 1))) - 1) // 3
-        entries = [e for e in entries if lo <= e[0] < hi]
+        zlo = ((1 << (2 * zoom)) - 1) // 3 if zoom else 0
+        zhi = ((1 << (2 * (zoom + 1))) - 1) // 3
+        # keep every entry whose RUN intersects the zoom's tile-id
+        # interval (spec v3 allows a run to cross a zoom boundary);
+        # emitted run positions are clipped in the task
+        entries = [
+            e for e in entries
+            if e[0] < zhi and e[0] + max(1, e[3]) > zlo
+        ]
+        zrange = (zlo, zhi)
     if not entries:
         return spark.createDataFrame(
             [], "z long, tx long, ty long, data binary"
         )
     n_chunks = (len(entries) + tiles_per_task - 1) // tiles_per_task
-    chunks = [
-        entries[i * tiles_per_task: (i + 1) * tiles_per_task]
+    # per-chunk entries ride DATA rows as compact int64 blobs (never
+    # the task closure); explicit repartition count so AQE cannot
+    # coalesce the tiny-rowcount exchange into one task
+    chunk_rows = [
+        (
+            int(i),
+            np.asarray(
+                entries[i * tiles_per_task: (i + 1) * tiles_per_task],
+                dtype="<i8",
+            ).tobytes(),
+        )
         for i in range(n_chunks)
     ]
     data_off = hdr["data_off"]
-    rng = spark.range(0, n_chunks, 1, min(n_chunks, 64))
+    rng = spark.createDataFrame(
+        chunk_rows, "cid long, entries binary"
+    ).repartition(min(n_chunks, 64), "cid")
 
     def gen(batches):
         for b in batches:
-            for cid in b["id"]:
-                chunk = chunks[int(cid)]
-                lo = min(e[1] for e in chunk)
-                hi = max(e[1] + e[2] for e in chunk)
+            for eb in b["entries"]:
+                chunk = np.frombuffer(eb, "<i8").reshape(-1, 4)
+                lo = int(chunk[:, 1].min())
+                hi = int((chunk[:, 1] + chunk[:, 2]).max())
                 with opener(path) as f:
                     f.seek(data_off + lo)
                     blob = f.read(hi - lo)
                 rows = []
                 for tid, off, ln, rl in chunk:
                     payload = blob[off - lo: off - lo + ln]
-                    for k in range(max(1, rl)):
-                        z, x, y = tileid_to_zxy(tid + k)
+                    for k in range(max(1, int(rl))):
+                        t = int(tid) + k
+                        if zrange is not None and not (
+                            zrange[0] <= t < zrange[1]
+                        ):
+                            continue
+                        z, x, y = tileid_to_zxy(t)
                         rows.append((z, x, y, payload))
                 yield pd.DataFrame(
                     rows, columns=["z", "tx", "ty", "data"]

@@ -517,6 +517,13 @@ def spatial_join_sql(
         t = tbl_of[alias]
         df = tables[t]
         idc = id_cols[t]
+        dt = dict(df.dtypes).get(idc)
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"id column {t}.{idc} has type {dt}; the pair table "
+                "joins on integral ids — add a numeric surrogate "
+                "(e.g. monotonically_increasing_id) first"
+            )
         return df.select(
             F.col(idc).cast("long").alias(idc),
             F.col(col_of[alias]).alias("geom_wkb"),
@@ -545,14 +552,25 @@ def spatial_join_sql(
     def repl_call(mm):
         p = mm.group("p").lower()
         x, y = mm.group("x"), mm.group("y")
-        if {x, y} != {a1, a2} or p == "disjoint":
-            return mm.group(0)  # leave for the UDF path
-        want = p if x == first else _SWAP.get(p, p)
-        return f"__sj.st_{want}"
+        cx, cy = mm.group("cx"), mm.group("cy")
+        # rewrite ONLY calls over the exact alias.column pairs the
+        # pair table was computed from — a predicate over some OTHER
+        # geometry column must stay a UDF call
+        if p == "disjoint":
+            return mm.group(0)
+        if (x, cx) == (first, col_of[first]) and (
+            (y, cy) == (second, col_of[second])
+        ):
+            return f"__sj.st_{p}"
+        if (x, cx) == (second, col_of[second]) and (
+            (y, cy) == (first, col_of[first])
+        ):
+            return f"__sj.st_{_SWAP.get(p, p)}"
+        return mm.group(0)  # leave for the UDF path
 
     call_re = _re.compile(
-        r"\bst_(?P<p>\w+)\s*\(\s*(?P<x>\w+)\.\w+\s*,\s*"
-        r"(?P<y>\w+)\.\w+\s*\)",
+        r"\bst_(?P<p>\w+)\s*\(\s*(?P<x>\w+)\.(?P<cx>\w+)\s*,\s*"
+        r"(?P<y>\w+)\.(?P<cy>\w+)\s*\)",
         _re.IGNORECASE,
     )
     head, tail = sql[: m.start()], sql[m.end():]

@@ -65,7 +65,11 @@ def test_null_geometry_round_trip():
         "val": [1, 2],
         "geometry": [None, wkb.point(3, 4)],
     })
-    out = fgb.fgb_decode(fgb.fgb_encode(pdf))
+    # indexed write refuses NULL geometry (the reference writer's
+    # ICreateFeature behavior); unindexed round-trips it
+    with pytest.raises(ValueError, match="null geometry"):
+        fgb.fgb_encode(pdf)
+    out = fgb.fgb_decode(fgb.fgb_encode(pdf, index=False))
     by = {r["val"]: r["geometry"] for _, r in out.iterrows()}
     assert by[1] is None
     assert bytes(by[2]) == wkb.point(3, 4)
@@ -227,3 +231,28 @@ def test_sink_stays_granule_parallel(spark, tmp_path):
     ).toPandas()
     assert manifest["n_rows"].sum() == 800
     assert len(manifest) >= 2
+
+
+def test_bbox_without_index_matches_indexed_semantics(spark, tmp_path):
+    """bbox pruning must not depend on index presence: an unindexed
+    file applies the same envelope filter post-decode (the old code
+    silently returned everything)."""
+    rng = np.random.default_rng(13)
+    n = 400
+    xs = rng.uniform(0, 1000, n)
+    ys = rng.uniform(0, 1000, n)
+    pdf = pd.DataFrame({
+        "gid": np.arange(n),
+        "geometry": [
+            wkb.point(float(x), float(y)) for x, y in zip(xs, ys)
+        ],
+    })
+    bbox = (200, 100, 500, 400)
+    want = set(np.arange(n)[
+        (xs >= 200) & (xs <= 500) & (ys >= 100) & (ys <= 400)
+    ])
+    for index in (True, False):
+        p = str(tmp_path / f"i{index}.fgb")
+        open(p, "wb").write(fgb.fgb_encode(pdf, index=index))
+        hit = fgb.read_fgb(spark, p, bbox=bbox).toPandas()
+        assert set(hit["gid"]) == want, f"index={index}"

@@ -175,3 +175,44 @@ def test_write_pmtiles_dir_round_trip(spark, tmp_path):
         (int(r.z), int(r.tx), int(r.ty)): bytes(r.data)
         for r in pdf.itertuples(index=False)
     }
+
+
+def test_run_length_crossing_zoom_boundary(spark, tmp_path):
+    """Spec v3 allows a directory run to cross a zoom boundary;
+    zoom-pruned reads must clip the run, not drop or over-emit it.
+    Archive hand-assembled with one rl=4 run spanning z1 ids 3,4 and
+    z2 ids 5,6."""
+    import gzip as _gzip
+    import struct as _struct
+
+    payload = b"RUNPAYLOAD"
+    entries = [(1, 0, len(payload), 2),    # z1: ids 1,2
+               (3, 0, len(payload), 4)]    # z1 ids 3,4 + z2 ids 5,6
+    root = _gzip.compress(
+        pmtiles.serialize_directory(entries), 6, mtime=0
+    )
+    meta = _gzip.compress(b"{}", 6, mtime=0)
+    root_off = pmtiles.HEADER_BYTES
+    meta_off = root_off + len(root)
+    data_off = meta_off + len(meta)
+    hdr = pmtiles._pack_header(
+        root_off, len(root), meta_off, len(meta), data_off, 0,
+        data_off, len(payload), 6, 2, 1, pmtiles.TILE_TYPE["png"],
+        1, 2, (-180.0, -85.0, 180.0, 85.0),
+    )
+    p = str(tmp_path / "run.pmtiles")
+    open(p, "wb").write(hdr + root + meta + payload)
+
+    full = pmtiles.read_pmtiles(spark, p).toPandas()
+    assert len(full) == 6
+    z1 = pmtiles.read_pmtiles(spark, p, zoom=1).toPandas()
+    assert sorted(
+        pmtiles.zxy_to_tileid(int(r.z), int(r.tx), int(r.ty))
+        for r in z1.itertuples(index=False)
+    ) == [1, 2, 3, 4]
+    z2 = pmtiles.read_pmtiles(spark, p, zoom=2).toPandas()
+    assert sorted(
+        pmtiles.zxy_to_tileid(int(r.z), int(r.tx), int(r.ty))
+        for r in z2.itertuples(index=False)
+    ) == [5, 6]
+    assert all(bytes(d) == payload for d in z2["data"])

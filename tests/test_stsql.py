@@ -336,3 +336,60 @@ def test_spatial_join_sql_rejections(spark):
         stsql.spatial_join_sql(
             spark, "SELECT 1", tables={}, id_cols={},
         )
+
+
+def test_spatial_join_sql_other_geometry_column_not_rewritten(spark):
+    """A select-list predicate over a DIFFERENT geometry column must
+    NOT read the pair table (it was computed from the ON columns) —
+    it stays a UDF call over the joined rows."""
+    import pandas as pd
+
+    from gdal_spark import stsql, wkb
+
+    stsql.register_st_functions(spark)
+    a = spark.createDataFrame(pd.DataFrame({
+        "a_id": [1],
+        "geom_wkb": [wkb.polygon([_rect(0, 0, 10, 10)])],
+        # a second geometry: tiny box far from b's buf_wkb
+        "buf_wkb": [wkb.polygon([_rect(90, 90, 91, 91)])],
+    }))
+    b = spark.createDataFrame(pd.DataFrame({
+        "poly_id": [7],
+        "geom_wkb": [wkb.polygon([_rect(2, 2, 5, 5)])],
+        "buf_wkb": [wkb.polygon([_rect(50, 50, 60, 60)])],
+    }))
+    out = stsql.spatial_join_sql(
+        spark,
+        """SELECT a.a_id AS a_id,
+                  st_intersects(a.geom_wkb, b.geom_wkb) AS on_cols,
+                  CAST(st_intersects(a.buf_wkb, b.buf_wkb) AS BIGINT)
+                    AS other_cols
+           FROM ta a JOIN tb b ON st_intersects(a.geom_wkb, b.geom_wkb)""",
+        tables={"ta": a, "tb": b},
+        id_cols={"ta": "a_id", "tb": "poly_id"},
+    ).collect()[0]
+    assert out.on_cols == 1       # pair-table column (rewritten)
+    assert out.other_cols == 0    # UDF over the real buf geometries
+
+
+def test_spatial_join_sql_string_id_rejected(spark):
+    import pandas as pd
+
+    from gdal_spark import stsql, wkb
+
+    a = spark.createDataFrame(pd.DataFrame({
+        "code": ["US-CA"],
+        "geom_wkb": [wkb.polygon([_rect(0, 0, 1, 1)])],
+    }))
+    b = spark.createDataFrame(pd.DataFrame({
+        "poly_id": [1],
+        "geom_wkb": [wkb.polygon([_rect(0, 0, 1, 1)])],
+    }))
+    with pytest.raises(ValueError, match="integral ids"):
+        stsql.spatial_join_sql(
+            spark,
+            "SELECT a.code FROM ta a JOIN tb b "
+            "ON st_intersects(a.geom_wkb, b.geom_wkb)",
+            tables={"ta": a, "tb": b},
+            id_cols={"ta": "code", "tb": "poly_id"},
+        )
