@@ -70,9 +70,20 @@ size — with partial_count map-side combine on the dup-key side
 (skew-safe under boilerplate windows repeated 10^9 times), then one
 exchange on the doc id for the LAG gap-merge windows. No Python
 anywhere.""",
-    "dissolve": """Aggregate ST_Union: ONE exchange on the dissolve key feeding a
-single FlatMapGroupsInPandas fold — the reference's one-cascaded-
-union-per-group model, with the geometry never shuffled twice.""",
+    "dissolve": """Aggregate ST_Union, ADAPTIVE: an eager count job (key column
+only, map-side combine) picks the plan. No key above the threshold —
+as here — plans ONE exchange on the dissolve key feeding a single
+FlatMapGroupsInPandas fold (the reference's one-cascaded-union-per-
+group model, geometry never shuffled twice); a skewed input instead
+salts ONLY its hot keys into a two-level fold whose re-fold passes
+single pre-rows through untouched (plan-shape pins in
+tests/test_dissolve.py).""",
+    "spatial_join_sql": """SQL-string spatial join through the front-end rewrite: the
+st_intersects theta-join becomes the sparse cell-cover pair table
+equi-joined back by id, so the plan is hash joins end to end — NO
+BroadcastNestedLoopJoin, NO CartesianProduct (a registered-UDF
+theta-join would plan BNLJ). Select-list st_pred calls over the ON
+columns read pair-table columns (zero extra kernel evaluations).""",
     "tin_grid_distributed": """Zero-driver TIN pipeline. The triangulation rounds run
 eagerly inside delaunay_distributed (per-cell Bowyer-Watson over a
 3×3 JVM halo explode, certified triangles persisted; unresolved cells
@@ -253,6 +264,21 @@ def main() -> int:
             a_df.withColumnRenamed("a_id", "key"), "key", "geom_wkb"
         )
     )
+    from gdal_spark import stsql as _stsql
+
+    b_named = b_big.withColumnRenamed("b_id", "poly_id")
+    plans["spatial_join_sql"] = _plan(
+        _stsql.spatial_join_sql(
+            spark,
+            "SELECT a.a_id AS a_id, b.poly_id AS b_id, "
+            "st_intersects(a.geom_wkb, b.geom_wkb) AS st_intersects "
+            "FROM sj_a a JOIN sj_b b "
+            "ON st_intersects(a.geom_wkb, b.geom_wkb)",
+            tables={"sj_a": a_df, "sj_b": b_named},
+            id_cols={"sj_a": "a_id", "sj_b": "poly_id"},
+        )
+    )
+
     from gdal_spark.operators.dedup import contamination_pairs
 
     bench_docs = docs.filter(F.col("doc_id") % 211 == 0).select(
