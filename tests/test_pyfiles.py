@@ -24,12 +24,17 @@ def test_zip_builds_deterministic_and_importable(tmp_path):
     assert not any(n.endswith(".pyc") for n in names)
 
     # the zip itself must be importable (spark ships it to executors
-    # and puts it on sys.path)
+    # and puts it on sys.path). Save and RESTORE the live module
+    # objects: replacing them would break class identity for every
+    # later test that pickles engine classes by reference.
+    saved = {
+        m: sys.modules[m]
+        for m in list(sys.modules) if m.startswith("gdal_spark")
+    }
     sys.path.insert(0, p1)
     try:
-        for mod in list(sys.modules):
-            if mod.startswith("gdal_spark"):
-                del sys.modules[mod]
+        for mod in saved:
+            del sys.modules[mod]
         import gdal_spark.wkb as w
 
         assert w.__file__.startswith(p1)
@@ -39,3 +44,4 @@ def test_zip_builds_deterministic_and_importable(tmp_path):
         for mod in list(sys.modules):
             if mod.startswith("gdal_spark"):
                 del sys.modules[mod]
+        sys.modules.update(saved)
