@@ -830,10 +830,13 @@ def write_fgb_dir(
     geometry_col: str = "geometry",
     name: str = "layer",
     node_size: int = 16,
+    index: bool = True,
 ) -> DataFrame:
     """Granule-parallel sink: one indexed .fgb per partition,
-    manifest (path, n_rows). Shared-FS contract (the
-    write_shapefile_dir / write_gtiff_dir pattern)."""
+    manifest (path, n_rows). ``index=False`` permits null
+    geometries (indexed layers refuse them, like the reference
+    writer). Shared-FS contract (the write_shapefile_dir /
+    write_gtiff_dir pattern)."""
     os.makedirs(out_dir, exist_ok=True)
     src = df.withColumn("__pid", F.spark_partition_id())
 
@@ -845,7 +848,8 @@ def write_fgb_dir(
         pid = int(pdf["__pid"].iloc[0])
         blob = fgb_encode(
             pdf.drop(columns=["__pid"]),
-            geometry_col=geometry_col, name=name, node_size=node_size,
+            geometry_col=geometry_col, name=name,
+            node_size=node_size, index=index,
         )
         p = os.path.join(out_dir, f"part-{pid:05d}.fgb")
         tmp = p + ".tmp"
