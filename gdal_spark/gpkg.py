@@ -93,9 +93,17 @@ def wkb_to_gpb(wkb: bytes, srs_id: int = 0) -> bytes:
     flags = 0x01  # little-endian header
     env = b""
     if not is_point:
-        x0, y0, x1, y1 = _gpq.wkb_bbox(wkb)
-        flags |= 1 << 1  # envelope code 1 (XY)
-        env = struct.pack("<4d", x0, x1, y0, y1)
+        try:
+            x0, y0, x1, y1 = _gpq.wkb_bbox(wkb)
+        except ValueError:
+            # curve types (CIRCULARSTRING family, ISO codes 8-12):
+            # control points do NOT bound arc bulges, so a cheap
+            # envelope would be WRONG — write envelope indicator 0
+            # (spec-optional), exactly what matters for correctness
+            x0 = None
+        if x0 is not None:
+            flags |= 1 << 1  # envelope code 1 (XY)
+            env = struct.pack("<4d", x0, x1, y0, y1)
     return b"GP\x00" + bytes([flags]) + struct.pack("<i", srs_id) + env + wkb
 
 

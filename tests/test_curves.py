@@ -202,3 +202,78 @@ def test_curve_wkt_round_trips():
     # linear delegation
     assert curves.wkt(wkb.point(1, 2)) == "POINT (1 2)"
     assert curves.from_wkt("POINT (1 2)") == wkb.point(1, 2)
+
+
+def test_curved_gpkg_flows_into_linear_operators(spark, tmp_path):
+    """End-to-end: a GeoPackage carrying CURVEPOLYGON geometry (GPKG
+    allows curve types in GPB blobs) reads through the ranged scan,
+    linearizes at DataFrame width, and lands in a linear kernel — the
+    closed-form inscribed-n-gon area comes out exact."""
+    import os
+    import sqlite3
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_spark import gpkg
+
+    path = str(tmp_path / "curved.gpkg")
+    con = sqlite3.connect(path)
+    con.execute("PRAGMA application_id = 0x47504B47")
+    for ddl in gpkg._GPKG_META_DDL:
+        con.execute(ddl)
+    con.execute(
+        "INSERT INTO gpkg_spatial_ref_sys VALUES "
+        "('undefined', 0, 'NONE', 0, 'undefined', NULL)"
+    )
+    con.execute(
+        'CREATE TABLE t (fid INTEGER PRIMARY KEY, "r" DOUBLE, '
+        '"geometry" BLOB)'
+    )
+    rows = []
+    for k in range(6):
+        r = 1.0 + 0.5 * k
+        cp = curves.curvepolygon([
+            curves.circularstring(
+                [[10 * k + r, 0.0], [10 * k - r, 0.0], [10 * k + r, 0.0]]
+            )
+        ])
+        rows.append((r, gpkg.wkb_to_gpb(cp)))
+    con.executemany('INSERT INTO t ("r", "geometry") VALUES (?, ?)', rows)
+    con.execute(
+        "INSERT INTO gpkg_contents VALUES ('t', 'features', 't', '', "
+        "'2026-01-01T00:00:00Z', NULL, NULL, NULL, NULL, 0)"
+    )
+    con.execute(
+        "INSERT INTO gpkg_geometry_columns VALUES "
+        "('t', 'geometry', 'CURVEPOLYGON', 0, 0, 0)"
+    )
+    con.commit()
+    con.close()
+
+    df = gpkg.read_gpkg_ranged(spark, path, "t", rows_per_task=2)
+    lin = df.withColumn(
+        "lin", curves.linearize_udf(3.7)("geometry")
+    )
+
+    def area(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for rr, g in zip(pdf["r"], pdf["lin"]):
+                rings = wkb.polygon_rings(bytes(g))[0]
+                out.append(
+                    (float(rr), abs(geometry.ring_area(rings[0])))
+                )
+            yield pd.DataFrame(out, columns=["r", "area"])
+
+    got = {
+        round(rec.r, 3): rec.area
+        for rec in lin.mapInPandas(area, "r double, area double").collect()
+    }
+    n = int(np.ceil(360.0 / 3.7))
+    for k in range(6):
+        r = 1.0 + 0.5 * k
+        want = 0.5 * n * r * r * np.sin(2 * np.pi / n)
+        assert got[round(r, 3)] == pytest.approx(want, rel=1e-12)
