@@ -583,6 +583,13 @@ def fgb_encode(
             "null geometry with spatial index: pass index=False "
             "or drop null-geometry rows"
         )
+    if use_index and not np.isfinite(boxes).all():
+        # NaN/inf coordinates would poison the Hilbert extent and
+        # write garbage leaf boxes (platform-undefined NaN→int casts)
+        raise ValueError(
+            "non-finite coordinates with spatial index: pass "
+            "index=False or clean the geometries"
+        )
     order = (
         _hilbert_order(boxes) if use_index else np.arange(n)
     )
@@ -785,7 +792,7 @@ def read_fgb(
     ]
     rng = spark.createDataFrame(
         chunk_rows, "cid long, offs binary"
-    ).repartition(min(n_chunks, 64), "cid")
+    ).repartitionByRange(min(n_chunks, 64), "cid")
 
     def gen(batches):
         for b in batches:

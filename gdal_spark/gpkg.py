@@ -93,18 +93,25 @@ def wkb_to_gpb(wkb: bytes, srs_id: int = 0) -> bytes:
     flags = 0x01  # little-endian header
     env = b""
     if not is_point:
-        try:
-            x0, y0, x1, y1 = _gpq.wkb_bbox(wkb)
-        except ValueError:
-            # curve types (CIRCULARSTRING family, ISO codes 8-12):
-            # control points do NOT bound arc bulges, so a cheap
-            # envelope would be WRONG — write envelope indicator 0
-            # (spec-optional), exactly what matters for correctness
-            x0 = None
-        if x0 is not None:
-            flags |= 1 << 1  # envelope code 1 (XY)
-            env = struct.pack("<4d", x0, x1, y0, y1)
+        x0, y0, x1, y1 = _curve_safe_bbox(wkb)
+        flags |= 1 << 1  # envelope code 1 (XY)
+        env = struct.pack("<4d", x0, x1, y0, y1)
     return b"GP\x00" + bytes([flags]) + struct.pack("<i", srs_id) + env + wkb
+
+
+def _curve_safe_bbox(buf: bytes) -> tuple:
+    """Envelope of any supported WKB. Curve types (ISO codes 8-12)
+    densify FIRST — their control points do NOT bound arc bulges, so
+    a control-point envelope would be wrong; anything else
+    unsupported still raises loudly (no blanket except that would
+    let corrupt type words through)."""
+    fmt = "<" if buf[0] == 1 else ">"
+    (code,) = struct.unpack_from(fmt + "I", buf, 1)
+    if 8 <= (code & 0xFFFF) % 1000 <= 12:
+        from . import curves
+
+        return _gpq.wkb_bbox(curves.linearize(buf))
+    return _gpq.wkb_bbox(buf)
 
 
 # --------------------------------------------------------------------------
@@ -321,7 +328,7 @@ def write_gpkg_dir(
                 gpb = None
                 if wkb is not None:
                     gpb = wkb_to_gpb(bytes(wkb), srs_id)
-                    boxes.append(_gpq.wkb_bbox(bytes(wkb)))
+                    boxes.append(_curve_safe_bbox(bytes(wkb)))
                 rows.append((*attrs, gpb))
             ph = ", ".join("?" * (len(attr_cols) + 1))
             names = ", ".join(

@@ -382,7 +382,7 @@ def read_pmtiles(
     data_off = hdr["data_off"]
     rng = spark.createDataFrame(
         chunk_rows, "cid long, entries binary"
-    ).repartition(min(n_chunks, 64), "cid")
+    ).repartitionByRange(min(n_chunks, 64), "cid")
 
     def gen(batches):
         for b in batches:

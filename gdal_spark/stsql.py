@@ -549,22 +549,26 @@ def spatial_join_sql(
 
     # rewrite select-list / WHERE predicate calls between the two
     # joined aliases into pair-table column references
+    def _key(alias, col):
+        return alias.lower(), col.lower()
+
+    k_first = _key(first, col_of[first])
+    k_second = _key(second, col_of[second])
+
     def repl_call(mm):
         p = mm.group("p").lower()
-        x, y = mm.group("x"), mm.group("y")
-        cx, cy = mm.group("cx"), mm.group("cy")
-        # rewrite ONLY calls over the exact alias.column pairs the
-        # pair table was computed from — a predicate over some OTHER
-        # geometry column must stay a UDF call
-        if p == "disjoint":
+        # rewrite ONLY the eight pair-table predicates (disjoint is
+        # dense; a two-geometry NON-predicate like a user-registered
+        # st_distance must stay a UDF call), and ONLY over the exact
+        # alias.column pairs — case-insensitively, as Spark resolves
+        # identifiers — the pair table was computed from
+        if p == "disjoint" or p not in _SPARSE_PREDS:
             return mm.group(0)
-        if (x, cx) == (first, col_of[first]) and (
-            (y, cy) == (second, col_of[second])
-        ):
+        kx = _key(mm.group("x"), mm.group("cx"))
+        ky = _key(mm.group("y"), mm.group("cy"))
+        if kx == k_first and ky == k_second:
             return f"__sj.st_{p}"
-        if (x, cx) == (second, col_of[second]) and (
-            (y, cy) == (first, col_of[first])
-        ):
+        if kx == k_second and ky == k_first:
             return f"__sj.st_{_SWAP.get(p, p)}"
         return mm.group(0)  # leave for the UDF path
 

@@ -256,3 +256,14 @@ def test_bbox_without_index_matches_indexed_semantics(spark, tmp_path):
         open(p, "wb").write(fgb.fgb_encode(pdf, index=index))
         hit = fgb.read_fgb(spark, p, bbox=bbox).toPandas()
         assert set(hit["gid"]) == want, f"index={index}"
+
+
+def test_nonfinite_coords_with_index_rejected():
+    pdf = pd.DataFrame({
+        "gid": [1, 2],
+        "geometry": [wkb.point(float("nan"), 2.0), wkb.point(3, 4)],
+    })
+    with pytest.raises(ValueError, match="non-finite"):
+        fgb.fgb_encode(pdf)
+    out = fgb.fgb_decode(fgb.fgb_encode(pdf, index=False))
+    assert len(out) == 2

@@ -123,3 +123,38 @@ def test_downstream_composition(spark, tmp_path):
     ]
     assert len(boxes) == 8
     assert all(b[0] <= b[2] and b[1] <= b[3] for b in boxes)
+
+
+def test_write_gpkg_dir_curve_geometry(spark, tmp_path):
+    """The sink must carry curve WKB: GPB envelope and contents
+    extent computed from the LINEARIZED geometry (control points
+    do not bound arc bulges)."""
+    import pandas as pd
+
+    from gdal_spark import curves
+    from gdal_spark.gpkg import gpb_to_wkb, read_gpkg, write_gpkg_dir
+
+    cp = curves.curvepolygon([
+        curves.circularstring([[3.0, 0.0], [-3.0, 0.0], [3.0, 0.0]])
+    ])
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "geometry": [cp]})
+    )
+    manifest = write_gpkg_dir(
+        df, str(tmp_path / "curved_out"), table="t"
+    ).toPandas()
+    assert manifest["n_rows"].sum() == 1
+    got = read_gpkg(spark, list(manifest["path"]), "t").toPandas()
+    assert bytes(got["geometry"].iloc[0]) == cp
+    # envelope written from the densified arc: spans ±3 in x AND y
+    import sqlite3
+    import struct as _struct
+
+    con = sqlite3.connect(manifest["path"].iloc[0])
+    blob = con.execute('SELECT "geometry" FROM t').fetchone()[0]
+    con.close()
+    env = _struct.unpack_from("<4d", blob, 8)
+    assert env[0] == pytest.approx(-3.0, abs=1e-2)
+    assert env[1] == pytest.approx(3.0, abs=1e-2)
+    assert env[2] == pytest.approx(-3.0, abs=1e-2)
+    assert env[3] == pytest.approx(3.0, abs=1e-2)
