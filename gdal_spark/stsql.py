@@ -417,6 +417,19 @@ def register_st_functions(spark) -> list[str]:
         )
 
     reg("st_distance", _distance_udf)
+
+    @pandas_udf("binary")
+    def _curvetoline_udf(g: pd.Series) -> pd.Series:
+        from . import curves as _curves
+
+        return g.map(
+            lambda b: None if b is None
+            else _curves.linearize(bytes(b))
+        )
+
+    # Spatialite's CurveToLine / ST_CurveToLine (the dialect the
+    # reference's SQL layer rides) — getLinearGeometry from SQL text
+    reg("st_curvetoline", _curvetoline_udf)
     return names
 
 

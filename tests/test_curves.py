@@ -277,3 +277,27 @@ def test_curved_gpkg_flows_into_linear_operators(spark, tmp_path):
         r = 1.0 + 0.5 * k
         want = 0.5 * n * r * r * np.sin(2 * np.pi / n)
         assert got[round(r, 3)] == pytest.approx(want, rel=1e-12)
+
+
+def test_st_curvetoline_in_sql(spark):
+    """ST_CurveToLine through a real SQL string (the Spatialite
+    function the reference's dialect exposes): curved rows linearize,
+    st_area over the result gives the inscribed n-gon area."""
+    import pandas as pd
+
+    from gdal_spark import stsql
+
+    stsql.register_st_functions(spark)
+    r = 2.0
+    cp = curves.curvepolygon([
+        curves.circularstring([[r, 0.0], [-r, 0.0], [r, 0.0]])
+    ])
+    spark.createDataFrame(
+        pd.DataFrame({"k": [1], "g": [cp]})
+    ).createOrReplaceTempView("curved")
+    got = spark.sql(
+        "SELECT st_area(st_curvetoline(g)) AS a FROM curved"
+    ).collect()[0].a
+    n = int(np.ceil(360.0 / 4.0))
+    want = 0.5 * n * r * r * np.sin(2 * np.pi / n)
+    assert got == pytest.approx(want, rel=1e-12)
