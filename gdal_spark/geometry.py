@@ -100,6 +100,8 @@ def winding_number(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     ring = np.asarray(ring, dtype=np.float64)
+    if ring.shape[0] < 3:
+        return np.zeros(px.shape, dtype=np.int64)
     if not (ring[0] == ring[-1]).all():
         ring = np.vstack([ring, ring[:1]])
 

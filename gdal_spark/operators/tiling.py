@@ -519,6 +519,7 @@ def warp_affine(
             )
         )
 
+    all_blocks = blocks.select("i0", "j0", "bw", "bh")
     blocks = blocks.filter(
         (F.col("sx1") >= 0) & (F.col("sy1") >= 0)
         & (F.col("sx0") <= src_w - 1) & (F.col("sy0") <= src_h - 1)
@@ -684,7 +685,36 @@ def warp_affine(
             }
         )
 
-    return joined.groupBy("i0", "j0").applyInPandas(gather, WARP_PIXEL_SCHEMA)
+    gathered = joined.groupBy("i0", "j0").applyInPandas(
+        gather, WARP_PIXEL_SCHEMA
+    )
+    # the contract is EVERY dst pixel (val = nodata outside src): a
+    # block entirely outside the src extent (filtered above) or whose
+    # whole tile cover is absent from a sparse raster never reaches
+    # the gather — emit its nodata rows JVM-side (anti-join on the
+    # covered block set + one sequence explode; no Python)
+    nod = (
+        raster.NODATA if method in ("nearest", "bilinear")
+        else raster.CUBIC_NODATA
+    )
+    uncovered = all_blocks.join(
+        joined.select("i0", "j0").distinct(), ["i0", "j0"], "left_anti"
+    )
+    nodata_rows = (
+        uncovered
+        .withColumn(
+            "u", F.explode(F.expr("sequence(0, bw - 1)"))
+        )
+        .withColumn(
+            "v", F.explode(F.expr("sequence(0, bh - 1)"))
+        )
+        .select(
+            (F.col("i0") + F.col("u")).alias("di"),
+            (F.col("j0") + F.col("v")).alias("dj"),
+            F.lit(int(nod)).cast("long").alias("val"),
+        )
+    )
+    return gathered.unionByName(nodata_rows)
 
 
 def warp_aggregate(
@@ -1137,30 +1167,45 @@ def contour_polylines(segs: DataFrame, quant: int = 1 << 20) -> DataFrame:
     ky1 = F.floor(F.col("y1") * quant + 0.5).cast("long")
     kx2 = F.floor(F.col("x2") * quant + 0.5).cast("long")
     ky2 = F.floor(F.col("y2") * quant + 0.5).cast("long")
+    # node identity = 128-bit double hash of the exact (level, kx, ky)
+    # triple. A fixed-stride packing (the old kx·2^28 + ky) collides
+    # as soon as the grid exceeds 256 quantized pixels; two
+    # independent 64-bit hashes keep collision odds ≈ n²/2^129 —
+    # negligible at any raster size — while staying deterministic
+    # (value-hash, not an id assignment) and shuffle-free.
+    lv = F.col("level")
     keyed = segs.select(
         "level", "x1", "y1", "x2", "y2",
-        (kx1 * 268435456 + ky1).alias("k1"),
-        (kx2 * 268435456 + ky2).alias("k2"),
+        F.xxhash64(lv, kx1, ky1).alias("k1a"),
+        F.xxhash64(kx1, ky1, lv, F.lit(1)).alias("k1b"),
+        F.xxhash64(lv, kx2, ky2).alias("k2a"),
+        F.xxhash64(kx2, ky2, lv, F.lit(1)).alias("k2b"),
     )
     roots = cc_roots_df(
         keyed.select(
-            F.col("level").alias("a1"), F.col("k1").alias("a2"),
-            F.col("level").alias("b1"), F.col("k2").alias("b2"),
+            F.col("k1a").alias("a1"), F.col("k1b").alias("a2"),
+            F.col("k2a").alias("b1"), F.col("k2b").alias("b2"),
         )
     ).select(
-        F.col("n1").alias("level"), F.col("n2").alias("k1"),
-        F.col("r2").alias("rk"),
+        F.col("n1").alias("k1a"), F.col("n2").alias("k1b"),
+        F.col("r1").alias("rk1"), F.col("r2").alias("rk2"),
     )
     dx = F.col("x2") - F.col("x1")
     dy = F.col("y2") - F.col("y1")
     q = F.floor(F.sqrt(dx * dx + dy * dy) * 1000000.0 + 0.5).cast("long")
     return (
-        keyed.join(roots, ["level", "k1"], "left")
-        .withColumn("line_id", F.coalesce("rk", "k1"))
-        .groupBy("level", "line_id")
+        keyed.join(roots, ["k1a", "k1b"], "left")
+        .withColumn("rid1", F.coalesce("rk1", "k1a"))
+        .withColumn("rid2", F.coalesce("rk2", "k1b"))
+        .groupBy("level", "rid1", "rid2")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
             F.sum(q).alias("len_q6"),
+        )
+        .select(
+            "level",
+            F.xxhash64("rid1", "rid2").alias("line_id"),
+            "n_segments", "len_q6",
         )
     )
 
@@ -1370,15 +1415,18 @@ def contour_polygons(
     # stay separate unless connected elsewhere. Undirected-edge count:
     # 2 → interior (a region-graph edge between the two owners),
     # 1 → real boundary edge, owned by its emitting cell-polygon.
+    # canonical (min-endpoint-first) EXACT 4-column key — a packed
+    # x·2^30 + y key collides past 1024 quantized rows and overflows
+    # int64 past 8192 columns; grouping on the exact coordinates has
+    # neither failure mode and shuffles the same rows
+    swap = (F.col("x1") > F.col("x2")) | (
+        (F.col("x1") == F.col("x2")) & (F.col("y1") > F.col("y2"))
+    )
     und = segs.groupBy(
-        F.least(
-            F.col("x1") * (1 << 30) + F.col("y1"),
-            F.col("x2") * (1 << 30) + F.col("y2"),
-        ).alias("ka"),
-        F.greatest(
-            F.col("x1") * (1 << 30) + F.col("y1"),
-            F.col("x2") * (1 << 30) + F.col("y2"),
-        ).alias("kb"),
+        F.when(swap, F.col("x2")).otherwise(F.col("x1")).alias("cxa"),
+        F.when(swap, F.col("y2")).otherwise(F.col("y1")).alias("cya"),
+        F.when(swap, F.col("x1")).otherwise(F.col("x2")).alias("cxb"),
+        F.when(swap, F.col("y1")).otherwise(F.col("y2")).alias("cyb"),
     ).agg(
         F.collect_list(
             F.struct("x1", "y1", "x2", "y2", "o1", "o2")
@@ -1621,9 +1669,14 @@ def point_probe_nearest(
                     r0 = g.iloc[0]
                     h, w = int(r0["h"]), int(r0["w"])
                     arr = _tile_array(w, h, r0["data"])
-                    pxl = g["px"].to_numpy(dtype=np.int64)
-                    pyl = g["py"].to_numpy(dtype=np.int64)
-                    vals[g.index.to_numpy()] = arr[pyl % h, pxl % w]
+                    # tile-LOCAL index = global − tile origin; a
+                    # modulo by the tile's own w/h is wrong for edge
+                    # tiles narrower than tile_size
+                    tx0 = int(r0["tx"]) * tile_size
+                    ty0 = int(r0["ty"]) * tile_size
+                    pxl = g["px"].to_numpy(dtype=np.int64) - tx0
+                    pyl = g["py"].to_numpy(dtype=np.int64) - ty0
+                    vals[g.index.to_numpy()] = arr[pyl, pxl]
             yield pd.DataFrame({"id": pdf["id"], "val": vals})
 
     hit = joined.mapInPandas(gather, "id long, val long")
@@ -2297,7 +2350,12 @@ def sieve(tiles: DataFrame, threshold: int) -> DataFrame:
     tiles_k = tiles.withColumn(
         "tkey", F.col("tx") * F.lit(1_000_003) + F.col("ty")
     )
-    joined = tiles_k.join(F.broadcast(per_tile), ["tkey"], "left")
+    # plain shuffle join: a salt-and-pepper raster has O(pixels)
+    # under-threshold regions, so broadcasting the change lists would
+    # be O(all changed labels) on the driver AND every executor —
+    # exactly the bound this rewrite exists to avoid. Catalyst still
+    # broadcasts on its own when the side is genuinely small.
+    joined = tiles_k.join(per_tile, ["tkey"], "left")
 
     def rewrite(batches):
         for pdf in batches:

@@ -166,3 +166,44 @@ def test_proximity_d2_distributed_matches_brute(spark):
     }
     assert got == want
     assert len(want) > 100  # bound actually bites somewhere or coverage real
+
+
+def test_point_probe_ragged_edge_tiles(spark):
+    """Edge tiles narrower/shorter than tile_size: the tile-local
+    index must be global − tile·tile_size, not a modulo by the edge
+    tile's own width (which silently read the wrong pixel)."""
+    gw, gh = 3 * TS - 5, 2 * TS - 3   # ragged right + bottom edges
+    full = raster.formula_block(0, 0, gw, gh)
+    rows = []
+    for ty in range((gh + TS - 1) // TS):
+        for tx in range((gw + TS - 1) // TS):
+            w = min(TS, gw - tx * TS)
+            h = min(TS, gh - ty * TS)
+            block = full[ty * TS: ty * TS + h, tx * TS: tx * TS + w]
+            rows.append(
+                (tx, ty, w, h, block.astype(np.uint8).tobytes())
+            )
+    tiles = spark.createDataFrame(
+        rows, "tx long, ty long, w long, h long, data binary"
+    )
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)  # identity: lon=px, lat=py
+    rng = np.random.default_rng(8)
+    # bias sampling into the ragged edge tiles
+    px = np.concatenate([
+        rng.integers(2 * TS, gw, 60), rng.integers(0, gw, 40)
+    ])
+    py = np.concatenate([
+        rng.integers(TS, gh, 60), rng.integers(0, gh, 40)
+    ])
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(100, dtype=np.int64),
+        "lon": px + 0.5, "lat": py + 0.5,
+    })
+    got = {
+        int(r["id"]): int(r["val"])
+        for r in tiling.point_probe_nearest(
+            spark.createDataFrame(pdf), tiles, gt, TS, gw, gh
+        ).collect()
+    }
+    for i in range(100):
+        assert got[i] == int(full[py[i], px[i]]), f"point {i}"
